@@ -1,13 +1,546 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions._
+import graft.frontier.{Scheduler, Seen}
+
+/** Driver contract (SURVEY.md §7 + builder prompt): `queries` exposes one
+  * entry per implemented operator; `oracleSql` carries the DuckDB-checkable
+  * ANSI-SQL twin over the SAME parquet tables. Column names and types are
+  * aligned pairwise — the driver sorts columns by name and hashes values.
+  *
+  * Determinism rules used throughout:
+  *  - every query ends in an ORDER BY on a unique key;
+  *  - no raw double aggregates: sums go through `floor(x*scale)::BIGINT`
+  *    (identical IEEE ops in both engines → identical integers), ratios are
+  *    divisions of exact integers, similarity scores are either dropped from
+  *    the output (rank instead) or rounded after identical arithmetic;
+  *  - counts/ranks cast to BIGINT (DuckDB's native width).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // ---------- table loaders -------------------------------------------------
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def embeddings(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+  private def events(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
+  private def lineitem(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/lineitem.parquet")
+  private def orders(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/orders.parquet")
+  private def customer(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/customer.parquet")
+
+  /** The synthetic frontier: documents = the webtext corpus, url derived from
+    * (source, doc_id) — FIXTURES.md §1. Already-canonical form.
+    */
+  private def frontier(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      concat(lit("http://"), col("source"), lit(".test/docs/"),
+        col("doc_id").cast("string")).as("url"),
+      col("doc_id").as("seed_idx"),
+      col("lang"))
+
+  /** Messy-URL frontier (uppercase scheme/host, default port, dot-segments,
+    * pct-encoded unreserved, fragment) for the canonicalizer.
+    */
+  private def messyFrontier(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      concat(lit("HTTP://"), upper(col("source")), lit(".Test:80/docs/"),
+        col("doc_id").cast("string"), lit("/./view?x=%7Eok#frag")).as("url"),
+      col("doc_id").as("seed_idx"))
+
+  /** Near-duplicate corpus: every 7th document re-appears (id+100000) with a
+    * short tail appended — Jaccard ≈ 0.85-0.95 vs its original.
+    */
+  private def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id").as("id"), col("text"))
+    val tails = docs(s, dir).where(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 100000L).as("id"),
+        concat(col("text"), lit(" extra tail words appended here")).as("text"))
+    d.unionByName(tails)
+  }
+
+  /** Exact-duplicate corpus: every 5th document duplicated verbatim. */
+  private def dupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id").as("id"), col("text"))
+    val dups = docs(s, dir).where(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000L).as("id"), col("text"))
+    d.unionByName(dups)
+  }
+
+  private val StopwordsSql: String =
+    graft.text.TextStats.LangMarkers.flatMap(_._2).map(w => s"'$w'").mkString(", ")
+
+  // ---------- flagship ------------------------------------------------------
+
+  /** Flagship: the politeness-scheduled crawl order of the sf0.001 frontier —
+    * canonicalize → key → dedup → per-host slot schedule → global order.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q03_schedule")(spark, "/root/testdata/sf0.001")
+
+  // ---------- queries -------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- frontier: canonicalization / dedup / schedule / seen-set ---------
+    "q01_canonicalize" -> ((s, dir) => {
+      Seen.withUrlKeys(messyFrontier(s, dir))
+        .select(col("seed_idx"), col("url"), col("canonical_url"), col("host"), col("host_rev"))
+        .orderBy("seed_idx")
+    }),
+
+    "q02_seen_dedup" -> ((s, dir) => {
+      val base = frontier(s, dir).select("url", "seed_idx")
+      val dups = frontier(s, dir).where(col("seed_idx") % 3 === 0)
+        .select(col("url"), (col("seed_idx") + 10000L).as("seed_idx"))
+      Seen.dropInWaveDuplicates(Seen.withUrlKeys(base.unionByName(dups)))
+        .select(col("seed_idx"), col("canonical_url"))
+        .orderBy("seed_idx")
+    }),
+
+    "q03_schedule" -> ((s, dir) => {
+      val f = Seen.withUrlKeys(frontier(s, dir))
+        .select("url", "canonical_url", "url_hash", "host", "host_rev", "seed_idx")
+      val sched = Scheduler.schedule(f, gapSeconds = 3L, salted = true)
+      sched
+        .withColumn("fetch_seq",
+          row_number().over(Window.orderBy(col("slot"), col("host_rev"), col("seed_idx")))
+            .cast("long"))
+        .select(col("fetch_seq"), col("slot"), col("host_rev"), col("canonical_url"),
+          col("seed_idx"), col("host_pos"))
+        .orderBy("fetch_seq")
+    }),
+
+    "q04_host_stats" -> ((s, dir) => {
+      Seen.withUrlKeys(frontier(s, dir))
+        .groupBy(col("host_rev"))
+        .agg(count(lit(1)).as("n_urls"),
+          min(col("seed_idx")).as("min_seed"),
+          max(col("seed_idx")).as("max_seed"),
+          countDistinct(col("lang")).as("n_langs"))
+        .orderBy("host_rev")
+    }),
+
+    "q05_bloom_unseen" -> ((s, dir) => {
+      val cands = Seen.withUrlKeys(frontier(s, dir))
+      val seen = cands.where(col("seed_idx") % 2 === 0)
+        .select("url_hash", "canonical_url")
+      Seen.filterUnseen(cands, seen)
+        .select(col("seed_idx"), col("canonical_url"))
+        .orderBy("seed_idx")
+    }),
+
+    // --- text pipeline ------------------------------------------------------
+    "q06_preprocess" -> ((s, dir) => {
+      val messy = concat(lit("\t "),
+        regexp_replace(col("text"), " merge ", " \n\n merge "), lit(" \t"))
+      docs(s, dir)
+        .select(col("doc_id"), preprocess_text(messy).as("clean"))
+        .orderBy("doc_id")
+    }),
+
+    "q07_tokens" -> ((s, dir) => {
+      val text2 = concat(col("text"), lit(" 42 ab9 x!"))
+      docs(s, dir).select(
+        col("doc_id"),
+        size(split(trim(text2), "\\s+")).cast("long").as("n_ws"),
+        token_count_bpe(text2).cast("long").as("n_bpe"))
+        .orderBy("doc_id")
+    }),
+
+    "q08_langid" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), lang_id(col("text")).as("lang_guess"))
+        .orderBy("doc_id")
+    }),
+
+    "q09_quality" -> ((s, dir) => {
+      val stopwords = graft.text.TextStats.LangMarkers.flatMap(_._2)
+      val toks = split(trim(col("text")), "\\s+")
+      val nWords = size(toks).cast("long")
+      docs(s, dir).select(
+        col("doc_id"),
+        nWords.as("n_words"),
+        round(length(regexp_replace(trim(col("text")), "\\s+", ""))
+          .cast("double") / nWords, 6).as("mean_word_len"),
+        round(size(filter(toks, t => t.isin(stopwords: _*))).cast("double") / nWords, 6)
+          .as("stop_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    "q10_extract_roundtrip" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><body><h1>Doc "), col("doc_id").cast("string"),
+        lit("</h1><p>"), regexp_replace(col("text"), " ", "  "),
+        lit("</p><script>var x = 1;</script></body></html>"))
+      docs(s, dir)
+        .select(col("doc_id"), extract_readable(html).as("extracted"))
+        .orderBy("doc_id")
+    }),
+
+    "q11_chunks_identity" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), chunk_explode(col("text"), 100000, 50).as(Seq("chunk_id", "chunk")))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    "q12_chunks_guard" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), chunk_explode(col("text"), 16, 5).as(Seq("chunk_id", "chunk")))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    "q13_chunks_default" -> ((s, dir) => {
+      // multi-paragraph document through the full 512/50 reference chunker
+      val multi = concat(col("text"), lit("\n"), col("text"), lit("\nthe end"))
+      docs(s, dir)
+        .select(col("doc_id"), chunk_explode(multi, 32, 8).as(Seq("chunk_id", "chunk")))
+        .withColumn("n_words", size(split(trim(col("chunk")), "\\s+")).cast("long"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    // --- embeddings / similarity -------------------------------------------
+    "q14_embed_norm" -> ((s, dir) => {
+      val emb = hash_embed(col("text"))
+      docs(s, dir).select(
+        col("doc_id"),
+        size(emb).cast("long").as("dim"),
+        round(sqrt(aggregate(transform(emb, x => x.cast("double")),
+          lit(0.0d), (acc, x) => acc + x * x)), 3).as("norm"))
+        .orderBy("doc_id")
+    }),
+
+    "q15_ann_topk" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      graft.ann.Ann.bruteForceTopK(
+        e, e.where(col("vec_id") < 10), "vec_id", "vec_id", "embedding", k = 5)
+        .select(col("q_id"), col("rank").cast("long").as("rank"), col("nn_id"))
+        .orderBy("q_id", "rank")
+    }),
+
+    "q16_ann_lsh" -> ((s, dir) => {
+      // LSH-bucketed ANN (scale path): rows-only check — recall is tunable,
+      // exactness is not the contract. Compared against brute force in tests.
+      val e = embeddings(s, dir)
+      graft.ann.Ann.lshTopK(
+        e, e.where(col("vec_id") < 10), "vec_id", "vec_id", "embedding",
+        k = 5, bits = 6, tables = 8)
+        .select(col("q_id"), col("rank").cast("long").as("rank"), col("nn_id"))
+        .orderBy("q_id", "rank")
+    }),
+
+    "q17_near_dup_cosine" -> ((s, dir) => {
+      graft.dedup.Dedup.cosineNearDups(embeddings(s, dir), "vec_id", "embedding", 0.4)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 3).as("cos3"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // --- dedup ---------------------------------------------------------------
+    "q18_exact_dedup" -> ((s, dir) => {
+      graft.dedup.Dedup.exactDuplicates(dupCorpus(s, dir), "id", "text")
+        .select(col("keep_id"), col("n_dups"))
+        .orderBy("keep_id")
+    }),
+
+    "q19_minhash_jaccard" -> ((s, dir) => {
+      val corpus = nearDupCorpus(s, dir)
+      val cands = graft.dedup.Dedup.minHashCandidates(corpus, "id", "text",
+        shingleK = 3, bands = 8, rowsPerBand = 4)
+      graft.dedup.Dedup.verifyJaccard(cands, corpus, "id", "text", shingleK = 3)
+        .where(col("jaccard") >= 0.7)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jacc6"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q20_simhash_pairs" -> ((s, dir) => {
+      graft.dedup.Dedup.simHashNearDups(nearDupCorpus(s, dir), "id", "text", maxDist = 8)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q21_fingerprint_overlap" -> ((s, dir) => {
+      graft.dedup.Dedup.fingerprintOverlap(nearDupCorpus(s, dir), "id", "text", minShared = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // --- events (discovery-stream proxy): windows, dates, json --------------
+    "q22_events_first" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .orderBy("user_id")
+    }),
+
+    "q23_events_daily" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(floor(col("value") * 1000).cast("long")).as("sum_milli"))
+        .orderBy("day")
+    }),
+
+    "q24_events_json" -> ((s, dir) => {
+      events(s, dir)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy("event_id")
+    }),
+
+    // --- relational coverage: agg / join / window top-k ----------------------
+    "q25_lineitem_agg" -> ((s, dir) => {
+      lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(floor(col("l_quantity")).cast("long")).as("sum_qty"),
+          sum(floor(col("l_extendedprice") * 100).cast("long")).as("base_cents"),
+          sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+            .cast("long")).as("revenue_cents"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q26_join_topk" -> ((s, dir) => {
+      orders(s, dir)
+        .join(broadcast(customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("revenue_cents"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("revenue_cents").desc, col("c_custkey"))
+        .limit(10)
+    }),
+
+    "q27_window_topk" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * 100).cast("long")
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(cents.desc, col("o_orderkey"))
+      orders(s, dir)
+        .withColumn("cents", cents)
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= 3)
+        .select(col("o_orderpriority"), col("rnk"), col("o_orderkey"), col("cents"))
+        .orderBy("o_orderpriority", "rnk")
+    }),
+
+    // --- multimodal + full page pipeline (rows-only: inputs are generated,
+    //     not sfDir tables, so DuckDB has nothing to read) --------------------
+    "q28_multimodal_features" -> ((s, dir) => {
+      graft.multimodal.Multimodal.featureTable(
+        graft.multimodal.Multimodal.syntheticAssets(s, 200))
+        .select(col("asset_id"), col("width"), col("height"), col("channels"),
+          round(col("mean_luma"), 6).as("mean_luma"), col("source_url"))
+        .orderBy("asset_id")
+    }),
+
+    "q29_pages_extract" -> ((s, dir) => {
+      import s.implicits._
+      val pages = s.createDataset(graft.fixtures.PageGen.pages(200))
+      pages.toDF()
+        .withColumn("extracted", extract_readable(col("html").cast("string")))
+        .select(col("url"),
+          (col("extracted") === col("text")).as("matches_invariant"),
+          length(col("extracted")).cast("long").as("n_chars"))
+        .orderBy("url")
+    }),
+
+    "q30_pipeline_results" -> ((s, dir) => {
+      import s.implicits._
+      val pages = s.createDataset(graft.fixtures.PageGen.pages(200)).toDF()
+      graft.pipeline.TextPipeline.results(pages.withColumn("html", col("html").cast("string")))
+        .select(col("url"), size(col("chunks")).cast("long").as("n_chunks"),
+          size(col("embeddings")).cast("long").as("n_embeddings"),
+          length(col("full_text")).cast("long").as("n_chars"))
+        .orderBy("url")
+    })
+  )
+
+  // ---------- DuckDB oracle twins -------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_canonicalize" ->
+      """SELECT doc_id AS seed_idx,
+        |  'HTTP://' || upper(source) || '.Test:80/docs/' || doc_id || '/./view?x=%7Eok#frag' AS url,
+        |  'http://' || source || '.test/docs/' || doc_id || '/view?x=~ok' AS canonical_url,
+        |  source || '.test' AS host,
+        |  'test.' || source AS host_rev
+        |FROM documents ORDER BY seed_idx""".stripMargin,
+
+    "q02_seen_dedup" ->
+      """WITH f AS (
+        |  SELECT 'http://' || source || '.test/docs/' || doc_id AS url, doc_id AS seed_idx FROM documents
+        |  UNION ALL
+        |  SELECT 'http://' || source || '.test/docs/' || doc_id, doc_id + 10000 FROM documents WHERE doc_id % 3 = 0)
+        |SELECT min(seed_idx) AS seed_idx, url AS canonical_url
+        |FROM f GROUP BY url ORDER BY seed_idx""".stripMargin,
+
+    "q03_schedule" ->
+      """WITH f AS (
+        |  SELECT 'http://' || source || '.test/docs/' || doc_id AS canonical_url,
+        |         'test.' || source AS host_rev, doc_id AS seed_idx
+        |  FROM documents),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY host_rev ORDER BY seed_idx) AS host_pos FROM f)
+        |SELECT row_number() OVER (ORDER BY (host_pos - 1) * 3, host_rev, seed_idx) AS fetch_seq,
+        |       (host_pos - 1) * 3 AS slot, host_rev, canonical_url, seed_idx, host_pos
+        |FROM r ORDER BY fetch_seq""".stripMargin,
+
+    "q04_host_stats" ->
+      """SELECT 'test.' || source AS host_rev, count(*) AS n_urls,
+        |  min(doc_id) AS min_seed, max(doc_id) AS max_seed,
+        |  count(DISTINCT lang) AS n_langs
+        |FROM documents GROUP BY 1 ORDER BY host_rev""".stripMargin,
+
+    "q05_bloom_unseen" ->
+      """SELECT doc_id AS seed_idx, 'http://' || source || '.test/docs/' || doc_id AS canonical_url
+        |FROM documents WHERE doc_id % 2 = 1 ORDER BY seed_idx""".stripMargin,
+
+    "q06_preprocess" ->
+      ("SELECT doc_id, replace(text, ' merge ', ' ' || chr(10) || ' merge ') AS clean " +
+        "FROM documents ORDER BY doc_id"),
+
+    "q07_tokens" ->
+      """SELECT doc_id,
+        |  len(regexp_split_to_array(trim(text || ' 42 ab9 x!'), '\s+')) AS n_ws,
+        |  len(regexp_extract_all(text || ' 42 ab9 x!', '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q08_langid" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |h AS (SELECT doc_id,
+        |  len(list_filter(toks, x -> x IN ('der','die','und','das','nicht'))) AS h_de,
+        |  len(list_filter(toks, x -> x IN ('the','and','of','to','in'))) AS h_en,
+        |  len(list_filter(toks, x -> x IN ('el','la','que','los','una'))) AS h_es,
+        |  len(list_filter(toks, x -> x IN ('le','la','les','des','est'))) AS h_fr,
+        |  len(list_filter(toks, x -> x IN ('的','是','了','在','我'))) AS h_zh
+        |FROM t)
+        |SELECT doc_id, CASE
+        |  WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+        |  WHEN h_de = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'de'
+        |  WHEN h_en = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
+        |  WHEN h_es = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
+        |  WHEN h_fr = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'fr'
+        |  ELSE 'zh' END AS lang_guess
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    "q09_quality" ->
+      s"""WITH t AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents)
+         |SELECT doc_id, len(toks) AS n_words,
+         |  round(len(regexp_replace(trim(text), '\\s+', '', 'g')) / len(toks), 6) AS mean_word_len,
+         |  round(len(list_filter(toks, x -> x IN ($StopwordsSql))) / len(toks), 6) AS stop_ratio
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q10_extract_roundtrip" ->
+      "SELECT doc_id, 'Doc ' || doc_id || chr(10) || text AS extracted FROM documents ORDER BY doc_id",
+
+    "q11_chunks_identity" ->
+      "SELECT doc_id, CAST(0 AS INTEGER) AS chunk_id, text AS chunk FROM documents ORDER BY doc_id, chunk_id",
+
+    "q12_chunks_guard" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
+        |                  len(regexp_split_to_array(trim(text), '\s+')) AS nw FROM documents),
+        |c AS (SELECT doc_id, toks, nw,
+        |        unnest(generate_series(0, CAST(ceil(nw / 16.0) AS INT) - 1)) AS cid FROM t)
+        |SELECT doc_id, CAST(cid AS INTEGER) AS chunk_id,
+        |  CASE WHEN cid = 0 THEN array_to_string(toks[1:least(nw, 16)], ' ')
+        |       ELSE array_to_string(toks[cid*16-4:cid*16], ' ') || ' ' ||
+        |            array_to_string(toks[cid*16+1:least(nw, (cid+1)*16)], ' ') END AS chunk
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q14_embed_norm" ->
+      "SELECT doc_id, CAST(384 AS BIGINT) AS dim, CAST(1.0 AS DOUBLE) AS norm FROM documents ORDER BY doc_id",
+
+    "q15_ann_topk" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings),
+        |q AS (SELECT * FROM v WHERE vec_id < 10),
+        |s AS (SELECT q.vec_id AS q_id, c.vec_id AS nn_id,
+        |        list_dot_product(q.ve, c.ve) /
+        |          (sqrt(list_dot_product(q.ve, q.ve)) * sqrt(list_dot_product(c.ve, c.ve))) AS cos
+        |      FROM q, v c),
+        |r AS (SELECT q_id, nn_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nn_id) AS rank FROM s)
+        |SELECT q_id, rank, nn_id FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "q17_near_dup_cosine" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings),
+        |n AS (SELECT vec_id, ve, sqrt(list_dot_product(ve, ve)) AS nrm FROM v)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_dot_product(a.ve, b.ve) / (a.nrm * b.nrm), 3) AS cos3
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.ve, b.ve) / (a.nrm * b.nrm) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q18_exact_dedup" ->
+      """WITH c AS (
+        |  SELECT doc_id AS id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0)
+        |SELECT min(id) AS keep_id, count(*) AS n_dups
+        |FROM c GROUP BY text HAVING count(*) > 1 ORDER BY keep_id""".stripMargin,
+
+    "q19_minhash_jaccard" ->
+      """WITH c AS (
+        |  SELECT doc_id AS id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text || ' extra tail words appended here'
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |sh AS (SELECT id,
+        |  list_distinct(list_transform(
+        |    range(len(regexp_split_to_array(trim(text), '\s+')) - 2),
+        |    i -> regexp_split_to_array(trim(text), '\s+')[i+1] || ' ' ||
+        |         regexp_split_to_array(trim(text), '\s+')[i+2] || ' ' ||
+        |         regexp_split_to_array(trim(text), '\s+')[i+3])) AS sset
+        |FROM c),
+        |p AS (SELECT a.id AS id_a, b.id AS id_b,
+        |        len(list_intersect(a.sset, b.sset)) AS inter,
+        |        len(a.sset) + len(b.sset) - len(list_intersect(a.sset, b.sset)) AS uni
+        |      FROM sh a JOIN sh b ON a.id < b.id)
+        |SELECT id_a, id_b, round(inter / uni, 6) AS jacc6
+        |FROM p WHERE inter / uni >= 0.7 ORDER BY id_a, id_b""".stripMargin,
+
+    "q22_events_first" ->
+      """WITH r AS (SELECT user_id, event_id, ts,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events)
+        |SELECT user_id, event_id, ts FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q23_events_daily" ->
+      """SELECT CAST(ts AS DATE) AS day, count(*) AS n, count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_milli
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "q24_events_json" ->
+      "SELECT event_id, CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k FROM events ORDER BY event_id",
+
+    "q25_lineitem_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS base_cents,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q26_join_topk" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2 ORDER BY revenue_cents DESC, c_custkey LIMIT 10""".stripMargin,
+
+    "q27_window_topk" ->
+      """WITH w AS (SELECT o_orderpriority, o_orderkey,
+        |  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+        |  row_number() OVER (PARTITION BY o_orderpriority
+        |                     ORDER BY CAST(floor(o_totalprice * 100) AS BIGINT) DESC, o_orderkey) AS rnk
+        |FROM orders)
+        |SELECT o_orderpriority, rnk, o_orderkey, cents FROM w WHERE rnk <= 3
+        |ORDER BY o_orderpriority, rnk""".stripMargin
+  )
 }

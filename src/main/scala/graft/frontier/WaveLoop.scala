@@ -1,0 +1,142 @@
+package graft.frontier
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, Path}
+
+/** Iterative-batch frontier loop with checkpoint/resume and per-partition
+  * lineage (north rule: "checkpoint-resumable frontier state with
+  * per-partition lineage and fetch/parse metrics").
+  *
+  * Each wave is one Spark job; state crosses waves ONLY via storage (a
+  * 10^10-frontier cannot live in driver memory):
+  *
+  *   root/
+  *     seen/wave=K/        url_hash, canonical_url   (ledger delta)
+  *     schedule/wave=K/    slot, host_rev, url, seed_idx, host_pos
+  *     _manifest_K.json    commit marker: row counts + per-partition lineage
+  *
+  * A wave is committed iff its manifest exists (manifest written LAST →
+  * atomic-enough on a filesystem with atomic rename; on an object store the
+  * marker object plays the same role). Resume = max committed wave; a
+  * half-written wave directory without its manifest is ignored and
+  * overwritten — the crash-recovery fixture in WaveLoopSpec kills between
+  * data write and manifest write and re-runs.
+  *
+  * Structured Streaming is deliberately NOT used here: fixtures demand a
+  * deterministic global order per wave (SURVEY.md §1.4).
+  */
+object WaveLoop {
+
+  final case class WaveResult(wave: Int, scheduled: Long, newUrls: Long)
+
+  def manifestPath(root: String, wave: Int): Path = Paths.get(root, f"_manifest_$wave%05d.json")
+
+  def committedWaves(root: String): Seq[Int] = {
+    val dir = Paths.get(root)
+    if (!Files.isDirectory(dir)) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    Files.list(dir).forEach { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith("_manifest_") && n.endsWith(".json"))
+        out += n.stripPrefix("_manifest_").stripSuffix(".json").toInt
+    }
+    out.toSeq.sorted
+  }
+
+  /** Run (or resume) the crawl for `maxWaves` waves.
+    *
+    * @param seeds       wave-0 frontier: (url STRING, seed_idx BIGINT)
+    * @param discover    link-discovery function: scheduled wave → candidate
+    *                    next-wave frontier (url, seed_idx). In production this
+    *                    is parse-extracted hrefs from fetched pages; tests
+    *                    inject a deterministic synthetic link function.
+    * @param gapSeconds  politeness budget (reference: 3 s sleep)
+    */
+  def run(
+      spark: SparkSession,
+      root: String,
+      seeds: DataFrame,
+      discover: DataFrame => DataFrame,
+      maxWaves: Int,
+      gapSeconds: Long = 3L,
+      robots: Robots.Rules = Robots.AllowAll): Seq[WaveResult] = {
+
+    Files.createDirectories(Paths.get(root))
+    val already = committedWaves(root)
+    val startWave = if (already.isEmpty) 0 else already.max + 1
+    val results = scala.collection.mutable.ArrayBuffer.empty[WaveResult]
+
+    var wave = startWave
+    var frontier: DataFrame =
+      if (startWave == 0) seeds
+      else spark.read.parquet(s"$root/next/wave=${startWave - 1}")
+
+    while (wave < maxWaves && !frontier.isEmpty) {
+      // seen-filter BEFORE the dedup shuffle: filterUnseen's bloom split
+      // re-evaluates its input twice, so its input must stay scan-cheap;
+      // the two stages commute (seen-status is constant per url_hash group)
+      val keyed = Seen.withUrlKeys(frontier)
+      val gated = Robots.filterAllowed(keyed, robots)
+      val seen = readSeen(spark, root)
+      val unseen = Seen.filterUnseen(gated, seen)
+      val inWave = Seen.dropInWaveDuplicates(unseen)
+      val scheduled = Scheduler.schedule(
+        inWave.select("url", "canonical_url", "url_hash", "host", "host_rev", "seed_idx"),
+        gapSeconds)
+
+      // wave data writes (overwrite → idempotent re-run of an uncommitted wave)
+      scheduled
+        .select("slot", "host_rev", "canonical_url", "url", "url_hash", "seed_idx", "host_pos")
+        .write.mode(SaveMode.Overwrite).parquet(s"$root/schedule/wave=$wave")
+      scheduled.select("url_hash", "canonical_url")
+        .write.mode(SaveMode.Overwrite).parquet(s"$root/seen/wave=$wave")
+
+      val next = discover(spark.read.parquet(s"$root/schedule/wave=$wave"))
+      next.write.mode(SaveMode.Overwrite).parquet(s"$root/next/wave=$wave")
+
+      // metrics + per-partition lineage from the COMMITTED files
+      val sched = spark.read.parquet(s"$root/schedule/wave=$wave")
+      val nScheduled = sched.count()
+      val byPartition = sched.groupBy(spark_partition_id().as("partition_id"))
+        .agg(count(lit(1)).as("rows"), countDistinct(col("host_rev")).as("hosts"))
+        .orderBy(col("partition_id"))
+        .collect()
+        .map(r => s"""{"partition":${r.getInt(0)},"rows":${r.getLong(1)},"hosts":${r.getLong(2)}}""")
+        .mkString("[", ",", "]")
+      val manifest =
+        s"""{"wave":$wave,"scheduled":$nScheduled,"gap_seconds":$gapSeconds,
+           |"lineage":$byPartition}""".stripMargin.replace("\n", "")
+      Files.writeString(manifestPath(root, wave), manifest)
+
+      results += WaveResult(wave, nScheduled, nScheduled)
+      frontier = spark.read.parquet(s"$root/next/wave=$wave")
+      wave += 1
+    }
+    results.toSeq
+  }
+
+  /** Union of all committed seen-ledger deltas (empty frame if none). */
+  def readSeen(spark: SparkSession, root: String): DataFrame = {
+    val waves = committedWaves(root)
+    val paths = waves.map(w => s"$root/seen/wave=$w")
+      .filter(p => Files.exists(Paths.get(p)))
+    if (paths.isEmpty) {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("url_hash", LongType), StructField("canonical_url", StringType))))
+    } else spark.read.parquet(paths: _*)
+  }
+
+  /** Crawl order across all committed waves — the fixture the north rule
+    * checks against the reference's sequential order.
+    */
+  def crawlOrder(spark: SparkSession, root: String): DataFrame = {
+    val waves = committedWaves(root)
+    val frames = waves.map(w =>
+      spark.read.parquet(s"$root/schedule/wave=$w").withColumn("wave", lit(w)))
+    if (frames.isEmpty) return spark.emptyDataFrame
+    frames.reduce(_.unionByName(_))
+      .orderBy(col("wave"), col("slot"), col("host_rev"), col("seed_idx"))
+  }
+}

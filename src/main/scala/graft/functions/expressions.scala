@@ -1,0 +1,354 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.sketch.BloomFilter
+
+import graft.embed.HashEmbed
+import graft.text.{Chunker, HtmlText, TextStats}
+import graft.url.UrlKit
+
+/** Static eval helpers referenced BY GENERATED CODE (whole-stage codegen
+  * emits `graft.functions.Impl.xxx(...)` calls), so every custom expression
+  * stays inside the codegen'd stage instead of forcing an interpreted
+  * fallback — the "native Catalyst Expression beats UDF" rule from the north
+  * design. Methods take/return Catalyst internal types (UTF8String,
+  * ArrayData) to avoid per-row codec churn.
+  */
+object Impl {
+  def canonicalizeUrl(u: UTF8String): UTF8String =
+    UTF8String.fromString(UrlKit.canonicalize(u.toString))
+
+  def hostOf(u: UTF8String): UTF8String =
+    UTF8String.fromString(UrlKit.host(u.toString))
+
+  def hostReverse(u: UTF8String): UTF8String =
+    UTF8String.fromString(UrlKit.hostReverse(u.toString))
+
+  def extractText(html: UTF8String): UTF8String =
+    UTF8String.fromString(HtmlText.extract(html.toString))
+
+  def extractReadable(html: UTF8String): UTF8String =
+    UTF8String.fromString(HtmlText.extractReadable(html.toString))
+
+  def chunkText(text: UTF8String, maxWords: Int, overlap: Int): ArrayData = {
+    val chunks = Chunker.chunk(text.toString, Chunker.Config(maxWords, overlap))
+    new GenericArrayData(chunks.map(UTF8String.fromString).toArray[Any])
+  }
+
+  def hashEmbed(text: UTF8String, dim: Int): ArrayData =
+    ArrayData.toArrayData(HashEmbed.embed(text.toString, dim))
+
+  def simHash64(text: UTF8String): Long = TextStats.simHash64(text.toString)
+
+  def langId(text: UTF8String): UTF8String =
+    UTF8String.fromString(TextStats.langId(text.toString))
+
+  def tokenCountBpe(text: UTF8String): Int = TextStats.tokenCountBpe(text.toString)
+
+  def fingerprints(text: UTF8String, k: Int, w: Int): ArrayData =
+    ArrayData.toArrayData(TextStats.fingerprints(text.toString, k, w).toArray)
+}
+
+/** RFC 3986 canonicalization (SURVEY.md §2.3). String → String, null-safe,
+  * codegen'd via static call.
+  */
+case class CanonicalizeUrl(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any = Impl.canonicalizeUrl(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Impl.canonicalizeUrl($c)")
+  override protected def withNewChildInternal(c: Expression): CanonicalizeUrl = copy(c)
+  override def prettyName: String = "canonicalize_url"
+}
+
+/** Host of a URL ("" if unparseable). */
+case class HostOf(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any = Impl.hostOf(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Impl.hostOf($c)")
+  override protected def withNewChildInternal(c: Expression): HostOf = copy(c)
+  override def prettyName: String = "host_of"
+}
+
+/** SURT-style host reversal (input = a host, not a URL). */
+case class HostReverse(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any = Impl.hostReverse(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Impl.hostReverse($c)")
+  override protected def withNewChildInternal(c: Expression): HostReverse = copy(c)
+  override def prettyName: String = "host_reverse"
+}
+
+/** clean_html + extract_readable_text in one pass (reference `:72-92`). */
+case class ExtractText(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any = Impl.extractText(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Impl.extractText($c)")
+  override protected def withNewChildInternal(c: Expression): ExtractText = copy(c)
+  override def prettyName: String = "extract_text"
+}
+
+/** Full text invariant: extract + preprocess (reference `:72-99`). */
+case class ExtractReadable(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any = Impl.extractReadable(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Impl.extractReadable($c)")
+  override protected def withNewChildInternal(c: Expression): ExtractReadable = copy(c)
+  override def prettyName: String = "extract_readable"
+}
+
+/** Hybrid chunker as a scalar expression: String → ARRAY<STRING>. */
+case class ChunkText(child: Expression, maxWords: Int, overlapWords: Int)
+    extends UnaryExpression {
+  def this(child: Expression) = this(child, Chunker.MaxWords, Chunker.OverlapWords)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    Impl.chunkText(v.asInstanceOf[UTF8String], maxWords, overlapWords)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Impl.chunkText($c, $maxWords, $overlapWords)")
+  override protected def withNewChildInternal(c: Expression): ChunkText =
+    copy(child = c)
+  override def prettyName: String = "chunk_text"
+}
+
+/** Hashed-token-frequency embedding: String → ARRAY<FLOAT> (dim entries). */
+case class HashEmbedExpr(child: Expression, dim: Int)
+    extends UnaryExpression {
+  def this(child: Expression) = this(child, HashEmbed.Dim)
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any = Impl.hashEmbed(v.asInstanceOf[UTF8String], dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Impl.hashEmbed($c, $dim)")
+  override protected def withNewChildInternal(c: Expression): HashEmbedExpr =
+    copy(child = c)
+  override def prettyName: String = "hash_embed"
+}
+
+/** SimHash: String → 64-bit signature. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any = Impl.simHash64(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Impl.simHash64($c)")
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
+  override def prettyName: String = "simhash64"
+}
+
+/** MinHash signature: String → ARRAY<BIGINT> (numHashes entries). */
+case class MinHashSig(child: Expression, shingleK: Int, numHashes: Int)
+    extends UnaryExpression {
+  @transient private lazy val coeffs = TextStats.minHashCoeffs(numHashes)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    ArrayData.toArrayData(
+      TextStats.minHashSignature(v.asInstanceOf[UTF8String].toString, shingleK, coeffs))
+  override protected def withNewChildInternal(c: Expression): MinHashSig =
+    copy(child = c)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+         |  graft.functions.MinHashSigEval.eval($c, $shingleK, $numHashes));""".stripMargin)
+  override def prettyName: String = "minhash_sig"
+}
+
+/** Codegen entry for MinHashSig (coeff table cached per (numHashes)). */
+object MinHashSigEval {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[Int, Array[(Long, Long)]]()
+  def eval(text: UTF8String, k: Int, n: Int): Array[Long] = {
+    val coeffs = cache.computeIfAbsent(n, nn => TextStats.minHashCoeffs(nn))
+    TextStats.minHashSignature(text.toString, k, coeffs)
+  }
+}
+
+/** Language-ID heuristic: String → lang code. */
+case class LangIdExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any = Impl.langId(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Impl.langId($c)")
+  override protected def withNewChildInternal(c: Expression): LangIdExpr = copy(c)
+  override def prettyName: String = "lang_id"
+}
+
+/** BPE-ish token count: String → Int. */
+case class TokenCountBpe(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any = Impl.tokenCountBpe(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Impl.tokenCountBpe($c)")
+  override protected def withNewChildInternal(c: Expression): TokenCountBpe = copy(c)
+  override def prettyName: String = "token_count_bpe"
+}
+
+/** Winnowing fingerprints: String → ARRAY<BIGINT>. */
+case class Fingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any = Impl.fingerprints(v.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Impl.fingerprints($c, $k, $w)")
+  override protected def withNewChildInternal(c: Expression): Fingerprints =
+    copy(child = c)
+  override def prettyName: String = "fingerprints"
+}
+
+/** Bloom membership probe: (serialized bloom BINARY, key BIGINT) → BOOLEAN.
+  * The bloom side is expected to be a Literal (a broadcast-materialized
+  * sketch); it is deserialized once per task and cached by reference.
+  */
+case class BloomMightContain(bloomBytes: Expression, key: Expression)
+    extends BinaryExpression {
+  override def left: Expression = bloomBytes
+  override def right: Expression = key
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+
+  @transient private var cachedBytes: Array[Byte] = _
+  @transient private var cachedBloom: BloomFilter = _
+
+  private def bloomOf(bytes: Array[Byte]): BloomFilter = {
+    if (cachedBloom == null || (cachedBytes ne bytes)) {
+      cachedBloom = BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+      cachedBytes = bytes
+    }
+    cachedBloom
+  }
+
+  override def nullSafeEval(bloom: Any, k: Any): Any =
+    bloomOf(bloom.asInstanceOf[Array[Byte]]).mightContainLong(k.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, k) => s"graft.functions.BloomProbe.mightContain($b, $k)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BloomMightContain =
+    copy(bloomBytes = l, key = r)
+  override def prettyName: String = "bloom_might_contain"
+}
+
+/** Static probe entry for [[BloomMightContain]] codegen: deserializes the
+  * sketch once per distinct byte-array reference per thread (the bloom side
+  * is a Literal — one array instance per task), swallows the checked
+  * IOException that `BloomFilter.readFrom` declares (it cannot actually fire
+  * from a ByteArrayInputStream) so generated code needs no try/catch.
+  */
+object BloomProbe {
+  private val last = new ThreadLocal[(Array[Byte], BloomFilter)]
+  def mightContain(bytes: Array[Byte], key: Long): Boolean = {
+    var e = last.get()
+    if (e == null || (e._1 ne bytes)) {
+      val bf = BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+      e = (bytes, bf)
+      last.set(e)
+    }
+    e._2.mightContainLong(key)
+  }
+}
+
+/** Bloom-filter build aggregate over BIGINT keys → serialized bloom BINARY.
+  * TypedImperativeAggregate with map-side partial aggregation: each task
+  * builds a local bloom, partials merge by OR — the classic scalable sketch
+  * pattern (no row ever crosses the wire, only fixed-size bitsets).
+  */
+case class BloomAgg(
+    child: Expression,
+    expectedItems: Long,
+    fpp: Double,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[BloomFilter] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): BloomFilter =
+    BloomFilter.create(expectedItems, fpp)
+
+  override def update(buf: BloomFilter, input: InternalRow): BloomFilter = {
+    val v = child.eval(input)
+    if (v != null) buf.putLong(v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: BloomFilter, other: BloomFilter): BloomFilter =
+    buf.mergeInPlace(other)
+
+  override def eval(buf: BloomFilter): Any = serialize(buf)
+
+  override def serialize(buf: BloomFilter): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    buf.writeTo(out)
+    out.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): BloomFilter =
+    BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BloomAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BloomAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): BloomAgg =
+    copy(child = cs.head)
+  override def prettyName: String = "bloom_agg"
+}
+
+/** Lateral-view form of the chunker: one output row per chunk with its
+  * position — `SELECT url, c.chunk_id, c.chunk FROM pages LATERAL VIEW
+  * chunk_explode(text) c`. Equivalent to posexplode(chunk_text(x)) but emits
+  * rows directly without materializing the array.
+  */
+case class ChunkGenerator(child: Expression, maxWords: Int, overlapWords: Int)
+    extends UnaryExpression with Generator with CodegenFallback {
+  def this(child: Expression) = this(child, Chunker.MaxWords, Chunker.OverlapWords)
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("chunk_id", IntegerType, nullable = false),
+    StructField("chunk", StringType, nullable = false)))
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) Nil
+    else {
+      val chunks = Chunker.chunk(v.asInstanceOf[UTF8String].toString,
+        Chunker.Config(maxWords, overlapWords))
+      chunks.iterator.zipWithIndex.map { case (c, i) =>
+        InternalRow(i, UTF8String.fromString(c))
+      }.toSeq
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): ChunkGenerator =
+    copy(child = c)
+  override def prettyName: String = "chunk_explode"
+}

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Column-level API over the custom Catalyst expressions — the rebuild's
+  * equivalent of `org.apache.spark.sql.functions._` for the operators the
+  * reference has and Spark lacks. Everything here is a proper `Expression`
+  * (codegen'd, null-propagating, Catalyst-optimizable), NOT a `udf()`.
+  */
+package object functions {
+
+  private def expr(c: Column): Expression = Bridge.expression(c)
+  private def col(e: Expression): Column = Bridge.column(e)
+
+  /** RFC 3986 canonical form of a URL (SURVEY.md §2.3). */
+  def canonicalize_url(c: Column): Column = col(CanonicalizeUrl(expr(c)))
+
+  /** Host component of a URL ("" if unparseable). */
+  def host_of(c: Column): Column = col(HostOf(expr(c)))
+
+  /** SURT-style host reversal: www.example.org → org.example.www. */
+  def host_reverse(c: Column): Column = col(HostReverse(expr(c)))
+
+  /** clean_html + extract_readable_text (reference `:72-92`). */
+  def extract_text(c: Column): Column = col(ExtractText(expr(c)))
+
+  /** extract + preprocess — the per-row text invariant (input_hint). */
+  def extract_readable(c: Column): Column = col(ExtractReadable(expr(c)))
+
+  /** `preprocess_text` (reference `:95-99`) as pure built-ins — collapse
+    * runs of spaces/tabs, collapse blank lines, Python-strip. Stays entirely
+    * inside whole-stage codegen (three codegen'd regexp_replace calls) and is
+    * DuckDB-oracle-expressible, unlike an opaque UDF.
+    */
+  def preprocess_text(c: Column): Column = {
+    import org.apache.spark.sql.functions.regexp_replace
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, "[ \t]+", " "),
+        "\n{2,}", "\n"),
+      "^\\s+|\\s+$", "")
+  }
+
+  /** Hybrid chunker → ARRAY<STRING> (reference `:126-166`). */
+  def chunk_text(c: Column,
+      maxWords: Int = text.Chunker.MaxWords,
+      overlap: Int = text.Chunker.OverlapWords): Column =
+    col(ChunkText(expr(c), maxWords, overlap))
+
+  /** Lateral-view chunker: (chunk_id INT, chunk STRING) rows. */
+  def chunk_explode(c: Column,
+      maxWords: Int = text.Chunker.MaxWords,
+      overlap: Int = text.Chunker.OverlapWords): Column =
+    col(ChunkGenerator(expr(c), maxWords, overlap))
+
+  /** Hashed-token-frequency embedding → ARRAY<FLOAT>[dim]. */
+  def hash_embed(c: Column, dim: Int = embed.HashEmbed.Dim): Column =
+    col(HashEmbedExpr(expr(c), dim))
+
+  /** SimHash 64-bit signature. */
+  def simhash64(c: Column): Column = col(SimHash64(expr(c)))
+
+  /** MinHash signature → ARRAY<BIGINT>[numHashes] over k-word shingles. */
+  def minhash_sig(c: Column, shingleK: Int, numHashes: Int): Column =
+    col(MinHashSig(expr(c), shingleK, numHashes))
+
+  /** Language-ID heuristic (marker-stopword argmax). */
+  def lang_id(c: Column): Column = col(LangIdExpr(expr(c)))
+
+  /** BPE-ish token count (letters-run | digits-run | other-char). */
+  def token_count_bpe(c: Column): Column = col(TokenCountBpe(expr(c)))
+
+  /** Winnowing fingerprints → ARRAY<BIGINT>. */
+  def fingerprints(c: Column, k: Int = 5, w: Int = 4): Column =
+    col(Fingerprints(expr(c), k, w))
+
+  /** Bloom membership probe (bloom BINARY literal/column, key BIGINT). */
+  def bloom_might_contain(bloom: Column, key: Column): Column =
+    col(BloomMightContain(expr(bloom), expr(key)))
+
+  /** Bloom build aggregate: BIGINT keys → serialized bloom BINARY. */
+  def bloom_agg(keys: Column, expectedItems: Long, fpp: Double = 1e-3): Column =
+    col(BloomAgg(expr(keys), expectedItems, fpp).toAggregateExpression())
+
+  /** Register all functions for SQL use (`SELECT canonicalize_url(url) …`). */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("canonicalize_url", es => CanonicalizeUrl(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("host_of", es => HostOf(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("host_reverse", es => HostReverse(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("extract_text", es => ExtractText(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("extract_readable", es => ExtractReadable(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("chunk_text", es => new ChunkText(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("chunk_explode", es => new ChunkGenerator(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("hash_embed", es => new HashEmbedExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("lang_id", es => LangIdExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("token_count_bpe", es => TokenCountBpe(es.head), "scala_udf")
+  }
+}

@@ -1,0 +1,199 @@
+package graft.text
+
+import graft.core.Py
+
+/** Single-pass HTML → readable-text extraction.
+  *
+  * Reproduces the observable composition of the reference's `clean_html` +
+  * `extract_readable_text` (`/root/reference/web_scraper_pipeline.py:72-92`):
+  *
+  *  1. every `script/style/noscript/header/footer/nav/aside` subtree is
+  *     removed (`:76` decompose);
+  *  2. elements matching the whitelist `h1..h6, p, li` are visited in
+  *     document order — INCLUDING nested matches: bs4 `find_all` returns an
+  *     `li` nested inside another `li`'s subtree as its own hit, so its text
+  *     appears twice in the output (`:88`, quirk pinned in SURVEY.md §2.1-R5);
+  *  3. per element, `get_text(strip=True, separator=" ")`: every descendant
+  *     text node is Python-stripped, empties dropped, survivors joined with a
+  *     single space (`:89`);
+  *  4. empty results dropped, elements joined with "\n" (`:90-92`).
+  *
+  * The reference parses with lxml TWICE (clean re-serializes `str(soup)` then
+  * extract re-parses). Since `str(soup)` of an lxml tree re-parses to the same
+  * tree, a single pass is output-equivalent (SURVEY.md §4.1); the rebuild does
+  * clean+extract in one scan with no DOM materialization at all — O(n) time,
+  * O(depth) extra space per row, which is what lets this run inside
+  * whole-stage codegen over 100 TB of html bytes.
+  *
+  * Scope: the well-formed HTML subset produced by [[graft.fixtures.PageGen]]
+  * (FIXTURES.md §2). bs4+lxml error recovery on arbitrary broken HTML is
+  * deliberately out of scope (SURVEY.md §7.3).
+  */
+object HtmlText {
+
+  private val StripTags: Set[String] =
+    Set("script", "style", "noscript", "header", "footer", "nav", "aside")
+
+  private val Whitelist: Set[String] =
+    Set("h1", "h2", "h3", "h4", "h5", "h6", "p", "li")
+
+  /** Tags that never take content (void elements) in our subset. */
+  private val VoidTags: Set[String] =
+    Set("br", "hr", "img", "meta", "link", "input", "area", "base", "col",
+      "embed", "source", "track", "wbr")
+
+  private def decodeEntities(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        val semi = s.indexOf(';', i)
+        if (semi > i && semi - i <= 8) {
+          s.substring(i + 1, semi) match {
+            case "amp" => sb.append('&'); i = semi + 1
+            case "lt" => sb.append('<'); i = semi + 1
+            case "gt" => sb.append('>'); i = semi + 1
+            case "quot" => sb.append('"'); i = semi + 1
+            case "apos" => sb.append('\''); i = semi + 1
+            case "nbsp" => sb.append(' '); i = semi + 1
+            case ent if ent.startsWith("#") =>
+              val code =
+                try {
+                  if (ent.length > 1 && (ent.charAt(1) == 'x' || ent.charAt(1) == 'X'))
+                    Integer.parseInt(ent.substring(2), 16)
+                  else Integer.parseInt(ent.substring(1))
+                } catch { case _: NumberFormatException => -1 }
+              if (code >= 0) { sb.appendCodePoint(code); i = semi + 1 }
+              else { sb.append(c); i += 1 }
+            case _ => sb.append(c); i += 1
+          }
+        } else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** One whitelisted element mid-collection. */
+  private final class Collector(val order: Int) {
+    val parts = new java.lang.StringBuilder(64)
+    def add(stripped: String): Unit = {
+      if (parts.length() > 0) parts.append(' ')
+      parts.append(stripped)
+    }
+  }
+
+  /** Extract readable text (strip-tags removed, whitelist collected). */
+  def extract(html: String): String = {
+    if (html == null) return null
+    val n = html.length
+    var i = 0
+    var stripDepth = 0 // >0 → inside a removed subtree
+    var order = 0
+    // stack of (tagName, collectorOrNull) for open elements we care about
+    val tagStack = new scala.collection.mutable.ArrayBuffer[String](16)
+    val openCollectors = new scala.collection.mutable.ArrayBuffer[Collector](8)
+    val collectorDepth = new scala.collection.mutable.ArrayBuffer[Int](8) // tagStack size at open
+    val done = new scala.collection.mutable.ArrayBuffer[(Int, String)](32)
+
+    def emitText(raw: String): Unit = {
+      if (stripDepth > 0 || openCollectors.isEmpty) return
+      val stripped = Py.strip(decodeEntities(raw))
+      if (stripped.nonEmpty) {
+        var k = 0
+        while (k < openCollectors.length) { openCollectors(k).add(stripped); k += 1 }
+      }
+    }
+
+    def closeTag(name: String): Unit = {
+      // pop until matching open tag (tolerates our well-formed subset)
+      var idx = tagStack.lastIndexOf(name)
+      if (idx < 0) return
+      while (tagStack.length > idx) {
+        tagStack.remove(tagStack.length - 1)
+        if (collectorDepth.nonEmpty && collectorDepth.last == tagStack.length) {
+          collectorDepth.remove(collectorDepth.length - 1)
+          val c = openCollectors.remove(openCollectors.length - 1)
+          val text = c.parts.toString
+          if (text.nonEmpty) done += ((c.order, text))
+        }
+      }
+    }
+
+    while (i < n) {
+      val lt = html.indexOf('<', i)
+      if (lt < 0) { emitText(html.substring(i)); i = n }
+      else {
+        if (lt > i) emitText(html.substring(i, lt))
+        if (lt + 1 < n && html.charAt(lt + 1) == '!') {
+          // comment or doctype
+          if (html.startsWith("<!--", lt)) {
+            val end = html.indexOf("-->", lt + 4)
+            i = if (end < 0) n else end + 3
+          } else {
+            val end = html.indexOf('>', lt)
+            i = if (end < 0) n else end + 1
+          }
+        } else {
+          val gt = html.indexOf('>', lt)
+          if (gt < 0) { i = n }
+          else {
+            val inner = html.substring(lt + 1, gt)
+            val closing = inner.startsWith("/")
+            val selfClosed = inner.endsWith("/")
+            val body = inner.stripPrefix("/").stripSuffix("/")
+            val sp = body.indexWhere(ch => ch == ' ' || ch == '\t' || ch == '\n' || ch == '\r')
+            val name = (if (sp < 0) body else body.substring(0, sp)).toLowerCase(java.util.Locale.ROOT)
+            if (name.isEmpty) { /* stray '<>' — ignore */ }
+            else if (closing) {
+              if (StripTags.contains(name)) {
+                if (stripDepth > 0) stripDepth -= 1
+              } else if (stripDepth == 0) closeTag(name)
+            } else if (selfClosed || VoidTags.contains(name)) {
+              // <br/> acts as a text-node separator in bs4 (no string content)
+            } else if (StripTags.contains(name)) {
+              stripDepth += 1
+            } else if (stripDepth == 0) {
+              tagStack += name
+              if (Whitelist.contains(name)) {
+                val c = new Collector(order); order += 1
+                openCollectors += c
+                collectorDepth += tagStack.length - 1
+              }
+              // raw-text elements we also skip wholesale when stripping is off
+              // (title etc. are not whitelisted so their text only leaks into
+              // an enclosing whitelisted element — matches bs4)
+            }
+            i = gt + 1
+          }
+        }
+      }
+    }
+    // close any still-open collectors (unclosed trailing elements)
+    while (openCollectors.nonEmpty) {
+      val c = openCollectors.remove(openCollectors.length - 1)
+      val text = c.parts.toString
+      if (text.nonEmpty) done += ((c.order, text))
+    }
+    done.sortInPlaceBy(_._1).iterator.map(_._2).mkString("\n")
+  }
+
+  /** `preprocess_text` (`:95-99`): collapse [ \t]+ → " ", \n{2,} → "\n",
+    * then Python-strip. Pure-Scala twin of the column pipeline in
+    * [[graft.functions]] (which uses codegen'd regexp_replace built-ins).
+    */
+  def preprocess(text: String): String = {
+    if (text == null) return null
+    val a = text.replaceAll("[ \t]+", " ")
+    val b = a.replaceAll("\n{2,}", "\n")
+    Py.strip(b)
+  }
+
+  /** Full per-row text pipeline: clean+extract then preprocess. This output
+    * is the per-row invariant column (`BASELINE.json` input_hint:
+    * "byte-identical extracted text per url").
+    */
+  def extractReadable(html: String): String =
+    if (html == null) null else preprocess(extract(html))
+}

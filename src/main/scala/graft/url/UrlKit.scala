@@ -1,0 +1,159 @@
+package graft.url
+
+/** URL canonicalization for the frontier (north rule: "RFC 3986 normalize +
+  * host-reverse + murmur3 hash").
+  *
+  * The reference crawler keys its result dict by the *raw* URL string
+  * (`/root/reference/web_scraper_pipeline.py:205`) — i.e. its seen-set is
+  * string identity. At 10^10-frontier scale string identity over-fetches
+  * (HTTP://X/ vs http://x/), so the rebuild canonicalizes first and defines
+  * seen-membership over the canonical form (divergence recorded in
+  * SURVEY.md §7.3; on seed lists that are already canonical the two agree).
+  *
+  * Normalization implemented (RFC 3986 §6.2.2-6.2.3, syntax-based only):
+  *  - scheme + host lowercased
+  *  - default port stripped (:80 http, :443 https)
+  *  - dot-segments resolved in the path (§5.2.4)
+  *  - percent-encodings of unreserved chars decoded; remaining %XX uppercased
+  *  - empty path → "/"
+  *  - fragment dropped
+  *  - query preserved byte-for-byte (order significant)
+  *
+  * Pure Scala, no java.net.URL (whose equals/normalize semantics differ and
+  * which can touch DNS). Total function: malformed input is returned
+  * lowercase-trimmed rather than throwing (a 10^10-row job cannot abort on one
+  * bad row; reference aborts — divergence in SURVEY.md §7.3).
+  */
+object UrlKit {
+
+  private def isUnreserved(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || c == '-' || c == '.' || c == '_' || c == '~'
+
+  private def hexVal(c: Char): Int =
+    if (c >= '0' && c <= '9') c - '0'
+    else if (c >= 'a' && c <= 'f') c - 'a' + 10
+    else if (c >= 'A' && c <= 'F') c - 'A' + 10
+    else -1
+
+  /** Decode %XX of unreserved chars, uppercase the rest. Other chars pass. */
+  private[url] def normPercent(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length && hexVal(s.charAt(i + 1)) >= 0 && hexVal(s.charAt(i + 2)) >= 0) {
+        val v = (hexVal(s.charAt(i + 1)) << 4) | hexVal(s.charAt(i + 2))
+        val ch = v.toChar
+        if (v < 0x80 && isUnreserved(ch)) sb.append(ch)
+        else {
+          sb.append('%')
+          sb.append(Character.toUpperCase(s.charAt(i + 1)))
+          sb.append(Character.toUpperCase(s.charAt(i + 2)))
+        }
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** RFC 3986 §5.2.4 remove_dot_segments. */
+  private[url] def removeDotSegments(path: String): String = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var in = path
+    while (in.nonEmpty) {
+      if (in.startsWith("../")) in = in.substring(3)
+      else if (in.startsWith("./")) in = in.substring(2)
+      else if (in.startsWith("/./")) in = "/" + in.substring(3)
+      else if (in == "/.") in = "/"
+      else if (in.startsWith("/../")) { in = "/" + in.substring(4); if (out.nonEmpty) out.remove(out.length - 1) }
+      else if (in == "/..") { in = "/"; if (out.nonEmpty) out.remove(out.length - 1) }
+      else if (in == "." || in == "..") in = ""
+      else {
+        val start = if (in.startsWith("/")) 1 else 0
+        val next = in.indexOf('/', start)
+        val (seg, rest) = if (next < 0) (in, "") else (in.substring(0, next), in.substring(next))
+        out += seg
+        in = rest
+      }
+    }
+    out.mkString
+  }
+
+  final case class Parts(scheme: String, host: String, port: Int, path: String, query: String)
+
+  /** Split an absolute http(s) URL; returns null for non-http(s)/malformed. */
+  private[url] def parse(raw: String): Parts = {
+    val s = raw.trim
+    val schemeEnd = s.indexOf("://")
+    if (schemeEnd <= 0) return null
+    val scheme = s.substring(0, schemeEnd).toLowerCase(java.util.Locale.ROOT)
+    if (scheme != "http" && scheme != "https") return null
+    var rest = s.substring(schemeEnd + 3)
+    val frag = rest.indexOf('#')
+    if (frag >= 0) rest = rest.substring(0, frag)
+    val pathStart = {
+      val slash = rest.indexOf('/')
+      val q = rest.indexOf('?')
+      if (slash < 0 && q < 0) rest.length
+      else if (slash < 0) q
+      else if (q >= 0 && q < slash) q
+      else slash
+    }
+    val authority = rest.substring(0, pathStart)
+    if (authority.isEmpty) return null
+    val pathAndQuery = rest.substring(pathStart)
+    val (rawPath, query) = {
+      val q = pathAndQuery.indexOf('?')
+      if (q < 0) (pathAndQuery, "") else (pathAndQuery.substring(0, q), pathAndQuery.substring(q + 1))
+    }
+    // userinfo (rare in crawl seeds) is dropped
+    val hostPort = {
+      val at = authority.lastIndexOf('@')
+      if (at >= 0) authority.substring(at + 1) else authority
+    }
+    val colon = hostPort.lastIndexOf(':')
+    val (host, port) =
+      if (colon >= 0 && hostPort.drop(colon + 1).forall(_.isDigit) && colon + 1 < hostPort.length)
+        (hostPort.substring(0, colon), hostPort.substring(colon + 1).toInt)
+      else (hostPort, -1)
+    if (host.isEmpty) return null
+    Parts(scheme, host.toLowerCase(java.util.Locale.ROOT), port, rawPath, query)
+  }
+
+  /** Canonical form; total (malformed → lowercased trim). Idempotent. */
+  def canonicalize(raw: String): String = {
+    if (raw == null) return null
+    val p = parse(raw)
+    if (p == null) return raw.trim.toLowerCase(java.util.Locale.ROOT)
+    val defaultPort = (p.scheme == "http" && p.port == 80) || (p.scheme == "https" && p.port == 443)
+    val portStr = if (p.port < 0 || defaultPort) "" else ":" + p.port
+    val path0 = normPercent(removeDotSegments(p.path))
+    val path = if (path0.isEmpty) "/" else path0
+    val query = if (p.query.isEmpty) "" else "?" + normPercent(p.query)
+    p.scheme + "://" + p.host + portStr + path + query
+  }
+
+  /** Host of a canonical-or-raw URL ("" if unparseable). */
+  def host(url: String): String = {
+    if (url == null) return null
+    val p = parse(url)
+    if (p == null) "" else p.host
+  }
+
+  /** SURT-style host reversal: www.example.org → org.example.www.
+    * Groups sibling hosts of a domain into adjacent sort ranges — the layout
+    * trick Common Crawl uses so per-domain scans are range scans.
+    */
+  def hostReverse(host: String): String = {
+    if (host == null) return null
+    if (host.isEmpty) return ""
+    val parts = host.split('.')
+    val sb = new java.lang.StringBuilder(host.length)
+    var i = parts.length - 1
+    while (i >= 0) { sb.append(parts(i)); if (i > 0) sb.append('.'); i -= 1 }
+    sb.toString
+  }
+
+  def hostReverseOfUrl(url: String): String = hostReverse(host(url))
+}

@@ -1,0 +1,127 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.ann.Ann
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def corpus = {
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta",
+      "theta", "iota", "kappa", "mu", "nu", "xi", "pi", "rho", "sigma")
+    val base = (0 until 60).map { i =>
+      (i.toLong, (0 until 40).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    // planted near-dups: id+1000 = id's text + small tail
+    val near = base.filter(_._1 % 4 == 0).map { case (id, t) => (id + 1000, t + " tail x") }
+    // planted exact dups: id+2000 = verbatim copy
+    val exact = base.filter(_._1 % 6 == 0).map { case (id, t) => (id + 2000, t) }
+    (base ++ near ++ exact).toDF("id", "text")
+  }
+
+  test("exact dedup finds verbatim copies, keeps min id") {
+    val groups = Dedup.exactDuplicates(corpus, "id", "text").collect()
+    val keepIds = groups.map(_.getAs[Long]("keep_id")).toSet
+    assert(keepIds == (0 until 60 by 6).map(_.toLong).toSet)
+    assert(groups.forall(_.getAs[Long]("n_dups") == 2))
+  }
+
+  test("minhash LSH candidates include all planted near-dups") {
+    val pairs = Dedup.minHashNearDups(corpus, "id", "text",
+      shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    for (id <- 0 until 60 by 4)
+      assert(pairs.contains((id.toLong, id + 1000L)), s"missed near-dup $id")
+  }
+
+  test("verifyJaccard agrees with TextStats.jaccard") {
+    val cands = Dedup.minHashCandidates(corpus, "id", "text", 3, 8, 4)
+    val verified = Dedup.verifyJaccard(cands, corpus, "id", "text", 3)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+    val texts = corpus.as[(Long, String)].collect().toMap
+    for ((a, b, j) <- verified)
+      assert(j == graft.text.TextStats.jaccard(texts(a), texts(b), 3))
+  }
+
+  test("simhash finds near-dups within hamming budget") {
+    val pairs = Dedup.simHashNearDups(corpus, "id", "text", maxDist = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // exact copies have hamming 0 → must all be found
+    for (id <- 0 until 60 by 6)
+      assert(pairs.contains((id.toLong, id + 2000L)), s"missed exact pair $id")
+  }
+
+  test("fingerprint overlap finds exact copies") {
+    val pairs = Dedup.fingerprintOverlap(corpus, "id", "text", minShared = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    for (id <- 0 until 60 by 6)
+      assert(pairs.contains((id.toLong, id + 2000L)), s"missed $id")
+  }
+
+  test("cosine near-dups: perturbed copy is closest") {
+    val vecs = (0 until 30).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i.toLong, Array.fill(16)(rnd.nextFloat() - 0.5f).toSeq)
+    }
+    val near = vecs.take(5).map { case (id, v) =>
+      (id + 100, v.updated(0, v(0) + 0.01f)) }
+    val df = (vecs ++ near).toDF("id", "vec")
+    val pairs = Dedup.cosineNearDups(df, "id", "vec", threshold = 0.98)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    for (id <- 0L until 5L) assert(pairs.contains((id, id + 100)))
+  }
+}
+
+class AnnSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def vectors(n: Int, dim: Int) = (0 until n).map { i =>
+    val rnd = new scala.util.Random(1000 + i)
+    (i.toLong, Array.fill(dim)(rnd.nextFloat() * 2 - 1).toSeq)
+  }.toDF("vec_id", "embedding")
+
+  test("brute force: self is rank 1 with cosine 1") {
+    val v = vectors(200, 32)
+    val top = Ann.bruteForceTopK(v, v.where(col("vec_id") < 5),
+      "vec_id", "vec_id", "embedding", k = 3).collect()
+    for (r <- top.filter(_.getAs[Int]("rank") == 1)) {
+      assert(r.getAs[Long]("nn_id") == r.getAs[Long]("q_id"))
+      assert(math.abs(r.getAs[Double]("cosine") - 1.0) < 1e-9)
+    }
+  }
+
+  test("LSH topk achieves reasonable recall vs brute force") {
+    val v = vectors(400, 32)
+    val q = v.where(col("vec_id") < 20)
+    val bf = Ann.bruteForceTopK(v, q, "vec_id", "vec_id", "embedding", k = 5)
+      .select("q_id", "nn_id").as[(Long, Long)].collect().toSet
+    val lsh = Ann.lshTopK(v, q, "vec_id", "vec_id", "embedding", k = 5,
+      bits = 4, tables = 8)
+      .select("q_id", "nn_id").as[(Long, Long)].collect().toSet
+    val recall = bf.intersect(lsh).size.toDouble / bf.size
+    assert(recall >= 0.5, s"recall $recall too low")
+    // every query at least finds itself
+    for (qid <- 0L until 20L) assert(lsh.contains((qid, qid)))
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("binary decode plumbing: header roundtrip through mapPartitions") {
+    import graft.multimodal.Multimodal
+    val feats = Multimodal.imageFeatures(Multimodal.syntheticAssets(spark, 50)).collect()
+    assert(feats.length == 50)
+    for (f <- feats) {
+      assert(f.width == 64 + (f.asset_id % 8).toInt * 32)
+      assert(f.height == 48 + (f.asset_id % 5).toInt * 32)
+      assert(f.channels == 3)
+      assert(f.mean_luma >= 0 && f.mean_luma <= 255)
+    }
+  }
+}

@@ -1,0 +1,171 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.frontier.{Robots, Scheduler, Seen, WaveLoop}
+
+class SchedulerSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def skewedFrontier(n: Int) = {
+    // one mega-host owns 60% of urls — the crawl-skew case
+    (0 until n).map { i =>
+      val host = if (i % 10 < 6) "mega.test" else s"h${i % 10}.test"
+      (s"http://$host/p/$i", graft.url.UrlKit.hostReverse(host), i.toLong)
+    }.toDF("url", "host_rev", "seed_idx")
+  }
+
+  test("salted rank == plain window rank (incl. skewed host)") {
+    val f = skewedFrontier(5000)
+    val plain = Scheduler.perHostRank(f, col("host_rev"), col("seed_idx"))
+      .select("host_rev", "seed_idx", "host_pos")
+    val salted = Scheduler.perHostRankSalted(f, "host_rev", "seed_idx", bucketWidth = 100L)
+      .select("host_rev", "seed_idx", "host_pos")
+    assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
+  }
+
+  test("politeness: per-host slots are gap-separated and ordered by seed_idx") {
+    val sched = Scheduler.schedule(skewedFrontier(500), gapSeconds = 3).collect()
+    val byHost = sched.groupBy(_.getAs[String]("host_rev"))
+    for ((_, rows) <- byHost) {
+      val sorted = rows.sortBy(_.getAs[Long]("host_pos"))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getAs[Long]("slot") == i * 3L)
+      }
+      // within a host, order follows seed_idx
+      assert(sorted.map(_.getAs[Long]("seed_idx")).toSeq ==
+        rows.map(_.getAs[Long]("seed_idx")).sorted.toSeq)
+    }
+  }
+
+  test("degenerate single host reproduces pure seed order (ref :202 bridge)") {
+    val f = (0 until 100).map(i => (s"http://one.test/$i", "test.one", i.toLong))
+      .toDF("url", "host_rev", "seed_idx")
+    val order = Scheduler.schedule(f, gapSeconds = 3)
+      .orderBy("slot", "host_rev", "seed_idx")
+      .select("seed_idx").as[Long].collect().toSeq
+    assert(order == (0L until 100L))
+  }
+
+  test("scheduling is partitioning-invariant (1 vs 8 partitions)") {
+    val f = skewedFrontier(2000)
+    def run(parts: Int) = Scheduler.schedule(f.repartition(parts), gapSeconds = 3)
+      .orderBy("slot", "host_rev", "seed_idx")
+      .select("url").as[String].collect().toSeq
+    assert(run(1) == run(8))
+  }
+}
+
+class SeenSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("filterUnseen is EXACT (bloom is only a pre-filter)") {
+    val cands = (0 until 2000).map(i => (s"http://h${i % 7}.test/$i", i.toLong))
+      .toDF("url", "seed_idx")
+    val keyed = Seen.withUrlKeys(cands)
+    val seen = keyed.where(col("seed_idx") % 3 === 0).select("url_hash", "canonical_url")
+    val got = Seen.filterUnseen(keyed, seen, expectedSeen = 1024)
+      .select("seed_idx").as[Long].collect().toSet
+    val want = (0 until 2000).filter(_ % 3 != 0).map(_.toLong).toSet
+    assert(got == want)
+  }
+
+  test("empty ledger passes everything through") {
+    val cands = Seq(("http://a.test/1", 1L)).toDF("url", "seed_idx")
+    val keyed = Seen.withUrlKeys(cands)
+    val empty = keyed.where(lit(false)).select("url_hash", "canonical_url")
+    assert(Seen.filterUnseen(keyed, empty).count() == 1)
+  }
+
+  test("in-wave duplicate collapse keeps first seed_idx") {
+    val cands = Seq(
+      ("http://a.test/x", 5L), ("http://a.test/x", 2L), ("http://b.test/y", 9L))
+      .toDF("url", "seed_idx")
+    val got = Seen.dropInWaveDuplicates(Seen.withUrlKeys(cands))
+      .select("canonical_url", "seed_idx").as[(String, Long)].collect().toSet
+    assert(got == Set(("http://a.test/x", 2L), ("http://b.test/y", 9L)))
+  }
+
+  test("bloom has no false negatives (probe every inserted key)") {
+    val keys = spark.range(5000).select(xxhash64(col("id").cast("string")).as("url_hash"))
+    val bloom = keys.select(graft.functions.bloom_agg(col("url_hash"), 5000).as("b"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val misses = keys
+      .where(!graft.functions.bloom_might_contain(lit(bloom), col("url_hash")))
+      .count()
+    assert(misses == 0)
+  }
+}
+
+class RobotsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("allow-all is a no-op; deny-prefix filters matching paths") {
+    val f = Seen.withUrlKeys(Seq(
+      ("http://a.test/private/x", 1L), ("http://a.test/public/x", 2L),
+      ("http://b.test/private/x", 3L)).toDF("url", "seed_idx"))
+    assert(Robots.filterAllowed(f, Robots.AllowAll).count() == 3)
+    val rules = Robots.Rules(Map("a.test" -> Seq("/private")))
+    val kept = Robots.filterAllowed(f, rules).select("seed_idx").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L)) // b.test has no rules → allowed
+  }
+}
+
+class WaveLoopSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // synthetic link graph: /p/i discovers /p/(2i) and /p/(2i+1) on a rotated
+  // host, bounded — deterministic multi-wave frontier
+  private def discover(sched: org.apache.spark.sql.DataFrame) = {
+    val children = sched.select(col("seed_idx"))
+      .where(col("seed_idx") < 200)
+      .select(explode(array(col("seed_idx") * 2 + 100, col("seed_idx") * 2 + 101)).as("next_idx"))
+      .select(concat(lit("http://h"), (col("next_idx") % 5).cast("string"),
+        lit(".test/p/"), col("next_idx").cast("string")).as("url"),
+        col("next_idx").cast("long").as("seed_idx"))
+    // every wave also re-discovers seed 0's url — the cross-wave seen-set
+    // must drop it (a frontier without dedup would loop forever on this)
+    val revisit = sched.sparkSession.createDataFrame(
+      Seq(("http://h0.test/p/0", 9999L))).toDF("url", "seed_idx")
+    children.unionByName(revisit)
+  }
+
+  private def seeds = (0 until 20)
+    .map(i => (s"http://h${i % 3}.test/p/$i", i.toLong)).toDF("url", "seed_idx")
+
+  test("multi-wave run: dedup across waves, committed manifests, metrics") {
+    val root = java.nio.file.Files.createTempDirectory("waves").toString
+    val res = WaveLoop.run(spark, root, seeds, discover, maxWaves = 3)
+    assert(res.length == 3)
+    assert(WaveLoop.committedWaves(root) == Seq(0, 1, 2))
+    assert(res(0).scheduled == 20)
+    // cross-wave seen-set: no url scheduled twice
+    val order = WaveLoop.crawlOrder(spark, root)
+    val urls = order.select("canonical_url").as[String].collect()
+    assert(urls.length == urls.distinct.length)
+    // manifest carries lineage
+    val m = java.nio.file.Files.readString(WaveLoop.manifestPath(root, 0))
+    assert(m.contains("\"lineage\"") && m.contains("\"scheduled\":20"))
+  }
+
+  test("resume: crash between data write and manifest → identical final state") {
+    val rootA = java.nio.file.Files.createTempDirectory("wavesA").toString
+    val rootB = java.nio.file.Files.createTempDirectory("wavesB").toString
+    WaveLoop.run(spark, rootA, seeds, discover, maxWaves = 3)
+    // simulate crash: run 2 waves, then delete wave-1 manifest (data remains)
+    WaveLoop.run(spark, rootB, seeds, discover, maxWaves = 2)
+    java.nio.file.Files.delete(WaveLoop.manifestPath(rootB, 1))
+    // resume re-executes wave 1 (overwrite) and continues to wave 2
+    WaveLoop.run(spark, rootB, seeds, discover, maxWaves = 3)
+    assert(WaveLoop.committedWaves(rootB) == Seq(0, 1, 2))
+    val a = WaveLoop.crawlOrder(spark, rootA)
+      .select("wave", "slot", "host_rev", "canonical_url").collect().toSeq
+    val b = WaveLoop.crawlOrder(spark, rootB)
+      .select("wave", "slot", "host_rev", "canonical_url").collect().toSeq
+    assert(a == b)
+  }
+}
