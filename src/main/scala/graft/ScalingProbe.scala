@@ -1,28 +1,28 @@
 package graft
-import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 object ScalingProbe {
-  def t(label: String)(f: => Long): Unit = {
-    val t0 = System.nanoTime(); val n = f
-    println(f"$label%-28s ${(System.nanoTime()-t0)/1e9}%8.2f s  n=$n")
-  }
   def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val dir = "/root/testdata/sf0.1"; val reps = 8
-    for (cpus <- Seq(8, 32)) {
-      val s = BenchQueries.session(cpus.toString)
-      println(s"=== cpus=$cpus ===")
-      val base = BenchQueries.frontierFromLineitem(s, dir, reps)
-      t("warmup full")(Bench.force(BenchQueries.frontierSchedule(s, dir, reps)))
-      t("1 url build+keys")(Bench.force(frontier.Seen.withUrlKeys(base)))
-      val keyed = frontier.Seen.withUrlKeys(base)
-      val seen = keyed.where(pmod(col("url_hash"), lit(2)) === 0).select("url_hash", "canonical_url")
-      t("2 bloom build only")(seen.select(graft.functions.bloom_agg(col("url_hash"), 1 << 22, 1e-3)).collect().length.toLong)
-      val unseen = frontier.Seen.filterUnseen(keyed, seen, expectedSeen = 1 << 22)
-      t("3 +filterUnseen")(Bench.force(unseen))
-      val inWave = frontier.Seen.dropInWaveDuplicates(unseen)
-      t("4 +dedup")(Bench.force(inWave))
-      t("5 full (schedule)")(Bench.force(BenchQueries.frontierSchedule(s, dir, reps)))
-      s.stop()
-    }
+    val s = BenchQueries.session(cpus)
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    s.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+        val i = e.stageInfo
+        val run = i.taskMetrics.executorRunTime / 1000.0
+        val cpu = i.taskMetrics.executorCpuTime / 1e9
+        val wall = (i.completionTime.getOrElse(0L) - i.submissionTime.getOrElse(0L)) / 1000.0
+        stages.add(f"stage ${i.stageId}%3d tasks=${i.numTasks}%3d wall=$wall%7.2f run=$run%8.2f cpu=$cpu%8.2f  ${i.name.takeWhile(_ != '\n').take(60)}")
+      }
+    })
+    val t0 = System.nanoTime()
+    val n = Bench.force(BenchQueries.frontierSchedule(s, dir, reps))
+    val cold = (System.nanoTime()-t0)/1e9
+    stages.add(s"== cold total $cold s n=$n")
+    val t1 = System.nanoTime()
+    Bench.force(BenchQueries.frontierSchedule(s, dir, reps))
+    stages.add(s"== warm total ${(System.nanoTime()-t1)/1e9} s")
+    stages.forEach(x => println(x))
+    s.stop()
   }
 }

@@ -361,6 +361,20 @@ object SparkEntry {
           size(col("embeddings")).cast("long").as("n_embeddings"),
           length(col("full_text")).cast("long").as("n_chars"))
         .orderBy("url")
+    }),
+
+    "q31_pagetable_fetch" -> ((s, dir) => {
+      // source/sink roundtrip through the snapshot-versioned bucketed pages
+      // table: commit → read latest → frontier⋈pages fetch replay
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft_pt").toString
+      val pages = s.createDataset(graft.fixtures.PageGen.pages(150)).toDF()
+      graft.sources.PageTable.commit(s, root, pages)
+      val stored = graft.sources.PageTable.read(s, root)
+      val frontier = pages.select("url").where(length(col("url")) % 3 === 0)
+      graft.sources.PageTable.fetch(frontier, stored, withHtml = false)
+        .select(col("url"), length(col("text")).cast("long").as("n_chars"), col("lang"))
+        .orderBy("url")
     })
   )
 

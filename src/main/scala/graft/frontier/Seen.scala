@@ -1,8 +1,9 @@
 package graft.frontier
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.{bloom_agg, bloom_might_contain, canonicalize_url, host_of, host_reverse}
+import org.apache.spark.sql.graftbridge.Bridge
+import graft.functions.{bloom_agg, bloom_might_contain, canonicalize_url, host_of, host_reverse, BloomBank, BloomBankProbe}
 
 /** URL-seen set: exact membership, bloom-accelerated.
   *
@@ -63,6 +64,40 @@ object Seen {
     // pass a cheap upstream (scan + canonicalize), i.e. run this BEFORE any
     // shuffling stage like dropInWaveDuplicates (the two commute: seen-status
     // is a function of url_hash, constant within a duplicate group).
+    val positives = candidates.where(maybeSeen)
+      .join(seenLedger.select("url_hash"), Seq("url_hash"), "left_anti")
+    val negatives = candidates.where(!maybeSeen)
+    negatives.unionByName(positives)
+  }
+
+  /** Partitioned-bloom variant of [[filterUnseen]] — the 10^10-scale shape
+    * the north rule names ("partitioned bloom seen-set"):
+    *
+    *  - the ledger is bucketed by `pmod(url_hash, buckets)`; one bloom is
+    *    built PER BUCKET, so partial merges fan out across `buckets` reduce
+    *    tasks instead of funneling into one serial reducer;
+    *  - the bank of sketches ships as ONE TorrentBroadcast (bytes move once
+    *    per executor — a plan Literal would re-ship with every stage's task
+    *    binary and destabilize the codegen cache);
+    *  - probes route to their bucket's bloom; negatives skip the anti-join.
+    *
+    * Membership stays exact: positives are verified by the left-anti join.
+    */
+  def filterUnseenBucketed(candidates: DataFrame, seenLedger: DataFrame,
+      buckets: Int = 64, expectedPerBucket: Long = 1 << 16,
+      fpp: Double = 1e-2): DataFrame = {
+    val spark = candidates.sparkSession
+    val bucketOf = (c: Column) => pmod(c, lit(buckets)).cast("int")
+    val bloomRows = seenLedger
+      .groupBy(bucketOf(col("url_hash")).as("bucket"))
+      .agg(bloom_agg(col("url_hash"), math.max(expectedPerBucket, 1024L), fpp).as("bloom"))
+      .collect()
+    if (bloomRows.isEmpty) return candidates
+    val bank = new BloomBank(spark.sparkContext.broadcast(
+      bloomRows.map(r => (r.getAs[Int]("bucket"), r.getAs[Array[Byte]]("bloom")))))
+    val maybeSeen = Bridge.column(BloomBankProbe(bank,
+      Bridge.expression(bucketOf(col("url_hash"))),
+      Bridge.expression(col("url_hash"))))
     val positives = candidates.where(maybeSeen)
       .join(seenLedger.select("url_hash"), Seq("url_hash"), "left_anti")
     val negatives = candidates.where(!maybeSeen)

@@ -274,6 +274,69 @@ object BloomProbe {
   }
 }
 
+/** A bank of per-bucket bloom filters riding one TorrentBroadcast. The task
+  * binary carries only the broadcast HANDLE (bytes move once per executor,
+  * not once per stage as a plan literal would); deserialized sketches are
+  * cached per-JVM keyed by broadcast id.
+  */
+class BloomBank(bc: org.apache.spark.broadcast.Broadcast[Array[(Int, Array[Byte])]])
+    extends Serializable {
+  // Cache key MUST be unique per bank instance, NOT bc.id: broadcast ids
+  // restart from 0 with every SparkContext, so a multi-session JVM (tests,
+  // repeated benchmarks) would silently resolve a NEW bank to a STALE cache
+  // entry — bloom false-negatives for ledger keys, i.e. wrong results.
+  // (Found by row-count drift in ScalingBench; pinned by SeenSpec.)
+  private val bankId: String = java.util.UUID.randomUUID().toString
+
+  def mightContain(bucket: Int, key: Long): Boolean = {
+    val m = BloomBank.cached(bankId, bc)
+    val bloom = m.get(bucket)
+    bloom != null && bloom.mightContainLong(key)
+  }
+}
+object BloomBank {
+  private val MaxEntries = 32 // waves in flight per executor JVM — LRU bound
+  private val cache = new java.util.LinkedHashMap[String, java.util.HashMap[Int, BloomFilter]](
+    16, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[String, java.util.HashMap[Int, BloomFilter]]): Boolean =
+      size() > MaxEntries
+  }
+  private[functions] def cached(
+      bankId: String,
+      bc: org.apache.spark.broadcast.Broadcast[Array[(Int, Array[Byte])]])
+      : java.util.HashMap[Int, BloomFilter] = cache.synchronized {
+    val hit = cache.get(bankId)
+    if (hit != null) hit
+    else {
+      val built = new java.util.HashMap[Int, BloomFilter]()
+      bc.value.foreach { case (b, bytes) =>
+        built.put(b, BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes)))
+      }
+      cache.put(bankId, built)
+      built
+    }
+  }
+}
+
+/** Probe a [[BloomBank]]: (bucket INT, key BIGINT) → BOOLEAN. */
+case class BloomBankProbe(bank: BloomBank, bucket: Expression, key: Expression)
+    extends BinaryExpression {
+  override def left: Expression = bucket
+  override def right: Expression = key
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(b: Any, k: Any): Any =
+    bank.mightContain(b.asInstanceOf[Int], k.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftBloomBank", bank, classOf[BloomBank].getName)
+    defineCodeGen(ctx, ev, (b, k) => s"$ref.mightContain($b, $k)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BloomBankProbe =
+    copy(bucket = l, key = r)
+  override def prettyName: String = "bloom_bank_probe"
+}
+
 /** Bloom-filter build aggregate over BIGINT keys → serialized bloom BINARY.
   * TypedImperativeAggregate with map-side partial aggregation: each task
   * builds a local bloom, partials merge by OR — the classic scalable sketch

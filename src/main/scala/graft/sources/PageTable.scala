@@ -1,0 +1,93 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Paths}
+
+/** The north-rule input table — "Iceberg table of Common-Crawl-style web
+  * pages with columns (url, warc_ts, html, text, lang)" — realized as
+  * hash-bucketed, snapshot-versioned Parquet behind a thin interface, because
+  * no Iceberg jar ships in this environment (SURVEY.md §0, §7.3). The
+  * semantics Iceberg would give are preserved so a later swap is mechanical:
+  *
+  *  - fixed schema, enforced on write;
+  *  - layout partitioned by `bucket = pmod(hash(url), buckets)` so url-keyed
+  *    reads/joins prune to one directory per key and a frontier⋈pages join
+  *    can be bucket-aligned;
+  *  - snapshot isolation: every commit writes `snap=<k>/` then a marker file;
+  *    readers resolve the latest committed snapshot — readers never see a
+  *    half-written commit (Iceberg's metadata-pointer swap, poor man's form);
+  *  - column pruning friendliness: `html` (the fat binary) lives in the same
+  *    row but frontier-side queries select around it and the Parquet reader
+  *    never materializes it (verified via ReadSchema in the plan).
+  */
+object PageTable {
+
+  val schema: StructType = StructType(Seq(
+    StructField("url", StringType, nullable = false),
+    StructField("warc_ts", TimestampType, nullable = true),
+    StructField("html", BinaryType, nullable = true),
+    StructField("text", StringType, nullable = true),
+    StructField("lang", StringType, nullable = true)))
+
+  private def snapDir(root: String, snap: Int) = s"$root/snap=$snap"
+  private def marker(root: String, snap: Int) =
+    Paths.get(root, f"_committed_$snap%05d")
+
+  /** Test hook: path of a snapshot's commit marker (for crash simulation). */
+  def marker_unsafe(root: String, snap: Int): java.nio.file.Path = marker(root, snap)
+
+  def committedSnapshots(root: String): Seq[Int] = {
+    val dir = Paths.get(root)
+    if (!Files.isDirectory(dir)) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    Files.list(dir).forEach { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith("_committed_")) out += n.stripPrefix("_committed_").toInt
+    }
+    out.toSeq.sorted
+  }
+
+  /** Append-style commit: writes a NEW snapshot containing `pages` (schema
+    * enforced, bucket column added), then the commit marker. Readers of
+    * `latest` flip atomically with the marker file.
+    */
+  def commit(spark: SparkSession, root: String, pages: DataFrame,
+      buckets: Int = 64): Int = {
+    require(pages.columns.toSet == schema.fieldNames.toSet,
+      s"schema mismatch: ${pages.columns.mkString(",")} vs ${schema.fieldNames.mkString(",")}")
+    val snap = committedSnapshots(root).lastOption.getOrElse(-1) + 1
+    val typed = pages.select(schema.fieldNames.map(col): _*)
+    typed
+      .withColumn("bucket", pmod(hash(col("url")), lit(buckets)))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("bucket")
+      .parquet(snapDir(root, snap))
+    Files.createDirectories(Paths.get(root))
+    Files.writeString(marker(root, snap), s"""{"snapshot":$snap}""")
+    snap
+  }
+
+  /** Latest committed snapshot (time-travel: pass an explicit snapshot). */
+  def read(spark: SparkSession, root: String, snapshot: Option[Int] = None): DataFrame = {
+    val snaps = committedSnapshots(root)
+    require(snaps.nonEmpty, s"no committed snapshot under $root")
+    val snap = snapshot.getOrElse(snaps.last)
+    require(snaps.contains(snap), s"snapshot $snap not committed")
+    spark.read.parquet(snapDir(root, snap))
+  }
+
+  /** Fetch replay: frontier(url, …) ⋈ pages ON url — the rebuild's analogue
+    * of the reference's `driver.get(url)` (`web_scraper_pipeline.py:61`):
+    * at 100 TB this is a bucket-aligned join; at test scale Catalyst
+    * broadcasts whichever side is small. `html` only enters the plan when
+    * `withHtml` asks for it — column pruning keeps the fat binary out of
+    * frontier-only scans.
+    */
+  def fetch(frontier: DataFrame, pages: DataFrame, withHtml: Boolean = true): DataFrame = {
+    val cols = if (withHtml) Seq("url", "warc_ts", "html", "text", "lang")
+      else Seq("url", "warc_ts", "text", "lang")
+    frontier.join(pages.select(cols.map(col): _*), Seq("url"), "left")
+  }
+}

@@ -72,6 +72,21 @@ class SeenSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("bucketed (partitioned-bloom) filterUnseen is exact, incl. re-use") {
+    val cands = (0 until 3000).map(i => (s"http://h${i % 11}.test/$i", i.toLong))
+      .toDF("url", "seed_idx")
+    val keyed = Seen.withUrlKeys(cands)
+    // two successive waves with DIFFERENT ledgers: the second must not be
+    // served stale sketches from the first (BloomBank cache isolation)
+    for (m <- Seq(3, 7)) {
+      val seen = keyed.where(col("seed_idx") % m === 0).select("url_hash", "canonical_url")
+      val got = Seen.filterUnseenBucketed(keyed, seen, buckets = 16)
+        .select("seed_idx").as[Long].collect().toSet
+      val want = (0 until 3000).filter(_ % m != 0).map(_.toLong).toSet
+      assert(got == want, s"mod $m")
+    }
+  }
+
   test("empty ledger passes everything through") {
     val cands = Seq(("http://a.test/1", 1L)).toDF("url", "seed_idx")
     val keyed = Seen.withUrlKeys(cands)

@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sources.PageTable
+
+class PageTableSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def pagesDf(n: Int) =
+    spark.createDataset(graft.fixtures.PageGen.pages(n)).toDF()
+
+  test("commit/read roundtrip with snapshot isolation") {
+    val root = java.nio.file.Files.createTempDirectory("pagetable").toString
+    val s0 = PageTable.commit(spark, root, pagesDf(50))
+    assert(s0 == 0)
+    assert(PageTable.read(spark, root).count() == 50)
+    val s1 = PageTable.commit(spark, root, pagesDf(80))
+    assert(s1 == 1)
+    // latest sees snapshot 1; time travel sees snapshot 0
+    assert(PageTable.read(spark, root).count() == 80)
+    assert(PageTable.read(spark, root, Some(0)).count() == 50)
+    // a data dir without its marker is invisible
+    java.nio.file.Files.delete(PageTable.marker_unsafe(root, 1))
+    assert(PageTable.read(spark, root).count() == 50)
+  }
+
+  test("schema is enforced on write") {
+    val root = java.nio.file.Files.createTempDirectory("pagetable2").toString
+    val bad = Seq(("http://x/1", "hello")).toDF("url", "body")
+    intercept[IllegalArgumentException] {
+      PageTable.commit(spark, root, bad)
+    }
+  }
+
+  test("fetch join replays pages for a frontier; html prunable") {
+    val root = java.nio.file.Files.createTempDirectory("pagetable3").toString
+    PageTable.commit(spark, root, pagesDf(40))
+    val pages = PageTable.read(spark, root)
+    val frontier = pagesDf(40).select("url").limit(10)
+    val fetched = PageTable.fetch(frontier, pages)
+    assert(fetched.count() == 10)
+    assert(fetched.columns.contains("html"))
+    // html-free fetch must not read the binary column from parquet
+    val lean = PageTable.fetch(frontier, pages, withHtml = false)
+    val scan = lean.queryExecution.executedPlan.toString
+    assert(!scan.contains("html"), s"html column not pruned:\n$scan")
+  }
+}
