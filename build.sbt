@@ -28,3 +28,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// optional GC experiment knob: SPARK_GC=Parallel|G1|Z
+javaOptions ++= sys.env.get("SPARK_GC").map(g => s"-XX:+Use${g}GC").toSeq

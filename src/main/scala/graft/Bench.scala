@@ -60,7 +60,12 @@ object BenchQueries {
     // bandwidth (unlike compute) does not scale with cores
     val narrow = unseen.select("url_hash", "seed_idx", "canonical_url", "host_rev")
     val inWave = frontier.Seen.dropInWaveDuplicates(narrow)
-    frontier.Scheduler.schedule(inWave, gapSeconds = 3L, salted = true)
+    // seed range from the RAW input (column-pruned scan, no string work) —
+    // computing it post-pipeline would re-execute the heavy upstream
+    val mm = frontierFromLineitem(s, dir, reps)
+      .agg(min(col("seed_idx")).as("lo"), max(col("seed_idx")).as("hi")).collect()(0)
+    frontier.Scheduler.schedule(inWave, gapSeconds = 3L, salted = true,
+      orderKeyRange = Some((mm.getAs[Long]("lo"), mm.getAs[Long]("hi"))))
   }
 
   /** documents replicated ×`reps` with distinct ids (still ~unique texts

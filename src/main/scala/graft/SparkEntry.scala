@@ -375,6 +375,16 @@ object SparkEntry {
       graft.sources.PageTable.fetch(frontier, stored, withHtml = false)
         .select(col("url"), length(col("text")).cast("long").as("n_chars"), col("lang"))
         .orderBy("url")
+    }),
+
+    "q32_json_parity" -> ((s, dir) => {
+      // to_json output contract (reference writes one JSON object per url,
+      // `web_scraper_pipeline.py:231-232`); DuckDB oracle reconstructs the
+      // exact byte format Spark emits (no spaces, field order preserved)
+      docs(s, dir)
+        .select(col("doc_id"),
+          to_json(struct(col("doc_id"), col("lang"), col("n_chars"))).as("js"))
+        .orderBy("doc_id")
     })
   )
 
@@ -547,6 +557,10 @@ object SparkEntry {
         |  count(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1, 2 ORDER BY revenue_cents DESC, c_custkey LIMIT 10""".stripMargin,
+
+    "q32_json_parity" ->
+      ("""SELECT doc_id, '{"doc_id":' || doc_id || ',"lang":"' || lang || """ +
+        """'","n_chars":' || n_chars || '}' AS js FROM documents ORDER BY doc_id"""),
 
     "q27_window_topk" ->
       """WITH w AS (SELECT o_orderpriority, o_orderkey,

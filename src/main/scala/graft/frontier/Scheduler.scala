@@ -38,12 +38,35 @@ object Scheduler {
 
   /** Same rank, skew-proof: orderKey is bucketed into ordered segments of
     * width `bucketWidth`; rank within (host,bucket) is a small window; the
-    * per-(host,bucket) counts make a tiny aggregate that is cumulated and
+    * per-(host,bucket) counts make a small aggregate that is cumulated and
     * broadcast back. Requires a non-negative integral orderKey (seed_idx).
+    *
+    * `bucketWidth <= 0` → auto-size from the orderKey RANGE so there are
+    * ~64 buckets regardless of key magnitude. A fixed width against an
+    * unknown key range is a trap measured the hard way: 100k-wide buckets
+    * over a 10^9 key range made the "tiny" offsets frame ~1M rows — a
+    * multi-second driver-side broadcast build per wave. The extra min/max
+    * scan is one cheap column-stat job. (At 10^8+ hosts the offsets frame
+    * outgrows a broadcast even with 64 buckets — swap the broadcast join
+    * for a plain shuffle join on hostCol there; shape is otherwise equal.)
     */
   def perHostRankSalted(df: DataFrame, hostCol: String, orderCol: String,
-      bucketWidth: Long = 100000L): DataFrame = {
-    val bucketed = df.withColumn("_bucket", (col(orderCol) / bucketWidth).cast("long"))
+      bucketWidth: Long = -1L,
+      orderKeyRange: Option[(Long, Long)] = None): DataFrame = {
+    val width =
+      if (bucketWidth > 0) bucketWidth
+      else orderKeyRange match {
+        case Some((lo, hi)) => math.max(1L, (hi - lo) / 64L + 1L)
+        case None =>
+          // CAREFUL: this agg re-executes df's whole upstream. Callers with a
+          // heavy upstream must pass orderKeyRange computed on the cheap raw
+          // input instead (any superset range yields identical ranks — the
+          // bucketing only needs consistent ordered segments).
+          val mm = df.agg(min(col(orderCol)).as("lo"), max(col(orderCol)).as("hi")).collect()(0)
+          if (mm.isNullAt(0)) 1L
+          else math.max(1L, (mm.getAs[Long]("hi") - mm.getAs[Long]("lo")) / 64L + 1L)
+      }
+    val bucketed = df.withColumn("_bucket", (col(orderCol) / width).cast("long"))
     val wInBucket = Window.partitionBy(col(hostCol), col("_bucket")).orderBy(col(orderCol))
     val ranked = bucketed.withColumn("_rank_in_bucket", row_number().over(wInBucket).cast("long"))
     // tiny: (#hosts × #buckets) rows
@@ -65,9 +88,10 @@ object Scheduler {
   /** Full schedule: adds host_pos, slot, and the global crawl order columns.
     * gapSeconds mirrors the reference's 3 s sleep.
     */
-  def schedule(frontier: DataFrame, gapSeconds: Long = 3L, salted: Boolean = true): DataFrame = {
+  def schedule(frontier: DataFrame, gapSeconds: Long = 3L, salted: Boolean = true,
+      orderKeyRange: Option[(Long, Long)] = None): DataFrame = {
     val ranked =
-      if (salted) perHostRankSalted(frontier, "host_rev", "seed_idx")
+      if (salted) perHostRankSalted(frontier, "host_rev", "seed_idx", -1L, orderKeyRange)
       else perHostRank(frontier, col("host_rev"), col("seed_idx"))
     ranked.withColumn("slot", (col("host_pos") - 1L) * gapSeconds)
   }

@@ -79,11 +79,19 @@ object WaveLoop {
       val keyed = Seen.withUrlKeys(frontier)
       val gated = Robots.filterAllowed(keyed, robots)
       val seen = readSeen(spark, root)
-      val unseen = Seen.filterUnseen(gated, seen)
+      // partitioned bloom pre-filter (north rule): per-bucket sketches over
+      // the ledger, probes routed by pmod(url_hash, buckets); positives
+      // verified exactly by the anti-join inside
+      val unseen = Seen.filterUnseenBucketed(gated, seen)
       val inWave = Seen.dropInWaveDuplicates(unseen)
+      // seed range from the raw wave input (cheap pruned scan) so the salted
+      // scheduler never re-executes the dedup/anti-join upstream for stats
+      val mm = frontier.agg(min(col("seed_idx")).as("lo"), max(col("seed_idx")).as("hi")).collect()(0)
+      val range = if (mm.isNullAt(0)) None
+        else Some((mm.getAs[Long]("lo"), mm.getAs[Long]("hi")))
       val scheduled = Scheduler.schedule(
         inWave.select("url", "canonical_url", "url_hash", "host", "host_rev", "seed_idx"),
-        gapSeconds)
+        gapSeconds, salted = true, orderKeyRange = range)
 
       // wave data writes (overwrite → idempotent re-run of an uncommitted wave)
       scheduled

@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Plan-shape goldens (SURVEY.md §4.2 "shuffle count budget ... verify in
+  * explain() golden test"): the point is not that queries return the right
+  * rows — the oracle gates that — but that they return them with the plan
+  * we'd want at 1000 executors: filters pushed to the parquet scan, small
+  * sides broadcast, no more exchanges than the algorithm requires, codegen
+  * everywhere.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def countShuffles(plan: SparkPlan): Int =
+    plan.collect { case _: ShuffleExchangeExec => 1 }.sum
+
+  test("filter + projection reach the parquet scan (pushdown, pruning)") {
+    val plan = spark.read.parquet(s"$sf/documents.parquet")
+      .where(col("lang") === "en")
+      .select("doc_id", "n_chars")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]"), plan)
+    // pruned to the 3 needed columns (lang stays for the residual filter);
+    // text/source (the wide ones) must NOT be read
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,lang:string,n_chars:bigint>"), plan)
+  }
+
+  test("frontier-only read of the pages table never touches html") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("planpt").toString
+    graft.sources.PageTable.commit(spark,
+      root, spark.createDataset(graft.fixtures.PageGen.pages(30)).toDF())
+    val plan = graft.sources.PageTable.read(spark, root)
+      .select("url", "lang").queryExecution.executedPlan.toString
+    assert(!plan.contains("html"), plan)
+  }
+
+  test("schedule pipeline shuffle budget") {
+    // per SURVEY §4.2: dedup agg+semi-join partitioning, salt repartition /
+    // per-(host,bucket) rank, offsets agg — the budget is 6 exchanges; the
+    // offsets side is broadcast (no exchange for the join back)
+    val f = BenchQueries.frontierSchedule(spark, sf)
+    f.count() // settle AQE
+    val n = countShuffles(f.queryExecution.executedPlan)
+    assert(n <= 6, s"shuffle budget blown: $n exchanges\n${f.queryExecution.executedPlan}")
+  }
+
+  test("salted scheduler broadcasts the per-bucket offsets") {
+    val plan = BenchQueries.frontierSchedule(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("ANN brute force: corpus side is never shuffled, queries broadcast") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val top = graft.ann.Ann.bruteForceTopK(e, e.where(col("vec_id") < 5),
+      "vec_id", "vec_id", "embedding", k = 3)
+    top.count()
+    val s = top.queryExecution.executedPlan.toString
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastExchange"), s)
+    // the only exchange is the final per-query window rank
+    assert(countShuffles(top.queryExecution.executedPlan) <= 1, s)
+  }
+
+  test("whole text pipeline is one codegen'd map over the scan (no exchange)") {
+    import spark.implicits._
+    val pages = spark.createDataset(graft.fixtures.PageGen.pages(20)).toDF()
+      .withColumn("html", col("html").cast("string"))
+    val res = graft.pipeline.TextPipeline.results(pages)
+    assert(countShuffles(res.queryExecution.executedPlan) == 0,
+      res.queryExecution.executedPlan.toString)
+  }
+}
