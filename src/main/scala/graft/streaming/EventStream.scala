@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.time.LocalDateTime
+
+/** Structured Streaming surface over the discovery stream.
+  *
+  * The frontier wave loop is deliberately iterative batch (SURVEY.md §1.4 —
+  * fixtures demand a deterministic global order per wave), but the engine
+  * still ships the streaming operators a crawl's TELEMETRY side needs:
+  * watermarked windowed aggregation over fetch/discovery events and a
+  * stateful per-host session tracker (`flatMapGroupsWithState`) — the
+  * streaming twin of the politeness scheduler's per-host state.
+  *
+  * Tested with the file/memory sources + `processAllAvailable` so a batch of
+  * parquet drives the streaming query synchronously and deterministically.
+  */
+object EventStream {
+
+  /** Watermarked per-window, per-type counts — late data beyond the
+    * watermark is dropped, windows finalize incrementally.
+    */
+  def windowedCounts(events: DataFrame,
+      watermark: String = "10 minutes",
+      window_ : String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        approx_count_distinct(col("user_id")).as("approx_users"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("approx_users"))
+
+  final case class Event(event_id: Long, ts: LocalDateTime, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class UserSession(user_id: Long, n_events: Int,
+      first_ts: LocalDateTime, last_ts: LocalDateTime, closed: Boolean)
+
+  /** Stateful sessionization: a user's events accumulate until a processing-
+    * time timeout closes the session — the `mapGroupsWithState` pattern the
+    * crawl's per-host politeness state would use in a streaming deployment.
+    */
+  def sessionize(events: Dataset[Event],
+      timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout)
+      : Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, timeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[UserSession]) =>
+          if (state.hasTimedOut) {
+            val closed = state.get.copy(closed = true)
+            state.remove()
+            Iterator(closed)
+          } else {
+            val events = batch.toSeq
+            if (events.isEmpty) Iterator.empty
+            else {
+              val sorted = events.sortBy(e => (e.ts.toString, e.event_id))
+              val prev = state.getOption
+              val merged = UserSession(
+                userId,
+                prev.map(_.n_events).getOrElse(0) + sorted.length,
+                prev.map(_.first_ts).getOrElse(sorted.head.ts),
+                sorted.last.ts,
+                closed = false)
+              state.update(merged)
+              state.setTimeoutDuration("30 seconds")
+              Iterator(merged)
+            }
+          }
+      }
+  }
+
+  /** Drive a streaming aggregation over the (batch) events parquet through a
+    * real streaming query into a memory sink; returns the final table.
+    * Deterministic: one trigger consumes everything.
+    */
+  def runWindowedCountsOnce(spark: SparkSession, eventsParquet: String,
+      queryName: String = "graft_stream_counts"): DataFrame = {
+    val schema = spark.read.parquet(eventsParquet).schema
+    // the file stream source requires a DIRECTORY; stage a single-file input
+    val dir = {
+      val p = java.nio.file.Paths.get(eventsParquet)
+      if (java.nio.file.Files.isDirectory(p)) eventsParquet
+      else {
+        val d = java.nio.file.Files.createTempDirectory("graft_stream_in")
+        java.nio.file.Files.copy(p, d.resolve(p.getFileName))
+        d.toString
+      }
+    }
+    // the driver tables store ts as TIMESTAMP_NTZ; watermarks need TIMESTAMP
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val q = windowedCounts(stream)
+      .writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+}
