@@ -78,6 +78,25 @@ object SparkEntry {
   private val StopwordsSql: String =
     graft.text.TextStats.LangMarkers.flatMap(_._2).map(w => s"'$w'").mkString(", ")
 
+  /** q17's axis-sign SRP buckets: 16 tables × 4 bits, table t reads dims
+    * [4t, 4t+4) of the 64-dim embedding. Kept 1:1 with [[q17BucketSqlList]].
+    */
+  private def q17Buckets: Seq[Column] = (0 until 16).map { t =>
+    (0 until 4).map { j =>
+      when(element_at(col("embedding"), t * 4 + j + 1) >= 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+  }
+
+  /** DuckDB twin of [[q17Buckets]] as a list literal, table-tagged so
+    * `list_has_any` means "same bucket in ≥1 table".
+    */
+  private val q17BucketSqlList: String = (0 until 16).map { t =>
+    val bits = (0 until 4)
+      .map(j => s"(CASE WHEN embedding[${t * 4 + j + 1}] >= 0 THEN ${1 << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"(${16 * t} + $bits)"
+  }.mkString("[", ", ", "]")
+
   // ---------- flagship ------------------------------------------------------
 
   /** Flagship: the politeness-scheduled crawl order of the sf0.001 frontier —
@@ -238,7 +257,14 @@ object SparkEntry {
     }),
 
     "q17_near_dup_cosine" -> ((s, dir) => {
-      graft.dedup.Dedup.cosineNearDups(embeddings(s, dir), "vec_id", "embedding", 0.4)
+      // LSH-bucketed exact-scored near-dup (NO cartesian — PlanSpec pins it).
+      // The bucketer here is axis-sign SRP (hyperplanes = the standard basis,
+      // table t over dims [4t, 4t+4)) — locality-sensitive for cosine like
+      // random hyperplanes, but SQL-expressible so the DuckDB oracle computes
+      // the IDENTICAL candidate set. The default murmur-hyperplane bucketer
+      // (Dedup.cosineNearDups) is recall-tested in DedupAnnSpecs instead.
+      graft.dedup.Dedup.cosineNearDupsBucketed(
+        embeddings(s, dir), "vec_id", "embedding", 0.4, q17Buckets)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 3).as("cos3"))
         .orderBy("id_a", "id_b")
     }),
@@ -494,13 +520,15 @@ object SparkEntry {
         |SELECT q_id, rank, nn_id FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
     "q17_near_dup_cosine" ->
-      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings),
-        |n AS (SELECT vec_id, ve, sqrt(list_dot_product(ve, ve)) AS nrm FROM v)
-        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  round(list_dot_product(a.ve, b.ve) / (a.nrm * b.nrm), 3) AS cos3
-        |FROM n a JOIN n b ON a.vec_id < b.vec_id
-        |WHERE list_dot_product(a.ve, b.ve) / (a.nrm * b.nrm) >= 0.4
-        |ORDER BY id_a, id_b""".stripMargin,
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve,
+         |             $q17BucketSqlList AS bks
+         |           FROM embeddings),
+         |n AS (SELECT vec_id, ve, sqrt(list_dot_product(ve, ve)) AS nrm, bks FROM v)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round(list_dot_product(a.ve, b.ve) / (a.nrm * b.nrm), 3) AS cos3
+         |FROM n a JOIN n b ON a.vec_id < b.vec_id AND list_has_any(a.bks, b.bks)
+         |WHERE list_dot_product(a.ve, b.ve) / (a.nrm * b.nrm) >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "q18_exact_dedup" ->
       """WITH c AS (

@@ -49,13 +49,14 @@ object Ann {
       .select(col("q_id"), col("rank"), col("nn_id"), col("cosine"))
   }
 
-  /** Add SRP bucket columns (one per table) to a vector frame. */
-  def withSrpBuckets(df: DataFrame, vecCol: String, bits: Int, tables: Int): DataFrame = {
-    val bucket = udf((v: Seq[Float], seed: Int) =>
-      graft.embed.HashEmbed.srpBucket(v.toArray, bits, seed))
+  /** Add SRP bucket columns (one per table) to a vector frame. Codegen'd
+    * expression with the ±1 hyperplane matrix precomputed per (bits, seed) —
+    * `dim` fmas per bit per row, zero per-row hashing (the round-1 udf
+    * re-derived bits×dim murmur hashes for every row of every table).
+    */
+  def withSrpBuckets(df: DataFrame, vecCol: String, bits: Int, tables: Int): DataFrame =
     (0 until tables).foldLeft(df)((d, t) =>
-      d.withColumn(s"bucket_$t", bucket(col(vecCol), lit(7 + t))))
-  }
+      d.withColumn(s"bucket_$t", graft.functions.srp_bucket(col(vecCol), bits, seed = 7 + t)))
 
   /** LSH-bucketed approximate top-k: candidates from `tables` SRP tables,
     * scored exactly, ranked per query. Recall grows with tables and falls

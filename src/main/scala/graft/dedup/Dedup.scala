@@ -118,33 +118,57 @@ object Dedup {
     */
   def verifyJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
       textCol: String, shingleK: Int = 3): DataFrame = {
-    val jacc = udf((a: String, b: String) => graft.text.TextStats.jaccard(a, b, shingleK))
     val texts = docs.select(col(idCol).as("id"), col(textCol).as("t"))
     pairs
       .join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("t", "t_a"), "id_a")
       .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("t", "t_b"), "id_b")
-      .withColumn("jaccard", jacc(col("t_a"), col("t_b")))
+      .withColumn("jaccard", graft.functions.jaccard_shingles(col("t_a"), col("t_b"), shingleK))
       .drop("t_a", "t_b")
   }
 
-  /** Embedding-cosine near-dup pairs over an ARRAY<FLOAT> column: exact
-    * within LSH buckets (sign-random-projection via hash of quantized dims at
-    * small scale; see [[graft.ann.Ann]] for the bucketed scale path).
+  /** Embedding-cosine near-dup pairs over an ARRAY<FLOAT> column, EXACT
+    * within LSH buckets: candidates = id pairs sharing ≥1 SRP bucket across
+    * `tables` independent tables; each candidate's cosine is computed exactly
+    * and thresholded. The join is bucket-local, so shuffled bytes track
+    * bucket occupancy × candidate density — never n² (round 1 shipped an
+    * all-pairs cartesian here; PlanSpec now pins its absence). Recall is the
+    * standard SRP curve 1-(1-p^bits)^tables with p = 1-θ/π; raise `tables`
+    * (or lower `bits`) to push it toward 1 for a given threshold.
     */
   def cosineNearDups(vecs: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, bits: Int = 4, tables: Int = 16): DataFrame = {
+    val buckets = (0 until tables).map(t =>
+      graft.functions.srp_bucket(col(vecCol), bits, seed = 7 + t))
+    cosineNearDupsBucketed(vecs, idCol, vecCol, threshold, buckets)
+  }
+
+  /** [[cosineNearDups]] with caller-supplied bucket columns (one per table) —
+    * the generic kernel: any locality-sensitive INT bucketing plugs in (SRP,
+    * axis-sign quantization, IVF assignments from a kmeans fit, …).
+    */
+  def cosineNearDupsBucketed(vecs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, buckets: Seq[Column]): DataFrame = {
     val v = vecs.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
     val withNorm = v.withColumn("norm",
       sqrt(aggregate(col("v"), lit(0.0d), (acc, x) => acc + x * x)))
-    val l = withNorm.as("l")
-    val r = withNorm.as("r")
-    l.join(r, col("l.id") < col("r.id"))
+    // bucket frame carries ONLY (id, table, bucket): the vectors must not be
+    // replicated ×tables through the explode or the shuffle moves dim×tables
+    // doubles per row instead of 12 bytes
+    val bk = vecs.select(col(idCol).as("id"), posexplode(array(buckets: _*)).as(Seq("t", "b")))
+    val cands = bk.as("l")
+      .join(bk.as("r"),
+        col("l.t") === col("r.t") && col("l.b") === col("r.b") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    cands
+      .join(withNorm.select(col("id").as("id_a"), col("v").as("v_a"), col("norm").as("n_a")), "id_a")
+      .join(withNorm.select(col("id").as("id_b"), col("v").as("v_b"), col("norm").as("n_b")), "id_b")
       .withColumn("cosine",
-        aggregate(zip_with(col("l.v"), col("r.v"), (x, y) => x * y), lit(0.0d),
-          (acc, x) => acc + x) / (col("l.norm") * col("r.norm")))
+        aggregate(zip_with(col("v_a"), col("v_b"), (x, y) => x * y), lit(0.0d),
+          (acc, x) => acc + x) / (col("n_a") * col("n_b")))
       .where(col("cosine") >= threshold)
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("cosine"))
+      .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
   /** Winnowing-fingerprint overlap pairs: docs sharing ≥ minShared

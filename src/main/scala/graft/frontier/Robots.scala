@@ -2,6 +2,7 @@ package graft.frontier
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
 
 /** Robots.txt gate.
   *
@@ -31,28 +32,50 @@ object Robots {
   val AllowAll: Rules = Rules(Map.empty)
 
   /** Filter a frame carrying `host` and `canonical_url` by broadcast rules.
-    * The predicate is a Column expression over a broadcast handle — one
-    * deserialized rules map per executor, zero per-row allocation.
+    * The predicate is a codegen'd Catalyst expression over a broadcast
+    * handle — one deserialized rules map per executor, zero per-row
+    * allocation, no udf. Path extraction reuses the URL parser
+    * ([[graft.url.UrlKit.path]]) so `http://h?x=/admin` matches on "/" and
+    * never on query bytes.
     */
   def filterAllowed(df: DataFrame, rules: Rules): DataFrame = {
     if (rules.disallowByHost.isEmpty) return df // allow-all: no-op, no scan cost
     val spark = df.sparkSession
     val bc = spark.sparkContext.broadcast(rules)
-    val allowed = udf { (host: String, url: String) =>
-      val path = {
-        val i = url.indexOf("://")
-        if (i < 0) "/"
-        else {
-          val rest = url.substring(i + 3)
-          val s = rest.indexOf('/')
-          if (s < 0) "/" else {
-            val q = rest.indexOf('?')
-            if (q >= 0 && q > s) rest.substring(s, q) else rest.substring(s)
-          }
-        }
-      }
-      bc.value.allows(host, path)
-    }
-    df.where(allowed(col("host"), col("canonical_url")))
+    val pred = Bridge.column(RobotsAllowedExpr(bc,
+      Bridge.expression(col("host")),
+      Bridge.expression(graft.functions.url_path(col("canonical_url")))))
+    df.where(pred)
   }
+}
+
+/** (host, path) → allowed? over a broadcast [[Robots.Rules]]. The rules ride
+  * a TorrentBroadcast (bytes once per executor, not per task) and the probe
+  * stays inside whole-stage codegen via `addReferenceObj`.
+  */
+case class RobotsAllowedExpr(
+    bc: org.apache.spark.broadcast.Broadcast[Robots.Rules],
+    left: org.apache.spark.sql.catalyst.expressions.Expression,
+    right: org.apache.spark.sql.catalyst.expressions.Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types.{BooleanType, DataType}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(host: Any, path: Any): Any =
+    bc.value.allows(host.asInstanceOf[UTF8String].toString, path.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftRobots", bc,
+      classOf[org.apache.spark.broadcast.Broadcast[Robots.Rules]].getName)
+    defineCodeGen(ctx, ev, (h, p) =>
+      s"((graft.frontier.Robots.Rules) $ref.value()).allows($h.toString(), $p.toString())")
+  }
+  override protected def withNewChildrenInternal(
+      l: org.apache.spark.sql.catalyst.expressions.Expression,
+      r: org.apache.spark.sql.catalyst.expressions.Expression): RobotsAllowedExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "robots_allowed"
 }

@@ -36,11 +36,12 @@ object WaveLoop {
     val dir = Paths.get(root)
     if (!Files.isDirectory(dir)) return Seq.empty
     val out = scala.collection.mutable.ArrayBuffer.empty[Int]
-    Files.list(dir).forEach { p =>
+    val st = Files.list(dir) // stream holds a directory fd — must close
+    try st.forEach { p =>
       val n = p.getFileName.toString
       if (n.startsWith("_manifest_") && n.endsWith(".json"))
         out += n.stripPrefix("_manifest_").stripSuffix(".json").toInt
-    }
+    } finally st.close()
     out.toSeq.sorted
   }
 

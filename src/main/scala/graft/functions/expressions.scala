@@ -53,6 +53,62 @@ object Impl {
 
   def fingerprints(text: UTF8String, k: Int, w: Int): ArrayData =
     ArrayData.toArrayData(TextStats.fingerprints(text.toString, k, w).toArray)
+
+  def urlPath(u: UTF8String): UTF8String =
+    UTF8String.fromString(UrlKit.path(u.toString))
+
+  def jaccardShingles(a: UTF8String, b: UTF8String, k: Int): Double =
+    TextStats.jaccard(a.toString, b.toString, k)
+
+  def extractLinks(html: UTF8String): ArrayData =
+    new GenericArrayData(HtmlText.extractLinks(html.toString).map(UTF8String.fromString).toArray[Any])
+
+  def resolveUrl(base: UTF8String, ref: UTF8String): UTF8String = {
+    val r = UrlKit.resolve(base.toString, ref.toString)
+    if (r == null) null else UTF8String.fromString(r)
+  }
+
+  def srpBucket(v: ArrayData, bits: Int, seed: Int, elemIsDouble: Boolean): Int =
+    SrpEval.bucket(v, bits, seed, elemIsDouble)
+}
+
+/** Sign-random-projection bucketing with the ±1 hyperplane matrix
+  * PRECOMPUTED once per (bits, seed, dim) and cached per JVM — the codegen
+  * path does `dim` float fmas per bit instead of `dim` murmur hashes per bit
+  * per row (the round-1 udf recomputed bits×dim hashes for every row).
+  * Bit-for-bit identical to [[graft.embed.HashEmbed.srpBucket]], which stays
+  * as the 20-line spec twin the tests compare against.
+  */
+object SrpEval {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Array[Boolean]]]()
+
+  private[functions] def signs(bits: Int, seed: Int, dim: Int): Array[Array[Boolean]] =
+    cache.computeIfAbsent((bits, seed, dim), { key =>
+      val (b, s, d) = key
+      Array.tabulate(b, d)((bb, i) =>
+        scala.util.hashing.MurmurHash3.productHash((bb, i), s) >= 0)
+    })
+
+  def bucket(v: ArrayData, bits: Int, seed: Int, elemIsDouble: Boolean): Int = {
+    val dim = v.numElements()
+    val sg = signs(bits, seed, dim)
+    var bucket = 0
+    var b = 0
+    while (b < bits) {
+      val row = sg(b)
+      var dot = 0.0
+      var i = 0
+      while (i < dim) {
+        val x = if (elemIsDouble) v.getDouble(i) else v.getFloat(i).toDouble
+        dot += (if (row(i)) x else -x)
+        i += 1
+      }
+      if (dot >= 0) bucket |= (1 << b)
+      b += 1
+    }
+    bucket
+  }
 }
 
 /** RFC 3986 canonicalization (SURVEY.md §2.3). String → String, null-safe,
@@ -414,4 +470,162 @@ case class ChunkGenerator(child: Expression, maxWords: Int, overlapWords: Int)
   override protected def withNewChildInternal(c: Expression): ChunkGenerator =
     copy(child = c)
   override def prettyName: String = "chunk_explode"
+}
+
+/** Path component of a URL ("/" when empty or unparseable) — the robots
+  * matching key. Parser-backed, so a '?' before the first '/' never leaks
+  * query bytes into the path.
+  */
+case class UrlPath(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any = Impl.urlPath(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Impl.urlPath($c)")
+  override protected def withNewChildInternal(c: Expression): UrlPath = copy(c)
+  override def prettyName: String = "url_path"
+}
+
+/** Exact k-word-shingle Jaccard between two texts — the LSH verifier kernel
+  * as a codegen'd binary expression (was a udf in round 1).
+  */
+case class JaccardShingles(left: Expression, right: Expression, shingleK: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Impl.jaccardShingles(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], shingleK)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Impl.jaccardShingles($a, $b, $shingleK)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardShingles =
+    copy(left = l, right = r)
+  override def prettyName: String = "jaccard_shingles"
+}
+
+/** All `<a href>` targets of an HTML document, in document order (raw
+  * attribute values, entities decoded; resolution/canonicalization is a
+  * separate expression so the pieces stay individually testable).
+  */
+case class ExtractLinks(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any = Impl.extractLinks(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Impl.extractLinks($c)")
+  override protected def withNewChildInternal(c: Expression): ExtractLinks = copy(c)
+  override def prettyName: String = "extract_links"
+}
+
+/** RFC 3986 §5.2 reference resolution + canonicalization: (base, href) →
+  * canonical absolute URL, or NULL for non-crawlable schemes (mailto:,
+  * javascript:, …) so a downstream filter drops them by null semantics.
+  */
+case class ResolveUrl(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(base: Any, ref: Any): Any =
+    Impl.resolveUrl(base.asInstanceOf[UTF8String], ref.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // resolveUrl returns null for non-http(s) schemes → can't use
+    // defineCodeGen (it assumes non-null results); emit the null re-check
+    nullSafeCodeGen(ctx, ev, (b, r) =>
+      s"""${ev.value} = graft.functions.Impl.resolveUrl($b, $r);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ResolveUrl =
+    copy(left = l, right = r)
+  override def prettyName: String = "resolve_url"
+}
+
+/** Sign-random-projection LSH bucket (Charikar '02): ARRAY<FLOAT|DOUBLE> →
+  * INT bucket in [0, 2^bits). Hyperplanes precomputed per (bits, seed, dim)
+  * — see [[SrpEval]].
+  */
+case class SrpBucket(child: Expression, bits: Int, seed: Int)
+    extends UnaryExpression {
+  require(bits >= 1 && bits <= 30, s"bits out of range: $bits")
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  private def elemIsDouble: Boolean = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  override def nullSafeEval(v: Any): Any =
+    Impl.srpBucket(v.asInstanceOf[ArrayData], bits, seed, elemIsDouble)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Impl.srpBucket($c, $bits, $seed, $elemIsDouble)")
+  override protected def withNewChildInternal(c: Expression): SrpBucket =
+    copy(child = c)
+  override def prettyName: String = "srp_bucket"
+}
+
+/** Merge aggregate over SERIALIZED blooms (all built with identical
+  * (expectedItems, fpp) so the bitsets are compatible): BINARY → BINARY.
+  * This is what makes the per-bucket seen-set sketch INCREMENTAL across
+  * crawl waves — wave K's bank = merge(bank K-1, bloom over delta K), an
+  * O(|delta| + buckets) job instead of re-aggregating the full ledger.
+  */
+case class BloomMergeAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[BloomMergeAgg.Holder] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def createAggregationBuffer(): BloomMergeAgg.Holder =
+    new BloomMergeAgg.Holder(null)
+
+  override def update(buf: BloomMergeAgg.Holder, input: InternalRow): BloomMergeAgg.Holder = {
+    val v = child.eval(input)
+    if (v != null) {
+      val other = BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(v.asInstanceOf[Array[Byte]]))
+      if (buf.bf == null) buf.bf = other else buf.bf.mergeInPlace(other)
+    }
+    buf
+  }
+
+  override def merge(buf: BloomMergeAgg.Holder, other: BloomMergeAgg.Holder): BloomMergeAgg.Holder = {
+    if (other.bf != null) {
+      if (buf.bf == null) buf.bf = other.bf else buf.bf.mergeInPlace(other.bf)
+    }
+    buf
+  }
+
+  override def eval(buf: BloomMergeAgg.Holder): Any =
+    if (buf.bf == null) null else serializeBloom(buf.bf)
+
+  private def serializeBloom(bf: BloomFilter): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    bf.writeTo(out)
+    out.toByteArray
+  }
+
+  override def serialize(buf: BloomMergeAgg.Holder): Array[Byte] =
+    if (buf.bf == null) Array.emptyByteArray else serializeBloom(buf.bf)
+
+  override def deserialize(bytes: Array[Byte]): BloomMergeAgg.Holder =
+    if (bytes.isEmpty) new BloomMergeAgg.Holder(null)
+    else new BloomMergeAgg.Holder(BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes)))
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BloomMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BloomMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): BloomMergeAgg =
+    copy(child = cs.head)
+  override def prettyName: String = "bloom_merge_agg"
+}
+object BloomMergeAgg {
+  /** Mutable cell: the buffer starts empty (null) and adopts the first bloom
+    * it sees — merge requires compatible sizes, so no dummy sketch exists.
+    */
+  final class Holder(var bf: BloomFilter)
 }

@@ -84,6 +84,28 @@ package object functions {
   def bloom_agg(keys: Column, expectedItems: Long, fpp: Double = 1e-3): Column =
     col(BloomAgg(expr(keys), expectedItems, fpp).toAggregateExpression())
 
+  /** Merge aggregate over serialized blooms of identical shape → BINARY. */
+  def bloom_merge_agg(blooms: Column): Column =
+    col(BloomMergeAgg(expr(blooms)).toAggregateExpression())
+
+  /** Path component of a URL ("/" when empty/unparseable) — robots key. */
+  def url_path(c: Column): Column = col(UrlPath(expr(c)))
+
+  /** Exact k-word-shingle Jaccard between two text columns. */
+  def jaccard_shingles(a: Column, b: Column, k: Int): Column =
+    col(JaccardShingles(expr(a), expr(b), k))
+
+  /** All `<a href>` targets of an HTML document → ARRAY<STRING>. */
+  def extract_links(c: Column): Column = col(ExtractLinks(expr(c)))
+
+  /** RFC 3986 resolve(base, href) + canonicalize; NULL for non-http(s). */
+  def resolve_url(base: Column, ref: Column): Column =
+    col(ResolveUrl(expr(base), expr(ref)))
+
+  /** SRP-LSH bucket of an ARRAY<FLOAT|DOUBLE> vector → INT in [0, 2^bits). */
+  def srp_bucket(vec: Column, bits: Int, seed: Int = 7): Column =
+    col(SrpBucket(expr(vec), bits, seed))
+
   /** Register all functions for SQL use (`SELECT canonicalize_url(url) …`). */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -98,5 +120,8 @@ package object functions {
     reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("lang_id", es => LangIdExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("token_count_bpe", es => TokenCountBpe(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("url_path", es => UrlPath(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("extract_links", es => ExtractLinks(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("resolve_url", es => ResolveUrl(es.head, es(1)), "scala_udf")
   }
 }

@@ -42,10 +42,11 @@ object PageTable {
     val dir = Paths.get(root)
     if (!Files.isDirectory(dir)) return Seq.empty
     val out = scala.collection.mutable.ArrayBuffer.empty[Int]
-    Files.list(dir).forEach { p =>
+    val st = Files.list(dir) // stream holds a directory fd — must close
+    try st.forEach { p =>
       val n = p.getFileName.toString
       if (n.startsWith("_committed_")) out += n.stripPrefix("_committed_").toInt
-    }
+    } finally st.close()
     out.toSeq.sorted
   }
 

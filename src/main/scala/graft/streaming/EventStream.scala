@@ -59,7 +59,10 @@ object EventStream {
             val events = batch.toSeq
             if (events.isEmpty) Iterator.empty
             else {
-              val sorted = events.sortBy(e => (e.ts.toString, e.event_id))
+              // LocalDateTime's Comparable ordering (chronological by
+              // construction — NOT toString, whose format could drift)
+              val sorted = events.sortBy(e => (e.ts, e.event_id))(
+                Ordering.Tuple2(Ordering.ordered[LocalDateTime], Ordering.Long))
               val prev = state.getOption
               val merged = UserSession(
                 userId,

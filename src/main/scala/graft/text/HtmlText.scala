@@ -179,6 +179,71 @@ object HtmlText {
     done.sortInPlaceBy(_._1).iterator.map(_._2).mkString("\n")
   }
 
+  /** All `<a href>` attribute values in document order (entities decoded,
+    * duplicates preserved — dedup is the frontier's job, not the parser's).
+    * The reference crawler never discovers links (its URL list is fixed,
+    * `web_scraper_pipeline.py:41-56`), so these semantics are the rebuild's
+    * own: raw attribute bytes out, resolution/canonicalization downstream
+    * ([[graft.url.UrlKit.resolve]]).
+    */
+  def extractLinks(html: String): Vector[String] = {
+    if (html == null) return Vector.empty
+    val out = Vector.newBuilder[String]
+    val n = html.length
+    var i = 0
+    while (i < n) {
+      val lt = html.indexOf('<', i)
+      if (lt < 0) i = n
+      else if (lt + 2 < n && (html.charAt(lt + 1) == 'a' || html.charAt(lt + 1) == 'A')
+          && Character.isWhitespace(html.charAt(lt + 2))) {
+        val gt = html.indexOf('>', lt)
+        if (gt < 0) i = n
+        else {
+          val href = findHref(html, lt + 2, gt)
+          if (href != null) out += decodeEntities(href)
+          i = gt + 1
+        }
+      } else {
+        val gt = html.indexOf('>', lt)
+        i = if (gt < 0) n else gt + 1
+      }
+    }
+    out.result()
+  }
+
+  /** href value inside an attribute span [from, to) of `html`; null if none.
+    * Handles `href="x"`, `href='x'`, bare `href=x`, any key case, spaces
+    * around '='.
+    */
+  private def findHref(html: String, from: Int, to: Int): String = {
+    var k = from
+    while (k + 4 <= to) {
+      val isKey = (html.charAt(k) == 'h' || html.charAt(k) == 'H') &&
+        html.regionMatches(true, k, "href", 0, 4) &&
+        (k == from || Character.isWhitespace(html.charAt(k - 1)))
+      if (isKey) {
+        var i = k + 4
+        while (i < to && Character.isWhitespace(html.charAt(i))) i += 1
+        if (i < to && html.charAt(i) == '=') {
+          i += 1
+          while (i < to && Character.isWhitespace(html.charAt(i))) i += 1
+          if (i >= to) return null
+          val q = html.charAt(i)
+          if (q == '"' || q == '\'') {
+            val end = html.indexOf(q, i + 1)
+            return if (end < 0 || end > to) null else html.substring(i + 1, end)
+          } else {
+            var j = i
+            while (j < to && !Character.isWhitespace(html.charAt(j)) && html.charAt(j) != '/') j += 1
+            return html.substring(i, j)
+          }
+        }
+      }
+      k += 1
+    }
+    null
+  }
+
   /** `preprocess_text` (`:95-99`): collapse [ \t]+ → " ", \n{2,} → "\n",
     * then Python-strip. Pure-Scala twin of the column pipeline in
     * [[graft.functions]] (which uses codegen'd regexp_replace built-ins).

@@ -114,9 +114,14 @@ object UrlKit {
     }
     val colon = hostPort.lastIndexOf(':')
     val (host, port) =
-      if (colon >= 0 && hostPort.drop(colon + 1).forall(_.isDigit) && colon + 1 < hostPort.length)
-        (hostPort.substring(0, colon), hostPort.substring(colon + 1).toInt)
-      else (hostPort, -1)
+      if (colon >= 0 && hostPort.drop(colon + 1).forall(_.isDigit)) {
+        val digits = hostPort.substring(colon + 1)
+        if (digits.isEmpty) (hostPort.substring(0, colon), -1) // "host:" = default port (RFC 3986 §3.2.3)
+        // >5 digits or >65535 would overflow/violate the port range: treat the
+        // whole URL as malformed (total-function contract — never throw)
+        else if (digits.length <= 5 && digits.toInt <= 65535) (hostPort.substring(0, colon), digits.toInt)
+        else return null
+      } else (hostPort, -1)
     if (host.isEmpty) return null
     Parts(scheme, host.toLowerCase(java.util.Locale.ROOT), port, rawPath, query)
   }
@@ -132,6 +137,17 @@ object UrlKit {
     val path = if (path0.isEmpty) "/" else path0
     val query = if (p.query.isEmpty) "" else "?" + normPercent(p.query)
     p.scheme + "://" + p.host + portStr + path + query
+  }
+
+  /** Path component of a canonical-or-raw URL ("/" for empty or
+    * unparseable): the robots-rule matching key. Uses the full parser, so a
+    * '?' before the first '/' (http://h?x=/admin) yields "/" — the query is
+    * never mistaken for a path.
+    */
+  def path(url: String): String = {
+    if (url == null) return null
+    val p = parse(url)
+    if (p == null || p.path.isEmpty) "/" else p.path
   }
 
   /** Host of a canonical-or-raw URL ("" if unparseable). */
@@ -156,4 +172,53 @@ object UrlKit {
   }
 
   def hostReverseOfUrl(url: String): String = hostReverse(host(url))
+
+  /** `scheme` of `ref` if it begins with a valid scheme + ':', else null. */
+  private def schemeOf(s: String): String = {
+    if (s.isEmpty || !s.charAt(0).isLetter) return null
+    var i = 1
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == ':') return s.substring(0, i)
+      if (!(c.isLetterOrDigit || c == '+' || c == '-' || c == '.')) return null
+      i += 1
+    }
+    null
+  }
+
+  /** RFC 3986 §5.2 reference resolution against an absolute http(s) base,
+    * followed by canonicalization — the link-discovery hop. Returns null for
+    * non-crawlable schemes (mailto:, javascript:, ftp:, …): a crawl frontier
+    * drops those, and null is how a Catalyst expression says "drop".
+    * Fragments are stripped first (a fragment never changes the fetched
+    * resource). Total function otherwise.
+    */
+  def resolve(base: String, ref0: String): String = {
+    if (base == null || ref0 == null) return null
+    var ref = ref0.trim
+    val frag = ref.indexOf('#')
+    if (frag >= 0) ref = ref.substring(0, frag)
+    if (ref.isEmpty) return canonicalize(base)
+    val scheme = schemeOf(ref)
+    if (scheme != null) {
+      val low = scheme.toLowerCase(java.util.Locale.ROOT)
+      return if (low == "http" || low == "https") canonicalize(ref) else null
+    }
+    val bp = parse(base)
+    if (bp == null) return null // relative link against an unparseable base
+    val portStr = if (bp.port < 0) "" else ":" + bp.port
+    val origin = bp.scheme + "://" + bp.host + portStr
+    if (ref.startsWith("//")) canonicalize(bp.scheme + ":" + ref)
+    else if (ref.startsWith("/")) canonicalize(origin + ref)
+    else if (ref.startsWith("?")) {
+      val basePath = if (bp.path.isEmpty) "/" else bp.path
+      canonicalize(origin + basePath + ref)
+    } else {
+      // merge with the base path's directory (§5.2.3); canonicalize resolves
+      // any ../ the ref carries
+      val basePath = if (bp.path.isEmpty) "/" else bp.path
+      val dir = basePath.substring(0, basePath.lastIndexOf('/') + 1)
+      canonicalize(origin + dir + ref)
+    }
+  }
 }

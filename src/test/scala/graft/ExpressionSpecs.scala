@@ -97,6 +97,80 @@ class ExpressionSpec extends AnyFunSuite {
     assert(missed == 0)
   }
 
+  test("srp_bucket expression == HashEmbed.srpBucket spec twin") {
+    val vecs = (0 until 50).map { i =>
+      val rnd = new scala.util.Random(77 + i)
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1).toSeq)
+    }
+    val df = vecs.toDF("id", "v")
+    for ((bits, seed) <- Seq((4, 7), (8, 7), (6, 13))) {
+      val got = df.select(col("id"), srp_bucket(col("v"), bits, seed).as("b"))
+        .as[(Long, Int)].collect().toMap
+      for ((id, v) <- vecs)
+        assert(got(id) == graft.embed.HashEmbed.srpBucket(v.toArray, bits, seed),
+          s"id=$id bits=$bits seed=$seed")
+    }
+  }
+
+  test("extract_links + resolve_url: discovery hop end to end") {
+    val html = """<html><body>
+      |<a href="/abs/x">a</a>
+      |<p>noise</p><a class="c" HREF='rel/y'>b</a>
+      |<a href="http://Other.test:80/z#f">c</a>
+      |<a href="mailto:u@h.t">drop</a>
+      |<a name="anchor-only">no href</a>
+      |<a href="next?p=2">d</a>
+      |</body></html>""".stripMargin
+    val df = Seq(("http://h.test/dir/page", html)).toDF("url", "html")
+    val links = df.select(explode(extract_links(col("html"))).as("href"))
+      .select(resolve_url(lit("http://h.test/dir/page"), col("href")).as("u"))
+      .where(col("u").isNotNull)
+      .as[String].collect().toSeq
+    assert(links == Seq(
+      "http://h.test/abs/x",
+      "http://h.test/dir/rel/y",
+      "http://other.test/z",
+      "http://h.test/dir/next?p=2"))
+    // kernel twin
+    assert(graft.text.HtmlText.extractLinks(html) ==
+      Vector("/abs/x", "rel/y", "http://Other.test:80/z#f", "mailto:u@h.t", "next?p=2"))
+  }
+
+  test("url_path and jaccard_shingles expressions match kernels") {
+    val df = Seq(
+      ("http://h.test/a/b?x=1", "alpha beta gamma delta", "alpha beta gamma zeta"),
+      ("http://h.test?x=/admin", "a b c", "a b c")).toDF("u", "ta", "tb")
+    val rows = df.select(url_path(col("u")).as("p"),
+      jaccard_shingles(col("ta"), col("tb"), 2).as("j"),
+      col("ta"), col("tb")).collect()
+    for (r <- rows) {
+      assert(r.getAs[Double]("j") ==
+        graft.text.TextStats.jaccard(r.getAs[String]("ta"), r.getAs[String]("tb"), 2))
+    }
+    assert(rows(0).getAs[String]("p") == "/a/b")
+    assert(rows(1).getAs[String]("p") == "/")
+  }
+
+  test("bloom_merge_agg: union of per-wave blooms has no false negatives") {
+    // three "waves" of per-bucket blooms, merged into one bank per bucket —
+    // every key inserted in ANY wave must probe positive in the merged bloom
+    val keys = spark.range(3000)
+      .select((col("id") % 4).as("bucket"), (col("id") % 3).as("wave"),
+        xxhash64(col("id").cast("string")).as("k"))
+    val perWave = keys.groupBy("bucket", "wave")
+      .agg(bloom_agg(col("k"), 2000).as("bloom"))
+    val merged = perWave.groupBy("bucket")
+      .agg(bloom_merge_agg(col("bloom")).as("bloom"))
+    assert(merged.count() == 4)
+    val banks = merged.collect()
+      .map(r => r.getAs[Long]("bucket") -> r.getAs[Array[Byte]]("bloom")).toMap
+    for (b <- 0L until 4L) {
+      val missed = keys.where(col("bucket") === b)
+        .where(!bloom_might_contain(lit(banks(b)), col("k"))).count()
+      assert(missed == 0, s"bucket $b has bloom false negatives after merge")
+    }
+  }
+
   test("whole-stage codegen stays enabled through custom expressions") {
     // over a Range scan (LocalTableScan inputs skip codegen by design);
     // '*(n)' prefixes in the plan mark whole-stage-codegen'd operators

@@ -127,6 +127,29 @@ class RobotsSpec extends AnyFunSuite {
     val kept = Robots.filterAllowed(f, rules).select("seed_idx").as[Long].collect().toSet
     assert(kept == Set(2L, 3L)) // b.test has no rules → allowed
   }
+
+  test("a '?' before the first '/' is a query, not a path (ADVICE fix)") {
+    // http://a.test?x=/private must NOT match the /private disallow prefix
+    val f = Seen.withUrlKeys(Seq(
+      ("http://a.test?x=/private", 1L), ("http://a.test/private?x=1", 2L))
+      .toDF("url", "seed_idx"))
+    val rules = Robots.Rules(Map("a.test" -> Seq("/private")))
+    val kept = Robots.filterAllowed(f, rules).select("seed_idx").as[Long].collect().toSet
+    assert(kept == Set(1L))
+  }
+
+  test("robots gate is a codegen'd expression, not a udf") {
+    // range-based input: a LocalRelation would let the optimizer fold the
+    // whole filter away at plan time and hide the expression
+    val f = Seen.withUrlKeys(spark.range(10)
+      .select(concat(lit("http://a.test/x/"), col("id").cast("string")).as("url"),
+        col("id").as("seed_idx")))
+    val filtered = Robots.filterAllowed(f, Robots.Rules(Map("a.test" -> Seq("/p"))))
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), plan)
+    assert(plan.contains("robots_allowed"), plan)
+    assert(filtered.count() == 10)
+  }
 }
 
 class WaveLoopSpec extends AnyFunSuite {

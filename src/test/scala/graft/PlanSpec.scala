@@ -68,6 +68,29 @@ class PlanSpec extends AnyFunSuite {
     assert(countShuffles(top.queryExecution.executedPlan) <= 1, s)
   }
 
+  test("cosine near-dup never degenerates to a cartesian/BNL join") {
+    // round-1 regression: l.join(r, id < id) compiled to an all-pairs
+    // CartesianProduct — O(n²) shuffled rows at scale. The LSH-bucketed
+    // rewrite must keep every join equi-keyed.
+    for (q <- Seq(
+        SparkEntry.queries("q17_near_dup_cosine")(spark, sf),
+        graft.dedup.Dedup.cosineNearDups(
+          spark.read.parquet(s"$sf/embeddings.parquet"), "vec_id", "embedding", 0.4))) {
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), plan)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    }
+  }
+
+  test("ANN LSH path carries no udf (codegen'd srp_bucket expression)") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val plan = graft.ann.Ann.lshTopK(e, e.where(col("vec_id") < 5),
+      "vec_id", "vec_id", "embedding", k = 3, bits = 4, tables = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), plan)
+    assert(plan.contains("srp_bucket"), plan)
+  }
+
   test("whole text pipeline is one codegen'd map over the scan (no exchange)") {
     import spark.implicits._
     val pages = spark.createDataset(graft.fixtures.PageGen.pages(20)).toDF()

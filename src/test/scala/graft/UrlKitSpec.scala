@@ -59,4 +59,43 @@ class UrlKitSpec extends AnyFunSuite {
     assert(UrlKit.canonicalize("http://x.y/../a") == "http://x.y/a")
     assert(UrlKit.canonicalize("http://x.y/a/..") == "http://x.y/")
   }
+
+  test("port edge cases never throw (total-function contract)") {
+    // oversized port = malformed → lowercase-trim fallback, NOT an exception
+    assert(UrlKit.canonicalize("http://x:99999999999/") == "http://x:99999999999/")
+    assert(UrlKit.canonicalize("HTTP://X:70000/a") == "http://x:70000/a")
+    // valid boundary ports parse
+    assert(UrlKit.canonicalize("http://x:65535/a") == "http://x:65535/a")
+    assert(UrlKit.canonicalize("http://x:1/a") == "http://x:1/a")
+    // empty port = scheme default (RFC 3986 §3.2.3)
+    assert(UrlKit.canonicalize("http://x:/a") == "http://x/a")
+  }
+
+  test("path extraction: '?' before '/' never leaks query into path") {
+    assert(UrlKit.path("http://h.test?x=/admin") == "/")
+    assert(UrlKit.path("http://h.test/admin?x=1") == "/admin")
+    assert(UrlKit.path("http://h.test") == "/")
+    assert(UrlKit.path("not a url") == "/")
+    assert(UrlKit.path("http://h.test/a/b/c") == "/a/b/c")
+  }
+
+  test("reference resolution (RFC 3986 §5.2) + canonicalization") {
+    val base = "http://a.test/dir/page.html?q=1"
+    assert(UrlKit.resolve(base, "http://B.test/x") == "http://b.test/x")
+    assert(UrlKit.resolve(base, "//c.test/y") == "http://c.test/y")
+    assert(UrlKit.resolve(base, "/abs/z") == "http://a.test/abs/z")
+    assert(UrlKit.resolve(base, "rel/w") == "http://a.test/dir/rel/w")
+    assert(UrlKit.resolve(base, "../up") == "http://a.test/up")
+    assert(UrlKit.resolve(base, "?q=2") == "http://a.test/dir/page.html?q=2")
+    assert(UrlKit.resolve(base, "#frag") == "http://a.test/dir/page.html?q=1")
+    assert(UrlKit.resolve(base, "") == "http://a.test/dir/page.html?q=1")
+    // non-crawlable schemes → null (frontier drops by null semantics)
+    assert(UrlKit.resolve(base, "mailto:x@y.z") == null)
+    assert(UrlKit.resolve(base, "javascript:void(0)") == null)
+    assert(UrlKit.resolve(base, "ftp://f.test/x") == null)
+    // port survives resolution
+    assert(UrlKit.resolve("http://a.test:8080/d/p", "q") == "http://a.test:8080/d/q")
+    // base without path
+    assert(UrlKit.resolve("http://a.test", "x") == "http://a.test/x")
+  }
 }
