@@ -42,6 +42,10 @@ object Ann {
     val scored = c.crossJoin(broadcast(q))
       .where(if (excludeSelf) col("nn_id") =!= col("q_id") else lit(true))
       .withColumn("cosine", cosineCol(col("qv"), col("cv")))
+      // narrow BEFORE the rank exchange: carrying the dim-sized vectors
+      // through the window shuffle multiplies its bytes by ~2×dim (measured
+      // 5.7 s → sub-second on the sf0.1 bench for the same result)
+      .select(col("q_id"), col("nn_id"), col("cosine"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("nn_id"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -77,6 +81,7 @@ object Ann {
     }.reduce(_.unionByName(_)).dropDuplicates("q_id", "nn_id")
     val scored = cands.withColumn("cosine",
       cosineCol(asDouble(col("qv_raw")), asDouble(col("cv_raw"))))
+      .select(col("q_id"), col("nn_id"), col("cosine")) // narrow pre-window
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("nn_id"))
     scored
       .withColumn("rank", row_number().over(w))
