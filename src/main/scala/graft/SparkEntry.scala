@@ -403,6 +403,41 @@ object SparkEntry {
         .orderBy("url")
     }),
 
+    // --- link discovery + fetch metrics (north rule) -------------------------
+    "q33_extract_links" -> ((s, dir) => {
+      // one page per document carrying an absolute-path, a relative, an
+      // external-with-default-port, and a mailto href — the resolver must
+      // canonicalize the first three and null out the fourth
+      val base = concat(lit("http://"), col("source"), lit(".test/docs/"),
+        col("doc_id").cast("string"), lit("/view"))
+      val html = concat(
+        lit("<html><body><p>t</p><a href=\"/docs/"), col("doc_id").cast("string"),
+        lit("/next\">n</a><a href='rel/"), (col("doc_id") % 97).cast("string"),
+        lit("'>r</a><a href=\"http://Ext.test:80/e/"), col("doc_id").cast("string"),
+        lit("#f\">e</a><a href=\"mailto:a@b.c\">m</a></body></html>"))
+      docs(s, dir)
+        .select(col("doc_id"), base.as("base"),
+          posexplode(graft.functions.extract_links(html)).as(Seq("pos", "href")))
+        .select(col("doc_id"), col("pos"),
+          graft.functions.resolve_url(col("base"), col("href")).as("link"))
+        .where(col("link").isNotNull)
+        .orderBy("doc_id", "pos")
+    }),
+
+    "q34_fetch_status" -> ((s, dir) => {
+      // frontier = every document's url; pages exist only for even doc_ids →
+      // odd rows are the 404 analogue (join miss), even rows carry parse
+      // metrics (char count + chunk count at the 16/5 guard config)
+      val fr = frontier(s, dir).select("url", "seed_idx")
+      val pg = docs(s, dir).where(col("doc_id") % 2 === 0)
+        .select(concat(lit("http://"), col("source"), lit(".test/docs/"),
+          col("doc_id").cast("string")).as("url"),
+          concat(lit("<html><body><p>"), col("text"), lit("</p></body></html>")).as("html"))
+      graft.frontier.Discover.fetchParse(fr, pg, maxWords = 16, overlap = 5)
+        .select(col("seed_idx"), col("status"), col("n_chars"), col("n_chunks"))
+        .orderBy("seed_idx")
+    }),
+
     "q32_json_parity" -> ((s, dir) => {
       // to_json output contract (reference writes one JSON object per url,
       // `web_scraper_pipeline.py:231-232`); DuckDB oracle reconstructs the
@@ -589,6 +624,26 @@ object SparkEntry {
     "q32_json_parity" ->
       ("""SELECT doc_id, '{"doc_id":' || doc_id || ',"lang":"' || lang || """ +
         """'","n_chars":' || n_chars || '}' AS js FROM documents ORDER BY doc_id"""),
+
+    "q33_extract_links" ->
+      """WITH l AS (
+        |  SELECT doc_id, 0 AS pos,
+        |         'http://' || source || '.test/docs/' || doc_id || '/next' AS link FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 1,
+        |         'http://' || source || '.test/docs/' || doc_id || '/rel/' || (doc_id % 97) FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 2, 'http://ext.test/e/' || doc_id FROM documents)
+        |SELECT doc_id, CAST(pos AS INTEGER) AS pos, link FROM l ORDER BY doc_id, pos""".stripMargin,
+
+    "q34_fetch_status" ->
+      """WITH t AS (SELECT doc_id, text,
+        |             len(regexp_split_to_array(trim(text), '\s+')) AS nw FROM documents)
+        |SELECT doc_id AS seed_idx,
+        |  CASE WHEN doc_id % 2 = 0 THEN 200 ELSE 404 END AS status,
+        |  CASE WHEN doc_id % 2 = 0 THEN len(text) ELSE NULL END AS n_chars,
+        |  CASE WHEN doc_id % 2 = 0 THEN CAST(ceil(nw / 16.0) AS BIGINT) ELSE NULL END AS n_chunks
+        |FROM t ORDER BY seed_idx""".stripMargin,
 
     "q27_window_topk" ->
       """WITH w AS (SELECT o_orderpriority, o_orderkey,

@@ -49,10 +49,15 @@ object WaveLoop {
     *
     * @param seeds       wave-0 frontier: (url STRING, seed_idx BIGINT)
     * @param discover    link-discovery function: scheduled wave → candidate
-    *                    next-wave frontier (url, seed_idx). In production this
-    *                    is parse-extracted hrefs from fetched pages; tests
-    *                    inject a deterministic synthetic link function.
+    *                    next-wave frontier (url, seed_idx). Production:
+    *                    [[Discover.fromPages]] (href extraction + RFC 3986
+    *                    resolution against the pages table); tests may
+    *                    inject a synthetic link function.
     * @param gapSeconds  politeness budget (reference: 3 s sleep)
+    * @param pages       when present, per-URL fetch/parse metrics
+    *                    ([[Discover.fetchParse]]: status 200/404, parse char
+    *                    + chunk counts) are written to `metrics/wave=K` and
+    *                    the fetched/missed totals land in the manifest
     */
   def run(
       spark: SparkSession,
@@ -61,7 +66,8 @@ object WaveLoop {
       discover: DataFrame => DataFrame,
       maxWaves: Int,
       gapSeconds: Long = 3L,
-      robots: Robots.Rules = Robots.AllowAll): Seq[WaveResult] = {
+      robots: Robots.Rules = Robots.AllowAll,
+      pages: Option[DataFrame] = None): Seq[WaveResult] = {
 
     Files.createDirectories(Paths.get(root))
     val already = committedWaves(root)
@@ -113,8 +119,24 @@ object WaveLoop {
         .collect()
         .map(r => s"""{"partition":${r.getInt(0)},"rows":${r.getLong(1)},"hosts":${r.getLong(2)}}""")
         .mkString("[", ",", "]")
+      // per-URL fetch/parse metrics (north rule) — written next to the wave,
+      // totals into the manifest
+      val fetchStats = pages.map { pg =>
+        Discover.fetchParse(
+          sched.select("url", "canonical_url", "url_hash", "seed_idx"), pg,
+          urlCol = "canonical_url")
+          .write.mode(SaveMode.Overwrite).parquet(s"$root/metrics/wave=$wave")
+        val m = spark.read.parquet(s"$root/metrics/wave=$wave")
+          .agg(sum(when(col("status") === 200, 1L).otherwise(0L)).as("fetched"),
+            sum(when(col("status") =!= 200, 1L).otherwise(0L)).as("missed"),
+            coalesce(sum(col("n_chars")), lit(0L)).as("parse_chars"),
+            coalesce(sum(col("n_chunks")), lit(0L)).as("parse_chunks"))
+          .collect()(0)
+        s""","fetched":${m.getAs[Long]("fetched")},"missed":${m.getAs[Long]("missed")},""" +
+          s""""parse_chars":${m.getAs[Long]("parse_chars")},"parse_chunks":${m.getAs[Long]("parse_chunks")}"""
+      }.getOrElse("")
       val manifest =
-        s"""{"wave":$wave,"scheduled":$nScheduled,"gap_seconds":$gapSeconds,
+        s"""{"wave":$wave,"scheduled":$nScheduled,"gap_seconds":$gapSeconds$fetchStats,
            |"lineage":$byPartition}""".stripMargin.replace("\n", "")
       Files.writeString(manifestPath(root, wave), manifest)
 

@@ -190,6 +190,47 @@ class WaveLoopSpec extends AnyFunSuite {
     assert(m.contains("\"lineage\"") && m.contains("\"scheduled\":20"))
   }
 
+  test("REAL link discovery: ExtractLinks + resolve drive a multi-wave crawl") {
+    // pages graph: /p/i (host h(i%3)) links to a RELATIVE "i+3" (same host,
+    // fetchable), an ABSOLUTE "/p/2i" (same host, fetchable only when
+    // i%3==0), and a mailto (dropped by resolve). /p/0's absolute link is
+    // itself — the cross-wave seen-set must drop the revisit.
+    val pages = (0 until 100).map { i =>
+      val html = s"""<html><body><p>doc $i</p><a href="${i + 3}">n</a>""" +
+        s"""<a href="/p/${2 * i}">d</a><a href="mailto:x@y.z">m</a></body></html>"""
+      (s"http://h${i % 3}.test/p/$i", html)
+    }.toDF("url", "html")
+    val seeds = Seq(
+      ("http://h0.test/p/0", 0L), ("http://h1.test/p/1", 1L), ("http://h2.test/p/2", 2L))
+      .toDF("url", "seed_idx")
+    val root = java.nio.file.Files.createTempDirectory("wavesreal").toString
+    val res = WaveLoop.run(spark, root, seeds,
+      graft.frontier.Discover.fromPages(pages), maxWaves = 3, pages = Some(pages))
+    assert(res.length == 3)
+    assert(res(0).scheduled == 3)
+    // wave 1 = children of the seeds: rel 3,4,5 + abs 0 (seen → dropped),
+    // 2 (host h1 — unfetched later but scheduled), 4 (host h2)
+    val w1 = spark.read.parquet(s"$root/schedule/wave=1")
+      .select("canonical_url").as[String].collect().toSet
+    assert(w1 == Set(
+      "http://h0.test/p/3", "http://h1.test/p/4", "http://h2.test/p/5",
+      "http://h1.test/p/2", "http://h2.test/p/4"))
+    // no url is ever scheduled twice across waves
+    val urls = WaveLoop.crawlOrder(spark, root).select("canonical_url").as[String].collect()
+    assert(urls.length == urls.distinct.length)
+    // fetch/parse metrics: wave-1 misses are exactly the two off-host urls
+    val m1 = spark.read.parquet(s"$root/metrics/wave=1")
+    assert(m1.where(col("status") === 404).select("canonical_url").as[String].collect().toSet ==
+      Set("http://h1.test/p/2", "http://h2.test/p/4"))
+    assert(m1.where(col("status") === 200).count() == 3)
+    // fetched rows carry parse metrics, missed rows carry nulls
+    assert(m1.where(col("status") === 200 && col("n_chars").isNull).count() == 0)
+    assert(m1.where(col("status") === 404 && col("n_chars").isNotNull).count() == 0)
+    // manifest totals match
+    val mf = java.nio.file.Files.readString(WaveLoop.manifestPath(root, 1))
+    assert(mf.contains("\"fetched\":3") && mf.contains("\"missed\":2"), mf)
+  }
+
   test("resume: crash between data write and manifest → identical final state") {
     val rootA = java.nio.file.Files.createTempDirectory("wavesA").toString
     val rootB = java.nio.file.Files.createTempDirectory("wavesB").toString
