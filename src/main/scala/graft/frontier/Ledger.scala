@@ -1,0 +1,204 @@
+package graft.frontier
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+import graft.functions.{bloom_agg, bloom_merge_agg, BloomBank, BloomBankProbe}
+import java.nio.file.{Files, Paths}
+
+/** Persistent seen-set ledger, the 10^10-scale layout the north rule names:
+  * a BUCKETED catalog table of (url_hash, canonical_url, wave) plus an
+  * INCREMENTALLY-MAINTAINED per-bucket bloom bank.
+  *
+  * Why each piece exists (all three were round-1 gaps):
+  *
+  *  - '''bucketed table''' (`CLUSTERED BY (url_hash) INTO B BUCKETS`): the
+  *    per-wave exact anti-join reads the ledger pre-partitioned on the join
+  *    key, so only the (small) candidate side shuffles — the round-1 layout
+  *    re-shuffled the whole ledger every wave, a cost that grows with crawl
+  *    age instead of wave size.
+  *  - '''incremental blooms''': wave K's bank = merge(bank K-1, bloom over
+  *    delta K) via [[graft.functions.BloomMergeAgg]] — an O(|delta| +
+  *    buckets) job. Round 1 re-aggregated the FULL ledger per wave.
+  *  - '''wave column''': appends are at-least-once (a crash between append
+  *    and manifest re-appends the delta on resume). Membership semantics
+  *    make duplicates harmless, and filtering `wave <= lastCommitted` keeps
+  *    a half-committed wave's rows out of its own re-run — the resume
+  *    fixture's exactness guarantee.
+  *  - '''compaction''' ([[Ledger.compact]]): collapses the per-wave delta
+  *    files (one file per bucket per wave) to one file per bucket and
+  *    dedups to min-wave per url, bounding file counts on long crawls.
+  *
+  * Broadcast ceiling ([[Ledger.filterUnseen]]): the collected bank is
+  * tens of GB at 10^10 keys and CANNOT broadcast. When its serialized size
+  * exceeds `maxBankBytes` the probe falls back to the plain bucket-aligned
+  * anti-join — in vanilla Spark the bucketed table IS the co-partitioned
+  * probe structure (each task checks candidates against its own bucket's
+  * sorted files); the bloom then lives only in per-bucket row-group stats.
+  */
+final class Ledger(
+    spark: SparkSession,
+    val root: String,
+    val buckets: Int = 64,
+    val expectedPerBucket: Long = 1 << 16,
+    val fpp: Double = 1e-2,
+    val maxBankBytes: Long = 256L << 20,
+    val compactEvery: Int = 8) extends Serializable {
+
+  import Ledger._
+
+  /** Catalog name is derived from the root path so independent crawls in one
+    * session never collide; the version suffix changes on compaction.
+    */
+  private def tableName(version: Int): String =
+    s"graft_seen_${math.abs(scala.util.hashing.MurmurHash3.stringHash(root))}_v$version"
+
+  private def versionFile = Paths.get(root, "_ledger_version")
+
+  def currentVersion: Int =
+    if (Files.exists(versionFile)) Files.readString(versionFile).trim.toInt else 0
+
+  private def tableLocation(version: Int) = s"$root/ledger_v$version"
+
+  /** Idempotent: registers the current version's table (fresh session resume
+    * re-registers over the existing files — the bucketing METADATA lives in
+    * the catalog, so resume must restore it before the files are useful).
+    */
+  def ensure(): Unit = {
+    Files.createDirectories(Paths.get(root))
+    if (!Files.exists(versionFile)) Files.writeString(versionFile, "0")
+    val v = currentVersion
+    val name = tableName(v)
+    // the insert path LISTS the location before writing — it must exist
+    Files.createDirectories(Paths.get(tableLocation(v)))
+    if (!spark.catalog.tableExists(name)) {
+      spark.sql(
+        s"""CREATE TABLE IF NOT EXISTS $name
+           |  (url_hash BIGINT, canonical_url STRING, wave INT)
+           |USING PARQUET
+           |CLUSTERED BY (url_hash) SORTED BY (url_hash) INTO $buckets BUCKETS
+           |LOCATION '${tableLocation(v)}'""".stripMargin)
+    }
+  }
+
+  /** The committed slice of the ledger (bucketed scan — no exchange needed
+    * on this side of a url_hash join).
+    */
+  def committedFrame(upToWave: Int): DataFrame =
+    spark.table(tableName(currentVersion)).where(col("wave") <= upToWave)
+
+  /** Append one wave's delta. `repartition(buckets, url_hash)` uses the same
+    * murmur3-pmod layout as the table's bucketing, so every task holds
+    * exactly one bucket → ONE file per bucket per wave (without it, each
+    * task would write a file per bucket it touches: tasks×buckets files).
+    */
+  def append(delta: DataFrame, wave: Int): Unit = {
+    ensure()
+    delta.select(col("url_hash"), col("canonical_url"), lit(wave).cast("int").as("wave"))
+      .repartition(buckets, col("url_hash"))
+      .write.mode(SaveMode.Append).format("parquet")
+      .bucketBy(buckets, "url_hash").sortBy("url_hash") // must restate the table's spec
+      .saveAsTable(tableName(currentVersion))
+  }
+
+  private def bloomDir(wave: Int) = s"$root/blooms/wave=$wave"
+
+  private def bucketOf(c: Column): Column = pmod(c, lit(buckets)).cast("int")
+
+  /** Latest materialized bloom state at or before `wave` (committed waves
+    * only — the caller passes lastCommitted).
+    */
+  private def latestBloomWave(wave: Int): Option[Int] =
+    (wave to 0 by -1).find(w => Files.exists(Paths.get(bloomDir(w))))
+
+  /** Write wave K's bloom state = merge(state K-1, bloom over delta K).
+    * Cost: one pass over the DELTA plus `buckets` sketch rows — never the
+    * full ledger (LedgerSpec pins the records-read bound).
+    */
+  def writeBlooms(delta: DataFrame, wave: Int): Unit = {
+    val deltaBlooms = delta
+      .groupBy(bucketOf(col("url_hash")).as("bucket"))
+      .agg(bloom_agg(col("url_hash"), math.max(expectedPerBucket, 1024L), fpp).as("bloom"))
+    val merged = latestBloomWave(wave - 1) match {
+      case None => deltaBlooms
+      case Some(prev) =>
+        spark.read.parquet(bloomDir(prev)).unionByName(deltaBlooms)
+          .groupBy("bucket").agg(bloom_merge_agg(col("bloom")).as("bloom"))
+    }
+    merged.coalesce(1).write.mode(SaveMode.Overwrite).parquet(bloomDir(wave))
+  }
+
+  /** Exact unseen filter against the committed ledger: bloom-bank pre-filter
+    * (negatives skip the join entirely), positives verified by the
+    * bucket-aligned anti-join. Falls back to the plain anti-join when the
+    * bank outgrows `maxBankBytes` (see class doc).
+    */
+  def filterUnseen(candidates: DataFrame, upToWave: Int): DataFrame = {
+    ensure()
+    if (upToWave < 0) return candidates
+    val antiRight = committedFrame(upToWave).select("url_hash")
+    latestBloomWave(upToWave) match {
+      case None => candidates // nothing committed yet
+      case Some(w) =>
+        val rows = spark.read.parquet(bloomDir(w)).collect()
+        val bankBytes = rows.iterator.map(_.getAs[Array[Byte]]("bloom").length.toLong).sum
+        if (bankBytes > maxBankBytes) {
+          // co-partitioned fallback: bucketed scan probes in place
+          candidates.join(antiRight, Seq("url_hash"), "left_anti")
+        } else {
+          val bank = new BloomBank(spark.sparkContext.broadcast(
+            rows.map(r => (r.getAs[Int]("bucket"), r.getAs[Array[Byte]]("bloom")))))
+          val maybeSeen = Bridge.column(BloomBankProbe(bank,
+            Bridge.expression(bucketOf(col("url_hash"))),
+            Bridge.expression(col("url_hash"))))
+          val positives = candidates.where(maybeSeen)
+            .join(antiRight, Seq("url_hash"), "left_anti")
+          candidates.where(!maybeSeen).unionByName(positives)
+        }
+    }
+  }
+
+  /** Rewrite the ledger as version+1: one file per bucket, min-wave per url
+    * (membership-equivalent: `wave <= W` filters see a url iff its FIRST
+    * committed appearance is <= W). Old table dropped, files deleted.
+    */
+  def compact(): Unit = {
+    ensure()
+    val v = currentVersion
+    val next = v + 1
+    val nextName = tableName(next)
+    Files.createDirectories(Paths.get(tableLocation(next)))
+    spark.sql(
+      s"""CREATE TABLE $nextName
+         |  (url_hash BIGINT, canonical_url STRING, wave INT)
+         |USING PARQUET
+         |CLUSTERED BY (url_hash) SORTED BY (url_hash) INTO $buckets BUCKETS
+         |LOCATION '${tableLocation(next)}'""".stripMargin)
+    spark.table(tableName(v))
+      .groupBy(col("url_hash"), col("canonical_url"))
+      .agg(min(col("wave")).as("wave"))
+      .select(col("url_hash"), col("canonical_url"), col("wave").cast("int").as("wave"))
+      .repartition(buckets, col("url_hash"))
+      .write.mode(SaveMode.Append).format("parquet")
+      .bucketBy(buckets, "url_hash").sortBy("url_hash")
+      .saveAsTable(nextName)
+    Files.writeString(versionFile, next.toString)
+    spark.sql(s"DROP TABLE IF EXISTS ${tableName(v)}")
+    deleteRecursively(Paths.get(tableLocation(v)))
+  }
+
+  /** Wave-loop hook: compact every `compactEvery` committed waves. */
+  def maybeCompact(wave: Int): Unit =
+    if (compactEvery > 0 && wave > 0 && wave % compactEvery == 0) compact()
+}
+
+object Ledger {
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (!Files.exists(p)) return
+    val st = Files.walk(p)
+    try {
+      st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.deleteIfExists(f))
+    } finally st.close()
+  }
+}

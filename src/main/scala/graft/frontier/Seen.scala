@@ -109,21 +109,28 @@ object Seen {
     * First occurrence (min seed_idx) wins so crawl order stays the first
     * appearance, matching the sequential loop's first-fetch position.
     *
-    * Plan shape is deliberate, in order of rejection:
-    *  - window(row_number) over url_hash: shuffles AND sorts everything;
+    * Plan shape, in order of rejection:
     *  - min_by(struct(all cols)): the aggregation buffer holds strings, which
     *    kicks HashAggregateExec (UnsafeRow, primitive buffers only) over to
     *    ObjectHashAggregate/SortAggregate — measured 4× slower with heavy GC
     *    under 32 concurrent tasks;
-    *  - THIS: winners = groupBy(url_hash).min(seed_idx) — a pure primitive
-    *    hash aggregate with map-side partial collapse — then a left-semi
-    *    join on (url_hash, seed_idx) to recover the surviving rows. Both
-    *    exchanges move only UnsafeRows; seed_idx uniqueness makes it exact.
+    *  - groupBy(url_hash).min(seed_idx) + left-semi join back (round 1's
+    *    choice): two exchanges, and NOT exact when two parents discover the
+    *    same url with an EQUAL seed_idx — the semi join preserves tie
+    *    multiplicity (found by the 20-wave real-discovery crawl);
+    *  - THIS: row_number over (url_hash ORDER BY seed_idx) — ONE exchange +
+    *    an in-partition sort of tiny per-url groups. url_hash is a
+    *    max-cardinality key, so the window has none of the host-window's
+    *    skew problem; rn=1 is exact under any input multiset (tie rows are
+    *    identical by construction — every payload column derives from the
+    *    url — so the arbitrary tie-pick is still deterministic output).
     */
   def dropInWaveDuplicates(candidates: DataFrame): DataFrame = {
-    val winners = candidates
-      .groupBy(col("url_hash"))
-      .agg(min(col("seed_idx")).as("seed_idx"))
-    candidates.join(winners, Seq("url_hash", "seed_idx"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("url_hash")).orderBy(col("seed_idx"))
+    candidates
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
   }
 }

@@ -58,6 +58,12 @@ object WaveLoop {
     *                    ([[Discover.fetchParse]]: status 200/404, parse char
     *                    + chunk counts) are written to `metrics/wave=K` and
     *                    the fetched/missed totals land in the manifest
+    * @param ledger      when present, the seen-set lives in a bucketed
+    *                    catalog table with incrementally-merged per-bucket
+    *                    blooms ([[Ledger]]) instead of the union-of-deltas
+    *                    read — the 10^10-scale layout: per-wave cost tracks
+    *                    the delta, the anti-join never re-shuffles the
+    *                    ledger, and compaction bounds file counts
     */
   def run(
       spark: SparkSession,
@@ -67,7 +73,8 @@ object WaveLoop {
       maxWaves: Int,
       gapSeconds: Long = 3L,
       robots: Robots.Rules = Robots.AllowAll,
-      pages: Option[DataFrame] = None): Seq[WaveResult] = {
+      pages: Option[DataFrame] = None,
+      ledger: Option[Ledger] = None): Seq[WaveResult] = {
 
     Files.createDirectories(Paths.get(root))
     val already = committedWaves(root)
@@ -85,11 +92,15 @@ object WaveLoop {
       // the two stages commute (seen-status is constant per url_hash group)
       val keyed = Seen.withUrlKeys(frontier)
       val gated = Robots.filterAllowed(keyed, robots)
-      val seen = readSeen(spark, root)
       // partitioned bloom pre-filter (north rule): per-bucket sketches over
       // the ledger, probes routed by pmod(url_hash, buckets); positives
-      // verified exactly by the anti-join inside
-      val unseen = Seen.filterUnseenBucketed(gated, seen)
+      // verified exactly by the anti-join inside. Ledger mode reads the
+      // PERSISTED bank + bucketed table (committed waves only: wave-1);
+      // legacy mode rebuilds the bank from the delta-union read.
+      val unseen = ledger match {
+        case Some(l) => l.filterUnseen(gated, wave - 1)
+        case None => Seen.filterUnseenBucketed(gated, readSeen(spark, root))
+      }
       val inWave = Seen.dropInWaveDuplicates(unseen)
       // seed range from the raw wave input (cheap pruned scan) so the salted
       // scheduler never re-executes the dedup/anti-join upstream for stats
@@ -109,6 +120,14 @@ object WaveLoop {
 
       val next = discover(spark.read.parquet(s"$root/schedule/wave=$wave"))
       next.write.mode(SaveMode.Overwrite).parquet(s"$root/next/wave=$wave")
+
+      // ledger + bloom state BEFORE the manifest (the commit point): a crash
+      // here re-appends on resume — harmless, the wave column fences it
+      ledger.foreach { l =>
+        val delta = spark.read.parquet(s"$root/seen/wave=$wave")
+        l.append(delta, wave)
+        l.writeBlooms(delta, wave)
+      }
 
       // metrics + per-partition lineage from the COMMITTED files
       val sched = spark.read.parquet(s"$root/schedule/wave=$wave")
@@ -141,6 +160,7 @@ object WaveLoop {
       Files.writeString(manifestPath(root, wave), manifest)
 
       results += WaveResult(wave, nScheduled, nScheduled)
+      ledger.foreach(_.maybeCompact(wave))
       frontier = spark.read.parquet(s"$root/next/wave=$wave")
       wave += 1
     }

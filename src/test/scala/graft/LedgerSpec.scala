@@ -1,0 +1,151 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import graft.frontier.{Discover, Ledger, Seen, WaveLoop}
+
+/** The persistent bucketed seen-ledger: exactness, bloom incrementality,
+  * compaction, resume, and the no-ledger-shuffle plan property.
+  */
+class LedgerSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** recordsRead across all tasks between reset() and snapshot() — the
+    * incrementality witness (bloom maintenance must read deltas, not the
+    * full ledger).
+    */
+  private class ReadListener extends org.apache.spark.scheduler.SparkListener {
+    private val records = new java.util.concurrent.atomic.AtomicLong(0)
+    override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      if (t.taskMetrics != null) records.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+    def reset(): Unit = records.set(0)
+    def snapshot(): Long = { org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext); records.get }
+  }
+
+  private def keyed(ids: Range) =
+    Seen.withUrlKeys(ids.map(i => (s"http://h${i % 7}.test/$i", i.toLong)).toDF("url", "seed_idx"))
+
+  test("multi-wave append + filterUnseen is EXACT; blooms update incrementally") {
+    val root = java.nio.file.Files.createTempDirectory("ledger").toString
+    val l = new Ledger(spark, root, buckets = 8, expectedPerBucket = 4096)
+    val listener = new ReadListener
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // waves of 1000 urls each, 10% overlap with the previous wave
+      var expectedSeen = Set.empty[Long]
+      for (w <- 0 until 5) {
+        val lo = w * 900 // 10% of each wave re-appears
+        val cands = keyed(lo until (lo + 1000))
+        val unseen = l.filterUnseen(cands, w - 1)
+          .select("seed_idx").as[Long].collect().toSet
+        val want = (lo until (lo + 1000)).map(_.toLong).toSet -- expectedSeen
+        assert(unseen == want, s"wave $w exactness")
+        val delta = keyed(lo until (lo + 1000))
+          .where(col("seed_idx").isin(unseen.toSeq: _*))
+          .select("url_hash", "canonical_url")
+        l.append(delta, w)
+        listener.reset()
+        l.writeBlooms(delta, w)
+        val read = listener.snapshot()
+        // bloom maintenance reads the delta (≤1000 rows) + previous bank
+        // (≤ buckets sketch rows), never the whole ledger
+        assert(read <= 1000 + 2 * 8 + 64,
+          s"wave $w bloom update read $read records — not incremental")
+        expectedSeen ++= want
+      }
+      // final bank has no false negatives: every ledger key probes positive
+      val table = l.committedFrame(4)
+      assert(table.count() == expectedSeen.size)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("anti-join against the ledger shuffles ONLY the candidate side") {
+    val root = java.nio.file.Files.createTempDirectory("ledgerplan").toString
+    val l = new Ledger(spark, root, buckets = 8, maxBankBytes = 0) // force fallback path
+    l.append(keyed(0 until 2000).select("url_hash", "canonical_url"), 0)
+    l.writeBlooms(keyed(0 until 2000).select("url_hash", "canonical_url"), 0)
+    // disable broadcast so the join planning shows the bucketed-scan property
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val filtered = l.filterUnseen(keyed(1000 until 3000), 0)
+      filtered.count()
+      val shuffles = filtered.queryExecution.executedPlan.collect {
+        case _: ShuffleExchangeExec => 1 }.sum
+      assert(shuffles <= 1,
+        s"ledger side re-shuffled:\n${filtered.queryExecution.executedPlan}")
+      assert(filtered.select("seed_idx").as[Long].collect().toSet ==
+        (2000L until 3000L).toSet)
+    }
+  }
+
+  private def withSQLConf(kv: (String, String)*)(f: => Unit): Unit = {
+    val old = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kv.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("20-wave crawl through the ledger: exact dedup, compaction, flat deltas") {
+    // link fn: i → i+37 and i+71, bounded; every wave re-offers seed 0
+    def discover(sched: org.apache.spark.sql.DataFrame) = {
+      val children = sched.select(col("seed_idx")).where(col("seed_idx") < 1500)
+        .select(explode(array(col("seed_idx") + 37, col("seed_idx") + 71)).as("n"))
+        .select(concat(lit("http://h"), (col("n") % 7).cast("string"),
+          lit(".test/"), col("n").cast("string")).as("url"), col("n").as("seed_idx"))
+      children.unionByName(
+        Seq(("http://h0.test/0", 99999L)).toDF("url", "seed_idx"))
+    }
+    val seeds = (0 until 30).map(i => (s"http://h${i % 7}.test/$i", i.toLong)).toDF("url", "seed_idx")
+    val root = java.nio.file.Files.createTempDirectory("ledgerwaves").toString
+    val l = new Ledger(spark, root + "/seenstate", buckets = 8, compactEvery = 6)
+    val res = WaveLoop.run(spark, root, seeds, discover, maxWaves = 20, ledger = Some(l))
+    assert(res.length == 20)
+    // never schedules a url twice across 20 waves
+    val urls = WaveLoop.crawlOrder(spark, root).select("canonical_url").as[String].collect()
+    assert(urls.length == urls.distinct.length)
+    // compaction ran (version advanced) and the ledger still matches the
+    // union of all schedule deltas exactly
+    assert(l.currentVersion >= 2, s"version ${l.currentVersion}")
+    val ledgerKeys = l.committedFrame(19).select("canonical_url").as[String].collect().toSet
+    assert(ledgerKeys == urls.toSet)
+    // file count stays bounded: post-compaction the current table dir holds
+    // one file per bucket per un-compacted wave + compacted base, not
+    // 20 waves x 8 buckets
+    val dir = java.nio.file.Paths.get(root + "/seenstate", s"ledger_v${l.currentVersion}")
+    val files = {
+      val st = java.nio.file.Files.walk(dir)
+      try st.filter(p => p.toString.endsWith(".parquet")).count()
+      finally st.close()
+    }
+    assert(files <= 8 * (20 - 18 + 1) + 8, s"compaction left $files files")
+  }
+
+  test("ledger-mode resume: crash between append and manifest is exact") {
+    def discover(sched: org.apache.spark.sql.DataFrame) =
+      sched.select(col("seed_idx")).where(col("seed_idx") < 300)
+        .select(concat(lit("http://h"), ((col("seed_idx") + 13) % 5).cast("string"),
+          lit(".test/"), (col("seed_idx") + 13).cast("string")).as("url"),
+          (col("seed_idx") + 13).as("seed_idx"))
+    val seeds = (0 until 15).map(i => (s"http://h${i % 5}.test/$i", i.toLong)).toDF("url", "seed_idx")
+    val rootA = java.nio.file.Files.createTempDirectory("ledgerA").toString
+    val rootB = java.nio.file.Files.createTempDirectory("ledgerB").toString
+    WaveLoop.run(spark, rootA, seeds, discover, maxWaves = 3,
+      ledger = Some(new Ledger(spark, rootA + "/seenstate", buckets = 4)))
+    // crash: manifest of wave 1 deleted AFTER ledger append happened
+    WaveLoop.run(spark, rootB, seeds, discover, maxWaves = 2,
+      ledger = Some(new Ledger(spark, rootB + "/seenstate", buckets = 4)))
+    java.nio.file.Files.delete(WaveLoop.manifestPath(rootB, 1))
+    // resume with a FRESH Ledger instance (same root): wave 1 re-runs against
+    // committed state only; the duplicate append is fenced by the wave column
+    WaveLoop.run(spark, rootB, seeds, discover, maxWaves = 3,
+      ledger = Some(new Ledger(spark, rootB + "/seenstate", buckets = 4)))
+    val a = WaveLoop.crawlOrder(spark, rootA)
+      .select("wave", "slot", "host_rev", "canonical_url").collect().toSeq
+    val b = WaveLoop.crawlOrder(spark, rootB)
+      .select("wave", "slot", "host_rev", "canonical_url").collect().toSeq
+    assert(a == b)
+  }
+}
