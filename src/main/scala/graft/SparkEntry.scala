@@ -87,6 +87,19 @@ object SparkEntry {
     }.reduce(_ + _)
   }
 
+  /** q29/q30's page: strip-tag junk, h2, p with the document text, and the
+    * nested-li duplication quirk — every piece of the extractor contract,
+    * reconstructible by the DuckDB oracle as a string expression.
+    * Expected extraction: "Doc N\n<text>\nalpha N beta N\nbeta N".
+    */
+  private def q29Html: Column = concat(
+    lit("<html><head><title>x</title></head><body><nav><p>menu junk</p></nav><h2>Doc "),
+    col("doc_id").cast("string"),
+    lit("</h2><p>"), col("text"),
+    lit("</p><ul><li>alpha "), col("doc_id").cast("string"),
+    lit("<ul><li>beta "), col("doc_id").cast("string"),
+    lit("</li></ul></li></ul><script>var x=1;</script></body></html>"))
+
   /** DuckDB twin of [[q17Buckets]] as a list literal, table-tagged so
     * `list_has_any` means "same bucket in ≥1 table".
     */
@@ -218,8 +231,14 @@ object SparkEntry {
     }),
 
     "q13_chunks_default" -> ((s, dir) => {
-      // multi-paragraph document through the full 512/50 reference chunker
-      val multi = concat(col("text"), lit("\n"), col("text"), lit("\nthe end"))
+      // multi-paragraph document through the accumulate/flush/overlap path:
+      // paragraphs [T', T', "the end"] with T' = text + 8 pad words. The pads
+      // guarantee wordCount(T') ≥ 18, so every paragraph pair overflows
+      // maxWords=32 and each flush window-splits T' — the exact shape the
+      // DuckDB oracle reproduces with list slicing (overlap = last 8 words
+      // of the PRE-overlap previous chunk, reference :155-164).
+      val para = concat(col("text"), lit(" p1 p2 p3 p4 p5 p6 p7 p8"))
+      val multi = concat(para, lit("\n"), para, lit("\nthe end"))
       docs(s, dir)
         .select(col("doc_id"), chunk_explode(multi, 32, 8).as(Seq("chunk_id", "chunk")))
         .withColumn("n_words", size(split(trim(col("chunk")), "\\s+")).cast("long"))
@@ -358,31 +377,41 @@ object SparkEntry {
         .orderBy("o_orderpriority", "rnk")
     }),
 
-    // --- multimodal + full page pipeline (rows-only: inputs are generated,
-    //     not sfDir tables, so DuckDB has nothing to read) --------------------
+    // --- multimodal + full page pipeline (documents-derived inputs so every
+    //     query has a DuckDB oracle; the PageGen byte-identity invariant
+    //     stays covered by HtmlTextSpec/PageTableSpec fixtures) --------------
     "q28_multimodal_features" -> ((s, dir) => {
-      graft.multimodal.Multimodal.featureTable(
-        graft.multimodal.Multimodal.syntheticAssets(s, 200))
-        .select(col("asset_id"), col("width"), col("height"), col("channels"),
+      import s.implicits._
+      val ids = docs(s, dir).select(col("doc_id")).as[Long]
+      val assets = ids.map { i =>
+        graft.multimodal.Multimodal.Asset(i, "image",
+          graft.multimodal.Multimodal.FakeCodec.encodeImageHeader(
+            i, 64 + (i % 8).toInt * 32, 48 + (i % 5).toInt * 32, 3),
+          s"http://img.test/$i")
+      }
+      graft.multimodal.Multimodal.featureTable(assets)
+        .select(col("asset_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"),
           round(col("mean_luma"), 6).as("mean_luma"), col("source_url"))
         .orderBy("asset_id")
     }),
 
     "q29_pages_extract" -> ((s, dir) => {
-      import s.implicits._
-      val pages = s.createDataset(graft.fixtures.PageGen.pages(200))
-      pages.toDF()
-        .withColumn("extracted", extract_readable(col("html").cast("string")))
-        .select(col("url"),
-          (col("extracted") === col("text")).as("matches_invariant"),
-          length(col("extracted")).cast("long").as("n_chars"))
-        .orderBy("url")
+      // nav junk stripped, h2 + p + nested-li quirk collected — the full
+      // extractor contract over a DuckDB-reconstructible page
+      docs(s, dir)
+        .select(col("doc_id"), extract_readable(q29Html).as("extracted"))
+        .orderBy("doc_id")
     }),
 
     "q30_pipeline_results" -> ((s, dir) => {
-      import s.implicits._
-      val pages = s.createDataset(graft.fixtures.PageGen.pages(200)).toDF()
-      graft.pipeline.TextPipeline.results(pages.withColumn("html", col("html").cast("string")))
+      val pages = docs(s, dir).select(
+        concat(lit("http://"), col("source"), lit(".test/docs/"),
+          col("doc_id").cast("string")).as("url"),
+        q29Html.as("html"))
+      graft.pipeline.TextPipeline.results(pages)
         .select(col("url"), size(col("chunks")).cast("long").as("n_chunks"),
           size(col("embeddings")).cast("long").as("n_embeddings"),
           length(col("full_text")).cast("long").as("n_chars"))
@@ -392,13 +421,20 @@ object SparkEntry {
     "q31_pagetable_fetch" -> ((s, dir) => {
       // source/sink roundtrip through the snapshot-versioned bucketed pages
       // table: commit → read latest → frontier⋈pages fetch replay
-      import s.implicits._
       val root = java.nio.file.Files.createTempDirectory("graft_pt").toString
-      val pages = s.createDataset(graft.fixtures.PageGen.pages(150)).toDF()
+      val pages = docs(s, dir).select(
+        concat(lit("http://"), col("source"), lit(".test/docs/"),
+          col("doc_id").cast("string")).as("url"),
+        to_timestamp(lit("2024-01-01 00:00:00")).as("warc_ts"),
+        encode(concat(lit("<html><body><p>"), col("text"), lit("</p></body></html>")),
+          "UTF-8").as("html"),
+        col("text"), col("lang"))
       graft.sources.PageTable.commit(s, root, pages)
       val stored = graft.sources.PageTable.read(s, root)
-      val frontier = pages.select("url").where(length(col("url")) % 3 === 0)
-      graft.sources.PageTable.fetch(frontier, stored, withHtml = false)
+      val fr = docs(s, dir).where(col("doc_id") % 3 === 0)
+        .select(concat(lit("http://"), col("source"), lit(".test/docs/"),
+          col("doc_id").cast("string")).as("url"))
+      graft.sources.PageTable.fetch(fr, stored, withHtml = false)
         .select(col("url"), length(col("text")).cast("long").as("n_chars"), col("lang"))
         .orderBy("url")
     }),
@@ -541,6 +577,43 @@ object SparkEntry {
         |            array_to_string(toks[cid*16+1:least(nw, (cid+1)*16)], ' ') END AS chunk
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
+    // chunker accumulate/flush/overlap at (32, 8) over paragraphs
+    // [T', T', "the end"], T' = text + 8 pads (word count nw ≥ 18 ⇒ the two
+    // T' paragraphs always overflow and each flush window-splits T' into
+    // k = ceil(nw/32) windows). The trailing 2-word paragraph branches:
+    // nw ≤ 30 ⇒ it ACCUMULATES onto the second T' (2 chunks total:
+    // [T', "T' the end"]); nw ≥ 31 ⇒ it flushes separately (2k+1 chunks).
+    // Overlap prepends the last 8 words of the PRE-overlap previous chunk
+    // (reference :155-164).
+    "q13_chunks_default" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text || ' p1 p2 p3 p4 p5 p6 p7 p8'), '\s+') AS toks,
+        |    len(regexp_split_to_array(trim(text || ' p1 p2 p3 p4 p5 p6 p7 p8'), '\s+')) AS nw
+        |  FROM documents),
+        |p AS (SELECT doc_id, toks, nw, CAST(ceil(nw / 32.0) AS INT) AS k,
+        |        (nw <= 30) AS merged FROM t),
+        |c AS (SELECT doc_id, toks, nw, k, merged,
+        |    unnest(generate_series(0, CASE WHEN merged THEN 1 ELSE 2 * k END)) AS cid FROM p),
+        |s AS (SELECT doc_id, cid,
+        |    CASE WHEN merged AND cid = 0 THEN array_to_string(toks, ' ')
+        |         WHEN merged THEN array_to_string(toks, ' ') || ' the end'
+        |         WHEN cid = 2 * k THEN 'the end'
+        |         ELSE array_to_string(toks[32 * (cid % k) + 1 : least(nw, 32 * ((cid % k) + 1))], ' ')
+        |    END AS pre,
+        |    CASE WHEN cid = 0 THEN NULL
+        |         WHEN merged THEN array_to_string(toks[greatest(1, nw - 7) : nw], ' ')
+        |         ELSE array_to_string(
+        |           toks[greatest(32 * ((cid - 1) % k) + 1,
+        |                         least(nw, 32 * (((cid - 1) % k) + 1)) - 7)
+        |                : least(nw, 32 * (((cid - 1) % k) + 1))], ' ')
+        |    END AS tail8
+        |  FROM c),
+        |f AS (SELECT doc_id, cid,
+        |    CASE WHEN cid = 0 THEN pre ELSE tail8 || ' ' || pre END AS chunk FROM s)
+        |SELECT doc_id, CAST(cid AS INTEGER) AS chunk_id, chunk,
+        |  CAST(len(regexp_split_to_array(chunk, '\s+')) AS BIGINT) AS n_words
+        |FROM f ORDER BY doc_id, chunk_id""".stripMargin,
+
     "q14_embed_norm" ->
       "SELECT doc_id, CAST(384 AS BIGINT) AS dim, CAST(1.0 AS DOUBLE) AS norm FROM documents ORDER BY doc_id",
 
@@ -624,6 +697,35 @@ object SparkEntry {
     "q32_json_parity" ->
       ("""SELECT doc_id, '{"doc_id":' || doc_id || ',"lang":"' || lang || """ +
         """'","n_chars":' || n_chars || '}' AS js FROM documents ORDER BY doc_id"""),
+
+    "q28_multimodal_features" ->
+      """SELECT doc_id AS asset_id,
+        |  64 + (doc_id % 8) * 32 AS width,
+        |  48 + (doc_id % 5) * 32 AS height,
+        |  CAST(3 AS BIGINT) AS channels,
+        |  round(list_aggregate(
+        |    list_transform(range(64), i -> CAST((doc_id * 7 + i) % 256 AS DOUBLE)),
+        |    'avg'), 6) AS mean_luma,
+        |  'http://img.test/' || doc_id AS source_url
+        |FROM documents ORDER BY asset_id""".stripMargin,
+
+    "q29_pages_extract" ->
+      """SELECT doc_id,
+        |  'Doc ' || doc_id || chr(10) || text || chr(10) ||
+        |  'alpha ' || doc_id || ' beta ' || doc_id || chr(10) || 'beta ' || doc_id AS extracted
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q30_pipeline_results" ->
+      """SELECT 'http://' || source || '.test/docs/' || doc_id AS url,
+        |  CAST(1 AS BIGINT) AS n_chunks, CAST(1 AS BIGINT) AS n_embeddings,
+        |  len('Doc ' || doc_id || chr(10) || text || chr(10) ||
+        |      'alpha ' || doc_id || ' beta ' || doc_id || chr(10) || 'beta ' || doc_id) AS n_chars
+        |FROM documents ORDER BY url""".stripMargin,
+
+    "q31_pagetable_fetch" ->
+      """SELECT 'http://' || source || '.test/docs/' || doc_id AS url,
+        |  len(text) AS n_chars, lang
+        |FROM documents WHERE doc_id % 3 = 0 ORDER BY url""".stripMargin,
 
     "q33_extract_links" ->
       """WITH l AS (

@@ -173,13 +173,31 @@ object Dedup {
 
   /** Winnowing-fingerprint overlap pairs: docs sharing ≥ minShared
     * fingerprints (position-independent long-run overlap detector).
+    *
+    * `maxDocFreq` caps hot prints: a fingerprint appearing in more than
+    * that many documents (site boilerplate, license headers, navigation
+    * chrome) is dropped BEFORE the self-join — one such print across d
+    * documents would alone emit d² join rows, the classic web-corpus skew
+    * killer. The document-frequency pass is a map-side-combinable count
+    * and the stop-print set joins back as a broadcast anti-join. `<= 0`
+    * disables the cap.
     */
   def fingerprintOverlap(docs: DataFrame, idCol: String, textCol: String,
-      minShared: Int = 2): DataFrame = {
+      minShared: Int = 2, maxDocFreq: Int = 1000): DataFrame = {
     val prints = docs.select(col(idCol).as("id"),
       explode(array_distinct(fp(col(textCol)))).as("print"))
-    val l = prints.as("l")
-    val r = prints.as("r")
+    val kept =
+      if (maxDocFreq <= 0) prints
+      else {
+        // array_distinct above ⇒ one row per (doc, print) ⇒ count = doc freq
+        val hot = prints.groupBy(col("print"))
+          .agg(count(lit(1)).as("df"))
+          .where(col("df") > maxDocFreq)
+          .select("print")
+        prints.join(hot, Seq("print"), "left_anti")
+      }
+    val l = kept.as("l")
+    val r = kept.as("r")
     l.join(r, col("l.print") === col("r.print") && col("l.id") < col("r.id"))
       .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .agg(count(lit(1)).as("shared_prints"))

@@ -46,13 +46,24 @@ object Scheduler {
     * unknown key range is a trap measured the hard way: 100k-wide buckets
     * over a 10^9 key range made the "tiny" offsets frame ~1M rows — a
     * multi-second driver-side broadcast build per wave. The extra min/max
-    * scan is one cheap column-stat job. (At 10^8+ hosts the offsets frame
-    * outgrows a broadcast even with 64 buckets — swap the broadcast join
-    * for a plain shuffle join on hostCol there; shape is otherwise equal.)
+    * scan is one cheap column-stat job.
+    *
+    * `offsetsJoin` — how the per-(host,bucket) offsets come back to the big
+    * frame. At 10^8+ hosts the offsets frame (hosts × ~64 rows) outgrows
+    * any broadcast, so the join mode is explicit:
+    *  - "broadcast": force-hint (right for waves up to ~10^7 hosts; a hint
+    *    OVERRIDES size thresholds, which is exactly the 10^8-host trap);
+    *  - "shuffle": co-partitioned shuffle-hash join of both sides — the
+    *    10^8-host fallback, identical ranks (property-tested on a
+    *    10^6-host fixture);
+    *  - "auto": no hint — AQE picks broadcast vs shuffle from the RUNTIME
+    *    size of the offsets aggregate, the right default for a production
+    *    crawl whose host count varies wave to wave.
     */
   def perHostRankSalted(df: DataFrame, hostCol: String, orderCol: String,
       bucketWidth: Long = -1L,
-      orderKeyRange: Option[(Long, Long)] = None): DataFrame = {
+      orderKeyRange: Option[(Long, Long)] = None,
+      offsetsJoin: String = "broadcast"): DataFrame = {
     val width =
       if (bucketWidth > 0) bucketWidth
       else orderKeyRange match {
@@ -79,8 +90,13 @@ object Scheduler {
               .rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
       .select(col(hostCol), col("_bucket"), col("_offset"))
-    ranked
-      .join(broadcast(offsets), Seq(hostCol, "_bucket"))
+    val withOffsets = offsetsJoin match {
+      case "broadcast" => ranked.join(broadcast(offsets), Seq(hostCol, "_bucket"))
+      case "shuffle" => ranked.join(offsets.hint("shuffle_hash"), Seq(hostCol, "_bucket"))
+      case "auto" => ranked.join(offsets, Seq(hostCol, "_bucket"))
+      case other => throw new IllegalArgumentException(s"offsetsJoin: $other")
+    }
+    withOffsets
       .withColumn("host_pos", col("_rank_in_bucket") + col("_offset"))
       .drop("_bucket", "_rank_in_bucket", "_offset")
   }
@@ -89,9 +105,10 @@ object Scheduler {
     * gapSeconds mirrors the reference's 3 s sleep.
     */
   def schedule(frontier: DataFrame, gapSeconds: Long = 3L, salted: Boolean = true,
-      orderKeyRange: Option[(Long, Long)] = None): DataFrame = {
+      orderKeyRange: Option[(Long, Long)] = None,
+      offsetsJoin: String = "broadcast"): DataFrame = {
     val ranked =
-      if (salted) perHostRankSalted(frontier, "host_rev", "seed_idx", -1L, orderKeyRange)
+      if (salted) perHostRankSalted(frontier, "host_rev", "seed_idx", -1L, orderKeyRange, offsetsJoin)
       else perHostRank(frontier, col("host_rev"), col("seed_idx"))
     ranked.withColumn("slot", (col("host_pos") - 1L) * gapSeconds)
   }

@@ -49,9 +49,10 @@ object Multimodal {
       b.put(0xAB.toByte); b.put(1.toByte)
       b.putShort(w.toShort); b.putShort(h.toShort); b.put(ch.toByte)
       b.putInt(0); b.put(new Array[Byte](5))
-      // deterministic fake pixel payload
-      val rnd = new java.util.Random(assetId)
-      val px = new Array[Byte](64); rnd.nextBytes(px); b.put(px)
+      // deterministic fake pixel payload: px[i] = (id·7 + i) mod 256 —
+      // arithmetic (not PRNG) so the DuckDB oracle can recompute mean_luma
+      val px = Array.tabulate(64)(i => ((assetId * 7 + i) % 256).toByte)
+      b.put(px)
       b.array()
     }
 

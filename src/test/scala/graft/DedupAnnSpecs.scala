@@ -62,6 +62,27 @@ class DedupSpec extends AnyFunSuite {
       assert(pairs.contains((id.toLong, id + 2000L)), s"missed $id")
   }
 
+  test("hot-fingerprint cap kills boilerplate skew, keeps real overlap") {
+    val rnd = new scala.util.Random(5)
+    val boiler = (0 until 30).map(i => s"boiler$i").mkString(" ")
+    // 60 docs: unique head + IDENTICAL 30-token boilerplate tail
+    val docs = (0 until 60).map { i =>
+      (i.toLong, (0 until 40).map(_ => s"u${rnd.nextInt(100000)}").mkString(" ") + " " + boiler)
+    }
+    // plus one genuine near-dup pair sharing a long unique run
+    val sharedRun = (0 until 30).map(i => s"shared$i").mkString(" ")
+    val all = (docs ++ Seq((1000L, "xa xb " + sharedRun), (1001L, "yc yd " + sharedRun)))
+      .toDF("id", "text")
+    val uncapped = Dedup.fingerprintOverlap(all, "id", "text", minShared = 2, maxDocFreq = 0)
+    val capped = Dedup.fingerprintOverlap(all, "id", "text", minShared = 2, maxDocFreq = 10)
+    // boilerplate alone created ~60*59/2 pairs without the cap
+    assert(uncapped.count() > 1000L)
+    val cappedPairs = capped.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(cappedPairs.contains((1000L, 1001L)), "real overlap lost by the cap")
+    assert(!cappedPairs.exists { case (a, b) => a < 60 && b < 60 },
+      "boilerplate pairs survived the cap")
+  }
+
   test("cosine near-dups: perturbed copy is closest") {
     val vecs = (0 until 30).map { i =>
       val rnd = new scala.util.Random(i)

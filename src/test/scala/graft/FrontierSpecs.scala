@@ -25,6 +25,27 @@ class SchedulerSpec extends AnyFunSuite {
     assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
   }
 
+  test("offsets shuffle-join fallback == plain window on a 10^6-host fixture") {
+    // 10^8-host scale path: the offsets frame outgrows any broadcast, so the
+    // rank must be identical through the co-partitioned shuffle join
+    val f = spark.range(1000000L).select(
+      concat(lit("t.h"), (col("id") % 1000000L).cast("string")).as("host_rev"),
+      col("id").as("seed_idx"))
+      // a mega-host on top, so the fallback also sees skew
+      .unionByName(spark.range(5000L).select(lit("t.mega").as("host_rev"),
+        (col("id") + 2000000L).as("seed_idx")))
+    val salted = graft.frontier.Scheduler
+      .perHostRankSalted(f, "host_rev", "seed_idx", bucketWidth = 50000L,
+        offsetsJoin = "shuffle")
+    assert(salted.queryExecution.executedPlan.toString.contains("ShuffledHashJoin"),
+      "fallback did not use a shuffle join")
+    val plain = graft.frontier.Scheduler
+      .perHostRank(f, col("host_rev"), col("seed_idx"))
+    val diff = salted.select("host_rev", "seed_idx", "host_pos")
+      .exceptAll(plain.select("host_rev", "seed_idx", "host_pos"))
+    assert(diff.isEmpty)
+  }
+
   test("politeness: per-host slots are gap-separated and ordered by seed_idx") {
     val sched = Scheduler.schedule(skewedFrontier(500), gapSeconds = 3).collect()
     val byHost = sched.groupBy(_.getAs[String]("host_rev"))
