@@ -43,11 +43,26 @@ object BenchQueries {
     * for scaling runs.
     */
   def frontierSchedule(s: SparkSession, dir: String, reps: Int = 1): DataFrame = {
-    // NOTE: the keyed frontier feeds four consumers (bloom build, both bloom
-    // branches, ledger side). Recomputing the canonicalize+hash map per
-    // branch measured FASTER than persist() — columnar cache build on
-    // string-heavy rows cost 3x the recompute. Maps are cheap; caches aren't.
-    val keyed = frontier.Seen.withUrlKeys(frontierFromLineitem(s, dir, reps))
+    // The keyed frontier feeds FIVE consumers (bloom build, both bloom-probe
+    // branches, the ledger side twice). Round 1 recomputed the
+    // canonicalize+hash map per consumer — a per-stage listener showed the
+    // heavy string stage executing 5×, 70% of all task time, and neither
+    // ReuseExchange nor AQE's stage cache can fold them (separate jobs +
+    // divergent column pruning make the exchanges canonically different;
+    // persist() of deserialized string rows measured 3× one recompute).
+    // The scale-correct layout is the one WaveLoop already uses BETWEEN
+    // waves: STAGE the keyed frontier once (columnar parquet on the tmpfs
+    // spark.local.dir — the write is part of the timed run) and let every
+    // consumer do a column-pruned read. One heavy map + ~60 B/row of
+    // parquet I/O instead of five heavy maps.
+    val staged = s.conf.get("spark.local.dir", "/tmp") + s"/graft-bench-keyed-$reps"
+    frontier.Seen.withUrlKeys(frontierFromLineitem(s, dir, reps))
+      // stage ONLY the downstream columns: url==canonical_url here and host
+      // is derivable from host_rev — staging them would be pure string
+      // bytes through a bandwidth-bound pipeline
+      .select("url_hash", "seed_idx", "canonical_url", "host_rev")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staged)
+    val keyed = s.read.parquet(staged)
     val seen = keyed.where(pmod(col("url_hash"), lit(2)) === 0)
       .select("url_hash", "canonical_url")
     // partitioned bloom (north rule): per-bucket sketches merge in parallel
@@ -174,13 +189,18 @@ object Bench {
     */
   final class TaskTimeListener extends org.apache.spark.scheduler.SparkListener {
     private val runTime = new java.util.concurrent.atomic.AtomicLong(0)
+    private val gcTime = new java.util.concurrent.atomic.AtomicLong(0)
     override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-      if (t.taskMetrics != null) runTime.addAndGet(t.taskMetrics.executorRunTime)
-    def reset(): Unit = runTime.set(0)
+      if (t.taskMetrics != null) {
+        runTime.addAndGet(t.taskMetrics.executorRunTime)
+        gcTime.addAndGet(t.taskMetrics.jvmGCTime)
+      }
+    def reset(): Unit = { runTime.set(0); gcTime.set(0) }
     def millis: Long = runTime.get
+    def gcMillis: Long = gcTime.get
   }
 
-  final case class RunStats(rows: Long, sec: Double, utilization: Double)
+  final case class RunStats(rows: Long, sec: Double, utilization: Double, gcFraction: Double)
 
   /** One measured execution: listener reset → force → bus drain → read. */
   def measuredRun(spark: SparkSession, listener: TaskTimeListener,
@@ -190,7 +210,9 @@ object Bench {
     val n = force(df)
     val sec = (System.nanoTime() - t0) / 1e9
     org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
-    RunStats(n, sec, listener.millis / 1000.0 / (sec * cores))
+    val run = listener.millis.toDouble
+    RunStats(n, sec, run / 1000.0 / (sec * cores),
+      if (run > 0) listener.gcMillis / run else 0.0)
   }
 
   /** Warm-up + min-of-N protocol. A single cold run measures JIT compilation
@@ -218,7 +240,7 @@ object Bench {
           (0 until math.max(runs, 1))
             .map(_ => measuredRun(spark, listener, cpus.toInt, fn(spark, sfDir)))
             .minBy(_.sec)
-        } catch { case _: Throwable => RunStats(-1L, -1.0, 0.0) }
+        } catch { case _: Throwable => RunStats(-1L, -1.0, 0.0, 0.0) }
       if (name == "frontier_schedule") { frontierUrls = best.rows; frontierSec = best.sec }
       name -> best
     }
@@ -271,17 +293,24 @@ object ScalingBench {
     val samples = (1 to trials).map { i =>
       val lo = timeOnce(n, warm = i == 1)
       val hi = timeOnce(4 * n, warm = i == 1)
-      System.err.println(s"[scaling] trial $i: lo=${lo.sec}s (util ${lo.utilization}) " +
-        s"hi=${hi.sec}s (util ${hi.utilization})")
+      System.err.println(s"[scaling] trial $i: lo=${lo.sec}s (util ${lo.utilization} gc ${lo.gcFraction}) " +
+        s"hi=${hi.sec}s (util ${hi.utilization} gc ${hi.gcFraction})")
       (lo, hi)
     }
     val lo = samples.map(_._1).minBy(_.sec)
     val hi = samples.map(_._2).minBy(_.sec)
     require(lo.rows == hi.rows, s"row-count drift: ${lo.rows} vs ${hi.rows}")
     val eff = (lo.sec / hi.sec) / 4.0
+    // best SAME-TRIAL pair: lo and hi ran back-to-back inside one trial, so
+    // this pairing sees (approximately) the same hypervisor weather — the
+    // min-of-mins above can pair a calm lo with a throttled hi and
+    // understate the engine
+    val paired = samples.map { case (l, h) => (l.sec / h.sec) / 4.0 }.max
     println(s"""{"metric":"scaling_efficiency","value":$eff,"unit":"ratio",""" +
+      s""""best_paired_efficiency":$paired,""" +
       s""""urls":${lo.rows},"cores_lo":$n,"cores_hi":${4 * n},"sec_lo":${lo.sec},"sec_hi":${hi.sec},""" +
       s""""utilization_lo":${lo.utilization},"utilization_hi":${hi.utilization},""" +
+      s""""gc_fraction_lo":${lo.gcFraction},"gc_fraction_hi":${hi.gcFraction},""" +
       s""""trials":$trials,"reps":$reps,""" +
       s""""urls_per_sec_lo":${lo.rows / lo.sec},"urls_per_sec_hi":${hi.rows / hi.sec},"sf":"$sfDir"}""")
   }

@@ -344,8 +344,18 @@ class BloomBank(bc: org.apache.spark.broadcast.Broadcast[Array[(Int, Array[Byte]
   // (Found by row-count drift in ScalingBench; pinned by SeenSpec.)
   private val bankId: String = java.util.UUID.randomUUID().toString
 
+  // Per-deserialized-instance memo of the resolved bucket→bloom map. The
+  // JVM-wide cache lookup is `synchronized`, and going through it PER ROW
+  // serialized all task threads on one lock — measured as 2.8× task-time
+  // inflation at 16 cores vs 4 (the round-2 scaling-efficiency killer).
+  // Each task gets its own BloomBank instance from the task binary, touches
+  // the lock once, then probes lock-free. Benign race: re-resolution is
+  // idempotent.
+  @transient private var local: java.util.HashMap[Int, BloomFilter] = _
+
   def mightContain(bucket: Int, key: Long): Boolean = {
-    val m = BloomBank.cached(bankId, bc)
+    var m = local
+    if (m == null) { m = BloomBank.cached(bankId, bc); local = m }
     val bloom = m.get(bucket)
     bloom != null && bloom.mightContainLong(key)
   }
