@@ -275,6 +275,17 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    "q35_ann_ivf" -> ((s, dir) => {
+      // IVF-cell ANN (second scale path next to SRP-LSH): rows-only check —
+      // the kmeans quantizer is not SQL-expressible; recall vs brute force
+      // is pinned in DedupAnnSpecs
+      val e = embeddings(s, dir)
+      graft.ann.Ann.ivfTopK(e, e.where(col("vec_id") < 10),
+        "vec_id", "vec_id", "embedding", k = 5, nlist = 16, nProbe = 6)
+        .select(col("q_id"), col("rank").cast("long").as("rank"), col("nn_id"))
+        .orderBy("q_id", "rank")
+    }),
+
     "q17_near_dup_cosine" -> ((s, dir) => {
       // LSH-bucketed exact-scored near-dup (NO cartesian — PlanSpec pins it).
       // The bucketer here is axis-sign SRP (hyperplanes = the standard basis,

@@ -3,6 +3,7 @@ package graft.ann
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.graftbridge.Bridge
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (ARRAY<FLOAT>), two paths:
@@ -18,6 +19,62 @@ import org.apache.spark.sql.expressions.Window
   *    This is the 100 TB path: buckets partition the corpus, each task scores
   *    one bucket's candidates.
   */
+/** Broadcast IVF centroid matrix with a per-deserialized-instance memo
+  * (same pattern as [[graft.functions.BloomBank]] — the memo keeps the
+  * broadcast `value()` call off the per-row path).
+  */
+final class IvfCentroids(
+    bc: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]]) extends Serializable {
+  @transient private var local: Array[Array[Float]] = _
+  def mat: Array[Array[Float]] = {
+    var m = local
+    if (m == null) { m = bc.value; local = m }
+    m
+  }
+}
+
+object IvfCentroids {
+  /** Cosine-order score of v against centroid c: dot / ||c|| (||v|| is
+    * constant across cells, so it never changes the argmax).
+    */
+  private def score(c: Array[Float], v: Array[Float]): Double = {
+    var dot = 0.0; var n = 0.0; var i = 0
+    val len = math.min(c.length, v.length)
+    while (i < len) { dot += c(i).toDouble * v(i); n += c(i).toDouble * c(i); i += 1 }
+    if (n == 0.0) 0.0 else dot / math.sqrt(n)
+  }
+
+  def nearest(cents: Array[Array[Float]], v: Array[Float]): Int = {
+    var best = 0; var bestS = Double.NegativeInfinity; var c = 0
+    while (c < cents.length) {
+      val s = score(cents(c), v)
+      if (s > bestS) { bestS = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** The `nProbe` highest-scoring cell ids, best first (ties → lower id). */
+  def topCells(cents: Array[Array[Float]], v: Array[Float], nProbe: Int): Array[Int] = {
+    val n = math.min(nProbe, cents.length)
+    val ids = new Array[Int](n)
+    val ss = Array.fill(n)(Double.NegativeInfinity)
+    var c = 0
+    while (c < cents.length) {
+      val s = score(cents(c), v)
+      var i = 0
+      while (i < n && s <= ss(i)) i += 1 // strictly-better insert keeps lower id on tie
+      if (i < n) {
+        var j = n - 1
+        while (j > i) { ss(j) = ss(j - 1); ids(j) = ids(j - 1); j -= 1 }
+        ss(i) = s; ids(i) = c
+      }
+      c += 1
+    }
+    ids
+  }
+}
+
 object Ann {
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
@@ -61,6 +118,72 @@ object Ann {
   def withSrpBuckets(df: DataFrame, vecCol: String, bits: Int, tables: Int): DataFrame =
     (0 until tables).foldLeft(df)((d, t) =>
       d.withColumn(s"bucket_$t", graft.functions.srp_bucket(col(vecCol), bits, seed = 7 + t)))
+
+  // ---------- IVF (inverted-file) path --------------------------------------
+
+  /** Deterministic Lloyd's k-means over a driver-side sample — the coarse
+    * quantizer of an IVF index (Jégou et al., PAMI'11 product-quantization
+    * lineage; here just the IVF cell assignment, exact scoring within
+    * cells). The sample is tiny by construction (`sampleN` rows collected in
+    * `idCol` order — deterministic, no RNG), the iteration count fixed;
+    * at 100 TB the centroids are still a driver-scale object (nlist ≤ 2^16 ×
+    * dim floats) while the ASSIGNMENT below is a distributed codegen'd
+    * expression.
+    */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int = 8, sampleN: Int = 2048): Array[Array[Float]] = {
+    val sample = corpus.orderBy(col(idCol)).limit(sampleN)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(sample.length >= nlist, s"sample ${sample.length} < nlist $nlist")
+    val dim = sample(0).length
+    // deterministic spread init: every (n/k)-th sample vector
+    var centroids = Array.tabulate(nlist)(c => sample((c * sample.length) / nlist).clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(nlist)(new Array[Double](dim))
+      val counts = new Array[Int](nlist)
+      for (v <- sample) {
+        val c = IvfCentroids.nearest(centroids, v)
+        counts(c) += 1
+        var i = 0
+        while (i < dim) { sums(c)(i) += v(i); i += 1 }
+      }
+      centroids = Array.tabulate(nlist) { c =>
+        if (counts(c) == 0) centroids(c) // empty cell keeps its centroid
+        else Array.tabulate(dim)(i => (sums(c)(i) / counts(c)).toFloat)
+      }
+    }
+    centroids
+  }
+
+  /** IVF approximate top-k: corpus rows live in their nearest-centroid cell;
+    * each query probes its `nProbe` nearest cells; candidates = equi-join on
+    * cell id, scored exactly, ranked per query. The 100 TB shape: the
+    * corpus partitions by cell (write it bucketed by `ivf_cell` and the
+    * probe is partition-pruned), candidates ∝ corpus/nlist × nProbe — never
+    * n². Recall knob: nProbe (≈ nProbe/nlist of the space searched).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, qidCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nProbe: Int = 4, iters: Int = 8): DataFrame = {
+    val spark = corpus.sparkSession
+    val cents = new IvfCentroids(
+      spark.sparkContext.broadcast(kmeansCentroids(corpus, idCol, vecCol, nlist, iters)))
+    def cellsOf(vec: Column, probes: Int): Column =
+      Bridge.column(graft.functions.IvfCells(cents, Bridge.expression(vec), probes))
+    val c = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("cv_raw"),
+      element_at(cellsOf(col(vecCol), 1), 1).as("cell"))
+    val q = queries.select(col(qidCol).as("q_id"), col(vecCol).as("qv_raw"),
+      explode(cellsOf(col(vecCol), nProbe)).as("cell"))
+    val scored = q.join(c, "cell")
+      .withColumn("cosine", cosineCol(asDouble(col("qv_raw")), asDouble(col("cv_raw"))))
+      .select(col("q_id"), col("nn_id"), col("cosine")) // narrow pre-window
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("nn_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("nn_id"), col("cosine"))
+  }
 
   /** LSH-bucketed approximate top-k: candidates from `tables` SRP tables,
     * scored exactly, ranked per query. Recall grows with tables and falls

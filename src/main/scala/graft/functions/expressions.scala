@@ -573,6 +573,46 @@ case class SrpBucket(child: Expression, bits: Int, seed: Int)
   override def prettyName: String = "srp_bucket"
 }
 
+/** IVF cell probe: ARRAY<FLOAT|DOUBLE> vector → the `nProbe` nearest
+  * centroid ids (cosine order, best first) against a broadcast centroid
+  * matrix ([[graft.ann.IvfCentroids]]). nProbe=1 is the corpus-side cell
+  * assignment; queries probe several cells.
+  */
+case class IvfCells(cents: graft.ann.IvfCentroids, child: Expression, nProbe: Int)
+    extends UnaryExpression {
+  require(nProbe >= 1, s"nProbe: $nProbe")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  private def elemIsDouble: Boolean = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  override def nullSafeEval(v: Any): Any =
+    IvfEval.cells(cents, v.asInstanceOf[ArrayData], nProbe, elemIsDouble)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftIvfCents", cents, classOf[graft.ann.IvfCentroids].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.IvfEval.cells($ref, $c, $nProbe, $elemIsDouble)")
+  }
+  override protected def withNewChildInternal(c: Expression): IvfCells =
+    copy(child = c)
+  override def prettyName: String = "ivf_cells"
+}
+
+object IvfEval {
+  def cells(cents: graft.ann.IvfCentroids, v: ArrayData, nProbe: Int,
+      elemIsDouble: Boolean): ArrayData = {
+    val dim = v.numElements()
+    val arr = new Array[Float](dim)
+    var i = 0
+    while (i < dim) {
+      arr(i) = if (elemIsDouble) v.getDouble(i).toFloat else v.getFloat(i)
+      i += 1
+    }
+    ArrayData.toArrayData(graft.ann.IvfCentroids.topCells(cents.mat, arr, nProbe))
+  }
+}
+
 /** Merge aggregate over SERIALIZED blooms (all built with identical
   * (expectedItems, fpp) so the bitsets are compatible): BINARY → BINARY.
   * This is what makes the per-bucket seen-set sketch INCREMENTAL across

@@ -116,6 +116,30 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF topk: self is rank 1, recall vs brute force is reasonable") {
+    val v = vectors(400, 32)
+    val q = v.where(col("vec_id") < 20)
+    val bf = Ann.bruteForceTopK(v, q, "vec_id", "vec_id", "embedding", k = 5)
+      .select("q_id", "nn_id").as[(Long, Long)].collect().toSet
+    val ivf = Ann.ivfTopK(v, q, "vec_id", "vec_id", "embedding", k = 5,
+      nlist = 16, nProbe = 8)
+      .select("q_id", "nn_id").as[(Long, Long)].collect().toSet
+    val recall = bf.intersect(ivf).size.toDouble / bf.size
+    assert(recall >= 0.5, s"recall $recall too low")
+    for (qid <- 0L until 20L) assert(ivf.contains((qid, qid)), s"query $qid missed itself")
+  }
+
+  test("IVF centroids are deterministic and cells cover the corpus") {
+    val v = vectors(300, 16)
+    val c1 = Ann.kmeansCentroids(v, "vec_id", "embedding", nlist = 8)
+    val c2 = Ann.kmeansCentroids(v, "vec_id", "embedding", nlist = 8)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+    // nearest() over the sample hits more than one cell (non-degenerate)
+    val cells = v.select("embedding").as[Seq[Float]].collect()
+      .map(x => graft.ann.IvfCentroids.nearest(c1, x.toArray)).toSet
+    assert(cells.size > 1)
+  }
+
   test("LSH topk achieves reasonable recall vs brute force") {
     val v = vectors(400, 32)
     val q = v.where(col("vec_id") < 20)

@@ -82,6 +82,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("ANN IVF path: equi-join on cell id, no cartesian, no udf") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val plan = graft.ann.Ann.ivfTopK(e, e.where(col("vec_id") < 5),
+      "vec_id", "vec_id", "embedding", k = 3, nlist = 8, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("UDF"), plan)
+    assert(plan.contains("ivf_cells"), plan)
+  }
+
   test("ANN LSH path carries no udf (codegen'd srp_bucket expression)") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val plan = graft.ann.Ann.lshTopK(e, e.where(col("vec_id") < 5),
