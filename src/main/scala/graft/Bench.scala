@@ -55,7 +55,9 @@ object BenchQueries {
     // spark.local.dir — the write is part of the timed run) and let every
     // consumer do a column-pruned read. One heavy map + ~60 B/row of
     // parquet I/O instead of five heavy maps.
-    val staged = s.conf.get("spark.local.dir", "/tmp") + s"/graft-bench-keyed-$reps"
+    // spark.local.dir may be a comma-separated list — stage on the first one
+    val staged = s.conf.get("spark.local.dir", "/tmp").split(',').head.trim +
+      s"/graft-bench-keyed-$reps"
     frontier.Seen.withUrlKeys(frontierFromLineitem(s, dir, reps))
       // stage ONLY the downstream columns: url==canonical_url here and host
       // is derivable from host_rev — staging them would be pure string

@@ -133,7 +133,9 @@ object Ann {
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int, iters: Int = 8, sampleN: Int = 2048): Array[Array[Float]] = {
     val sample = corpus.orderBy(col(idCol)).limit(sampleN)
-      .select(col(vecCol)).collect()
+      // cast to FLOAT so ARRAY<DOUBLE> input works like everywhere else in
+      // the IVF path (getSeq[Float] on boxed Doubles would ClassCastException)
+      .select(transform(col(vecCol), x => x.cast("float"))).collect()
       .map(_.getSeq[Float](0).toArray)
     require(sample.length >= nlist, s"sample ${sample.length} < nlist $nlist")
     val dim = sample(0).length

@@ -15,32 +15,37 @@ object Discover {
     * canonical_url → `extract_links(html)` → RFC 3986 resolve against the
     * fetched URL → candidate next-wave frontier (url, seed_idx).
     *
-    * seed_idx policy: `parent_seed × maxLinksPerPage + link_position` —
-    * deterministic BFS-ish priority (children inherit their parent's order,
-    * tie-broken by position on the page). It is an ORDER key, not an id:
-    * uniqueness across pages is irrelevant (the scheduler only needs a
-    * deterministic total order and the dedup keeps min seed_idx per URL).
-    * Deep crawls re-key per wave before overflow matters; at 1024
-    * links/page the key survives ~5 waves from 10^6-scale seeds, and the
-    * wave loop re-keys implicitly because every wave's schedule is ranked
-    * fresh.
+    * seed_idx policy: `pmod(xxhash64(parent_url), 2^40) × maxLinksPerPage +
+    * link_position` — a deterministic priority, NOT an id: the scheduler
+    * only needs a stable total order per wave and the dedup keeps the min
+    * per URL. Hashing the parent (instead of compounding the parent's own
+    * seed_idx) keeps the key bounded at ~2^50 FOREVER — a multiplicative
+    * parent_seed × K scheme overflows Long after ~5 waves and silently
+    * corrupts crawl order. BFS layering comes from the waves themselves;
+    * within a wave the order is (parent-hash, position-on-page), the usual
+    * arbitrary-but-deterministic frontier priority.
     *
     * Scale shape: inner join on canonical_url (bucket-aligned when pages is
     * a [[graft.sources.PageTable]]), html never survives past the explode,
     * and the explode output is (2 longs + 1 string)/link.
     */
-  def fromPages(pages: DataFrame, maxLinksPerPage: Int = 1024): DataFrame => DataFrame =
+  def fromPages(pages: DataFrame, maxLinksPerPage: Int = 1024): DataFrame => DataFrame = {
+    // 2^40 hash range × 2^13 positions < 2^63: the priority can never wrap
+    require(maxLinksPerPage >= 1 && maxLinksPerPage <= 8192,
+      s"maxLinksPerPage out of range: $maxLinksPerPage")
     scheduled => {
       val p = pages.select(col("url").as("canonical_url"), col("html"))
       scheduled.select("canonical_url", "seed_idx")
         .join(p, Seq("canonical_url"))
-        .select(col("seed_idx").as("parent_seed"), col("canonical_url").as("base"),
+        .select(col("canonical_url").as("base"),
           posexplode(extract_links(col("html").cast("string"))).as(Seq("pos", "href")))
         .where(col("pos") < maxLinksPerPage)
         .select(resolve_url(col("base"), col("href")).as("url"),
-          (col("parent_seed") * maxLinksPerPage + col("pos")).as("seed_idx"))
+          (pmod(xxhash64(col("base")), lit(1L << 40)) * maxLinksPerPage + col("pos"))
+            .as("seed_idx"))
         .where(col("url").isNotNull)
     }
+  }
 
   /** Per-URL fetch/parse metrics (north rule: "fetch/parse metrics written
     * to Iceberg"): left-join the frontier against the pages table — a join

@@ -54,6 +54,7 @@ final class Ledger(
     s"graft_seen_${math.abs(scala.util.hashing.MurmurHash3.stringHash(root))}_v$version"
 
   private def versionFile = Paths.get(root, "_ledger_version")
+  private def paramsFile = Paths.get(root, "_ledger_params")
 
   def currentVersion: Int =
     if (Files.exists(versionFile)) Files.readString(versionFile).trim.toInt else 0
@@ -62,11 +63,23 @@ final class Ledger(
 
   /** Idempotent: registers the current version's table (fresh session resume
     * re-registers over the existing files — the bucketing METADATA lives in
-    * the catalog, so resume must restore it before the files are useful).
+    * the catalog, so resume must restore it before the files are useful),
+    * validates the sketch parameters against the persisted ones (opening an
+    * existing root with different buckets/fpp would silently mis-route bloom
+    * probes = false negatives = lost dedup — fail fast instead), and sweeps
+    * pre-compaction table versions a crash may have leaked.
     */
   def ensure(): Unit = {
     Files.createDirectories(Paths.get(root))
     if (!Files.exists(versionFile)) Files.writeString(versionFile, "0")
+    val params = s"""{"buckets":$buckets,"expectedPerBucket":$expectedPerBucket,"fpp":$fpp}"""
+    if (!Files.exists(paramsFile)) Files.writeString(paramsFile, params)
+    else {
+      val stored = Files.readString(paramsFile).trim
+      require(stored == params,
+        s"ledger at $root was created with $stored; this instance has $params — " +
+          "sketch parameters are part of the on-disk format and cannot change on resume")
+    }
     val v = currentVersion
     val name = tableName(v)
     // the insert path LISTS the location before writing — it must exist
@@ -78,6 +91,11 @@ final class Ledger(
            |USING PARQUET
            |CLUSTERED BY (url_hash) SORTED BY (url_hash) INTO $buckets BUCKETS
            |LOCATION '${tableLocation(v)}'""".stripMargin)
+    }
+    // sweep leaked older versions (crash between version bump and cleanup)
+    for (old <- 0 until v) {
+      spark.sql(s"DROP TABLE IF EXISTS ${tableName(old)}")
+      Ledger.deleteRecursively(Paths.get(tableLocation(old)))
     }
   }
 
@@ -106,10 +124,13 @@ final class Ledger(
   private def bucketOf(c: Column): Column = pmod(c, lit(buckets)).cast("int")
 
   /** Latest materialized bloom state at or before `wave` (committed waves
-    * only — the caller passes lastCommitted).
+    * only — the caller passes lastCommitted). Requires the writer's
+    * `_SUCCESS` marker: a crash mid-write must read as absent, because a
+    * PARTIAL bank would produce bloom false negatives — silently lost
+    * dedup, the worst failure mode a seen-set can have.
     */
   private def latestBloomWave(wave: Int): Option[Int] =
-    (wave to 0 by -1).find(w => Files.exists(Paths.get(bloomDir(w))))
+    (wave to 0 by -1).find(w => Files.exists(Paths.get(bloomDir(w), "_SUCCESS")))
 
   /** Write wave K's bloom state = merge(state K-1, bloom over delta K).
     * Cost: one pass over the DELTA plus `buckets` sketch rows — never the
@@ -138,14 +159,28 @@ final class Ledger(
     if (upToWave < 0) return candidates
     val antiRight = committedFrame(upToWave).select("url_hash")
     latestBloomWave(upToWave) match {
-      case None => candidates // nothing committed yet
+      case None =>
+        // no (committed) bloom state. The LEDGER is the ground truth — a
+        // missing/disabled bank must degrade to the exact anti-join, never
+        // to a pass-through (which would re-crawl everything the table
+        // remembers). Cheap when the table is actually empty.
+        candidates.join(antiRight, Seq("url_hash"), "left_anti")
       case Some(w) =>
-        val rows = spark.read.parquet(bloomDir(w)).collect()
-        val bankBytes = rows.iterator.map(_.getAs[Array[Byte]]("bloom").length.toLong).sum
+        // broadcast-ceiling check from FILE METADATA: collecting first and
+        // measuring after would OOM the driver at exactly the scale the
+        // fallback exists for
+        val bankBytes = {
+          val dir = Paths.get(bloomDir(w))
+          val st = Files.walk(dir)
+          try st.filter(p => p.toString.endsWith(".parquet"))
+            .mapToLong(p => Files.size(p)).sum()
+          finally st.close()
+        }
         if (bankBytes > maxBankBytes) {
           // co-partitioned fallback: bucketed scan probes in place
           candidates.join(antiRight, Seq("url_hash"), "left_anti")
         } else {
+          val rows = spark.read.parquet(bloomDir(w)).collect()
           val bank = new BloomBank(spark.sparkContext.broadcast(
             rows.map(r => (r.getAs[Int]("bucket"), r.getAs[Array[Byte]]("bloom")))))
           val maybeSeen = Bridge.column(BloomBankProbe(bank,
@@ -167,6 +202,11 @@ final class Ledger(
     val v = currentVersion
     val next = v + 1
     val nextName = tableName(next)
+    // idempotent retry: a previous crashed compaction may have left the
+    // target table registered and/or its location non-empty — start clean
+    // (the version file still points at v, so nothing committed is lost)
+    spark.sql(s"DROP TABLE IF EXISTS $nextName")
+    Ledger.deleteRecursively(Paths.get(tableLocation(next)))
     Files.createDirectories(Paths.get(tableLocation(next)))
     spark.sql(
       s"""CREATE TABLE $nextName

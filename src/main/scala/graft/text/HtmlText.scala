@@ -233,8 +233,11 @@ object HtmlText {
             val end = html.indexOf(q, i + 1)
             return if (end < 0 || end > to) null else html.substring(i + 1, end)
           } else {
+            // unquoted value: runs to whitespace or tag end — '/' is NOT a
+            // terminator (HTML5 unquoted-attribute state: <a href=/about>
+            // means "/about", <a href=docs/p.html> keeps the full path)
             var j = i
-            while (j < to && !Character.isWhitespace(html.charAt(j)) && html.charAt(j) != '/') j += 1
+            while (j < to && !Character.isWhitespace(html.charAt(j))) j += 1
             return html.substring(i, j)
           }
         }

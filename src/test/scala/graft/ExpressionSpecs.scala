@@ -120,6 +120,7 @@ class ExpressionSpec extends AnyFunSuite {
       |<a href="mailto:u@h.t">drop</a>
       |<a name="anchor-only">no href</a>
       |<a href="next?p=2">d</a>
+      |<a href=/bare/sub.html>e</a>
       |</body></html>""".stripMargin
     val df = Seq(("http://h.test/dir/page", html)).toDF("url", "html")
     val links = df.select(explode(extract_links(col("html"))).as("href"))
@@ -130,10 +131,13 @@ class ExpressionSpec extends AnyFunSuite {
       "http://h.test/abs/x",
       "http://h.test/dir/rel/y",
       "http://other.test/z",
-      "http://h.test/dir/next?p=2"))
-    // kernel twin
+      "http://h.test/dir/next?p=2",
+      "http://h.test/bare/sub.html"))
+    // kernel twin — note the UNQUOTED href keeps its slashes (HTML5
+    // unquoted-attribute-value state; a '/' is not a terminator)
     assert(graft.text.HtmlText.extractLinks(html) ==
-      Vector("/abs/x", "rel/y", "http://Other.test:80/z#f", "mailto:u@h.t", "next?p=2"))
+      Vector("/abs/x", "rel/y", "http://Other.test:80/z#f", "mailto:u@h.t",
+        "next?p=2", "/bare/sub.html"))
   }
 
   test("url_path and jaccard_shingles expressions match kernels") {

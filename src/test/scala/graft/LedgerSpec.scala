@@ -123,6 +123,28 @@ class LedgerSpec extends AnyFunSuite {
     assert(files <= 8 * (20 - 18 + 1) + 8, s"compaction left $files files")
   }
 
+  test("re-opening a ledger with different sketch params fails fast") {
+    val root = java.nio.file.Files.createTempDirectory("ledgerparams").toString
+    new Ledger(spark, root, buckets = 8).ensure()
+    // silent mismatch would mis-route bloom probes → false negatives
+    val e = intercept[IllegalArgumentException] {
+      new Ledger(spark, root, buckets = 16).ensure()
+    }
+    assert(e.getMessage.contains("sketch parameters"))
+    // same params re-open fine
+    new Ledger(spark, root, buckets = 8).ensure()
+  }
+
+  test("missing bloom state degrades to the exact anti-join, not pass-through") {
+    val root = java.nio.file.Files.createTempDirectory("ledgernobloom").toString
+    val l = new Ledger(spark, root, buckets = 4)
+    l.append(keyed(0 until 500).select("url_hash", "canonical_url"), 0)
+    // no writeBlooms call — e.g. success markers disabled or bank lost
+    val unseen = l.filterUnseen(keyed(0 until 1000), 0)
+      .select("seed_idx").as[Long].collect().toSet
+    assert(unseen == (500L until 1000L).toSet)
+  }
+
   test("ledger-mode resume: crash between append and manifest is exact") {
     def discover(sched: org.apache.spark.sql.DataFrame) =
       sched.select(col("seed_idx")).where(col("seed_idx") < 300)
