@@ -275,6 +275,25 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    "q36_audio_features" -> ((s, dir) => {
+      // audio path through the same mapPartitions decode plumbing as images
+      // (arithmetic fake payload → rms is oracle-recomputable)
+      import s.implicits._
+      val ids = docs(s, dir).select(col("doc_id")).as[Long]
+      val assets = ids.map { i =>
+        graft.multimodal.Multimodal.Asset(i, "audio",
+          graft.multimodal.Multimodal.FakeCodec.encodeAudioHeader(
+            i, 8000 + (i % 3).toInt * 4000, 64),
+          s"http://aud.test/$i")
+      }
+      graft.multimodal.Multimodal.audioFeatures(assets).toDF()
+        .select(col("asset_id"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("n_samples"),
+          round(col("rms"), 6).as("rms"))
+        .orderBy("asset_id")
+    }),
+
     "q35_ann_ivf" -> ((s, dir) => {
       // IVF-cell ANN (second scale path next to SRP-LSH): rows-only check —
       // the kmeans quantizer is not SQL-expressible; recall vs brute force
@@ -719,6 +738,16 @@ object SparkEntry {
         |    'avg'), 6) AS mean_luma,
         |  'http://img.test/' || doc_id AS source_url
         |FROM documents ORDER BY asset_id""".stripMargin,
+
+    "q36_audio_features" ->
+      """WITH s AS (SELECT doc_id,
+        |    list_transform(range(64), i -> ((doc_id * 11 + i * 3) % 256 - 128) / 128.0) AS smp
+        |  FROM documents)
+        |SELECT doc_id AS asset_id,
+        |  8000 + (doc_id % 3) * 4000 AS sample_rate,
+        |  CAST(64 AS BIGINT) AS n_samples,
+        |  round(sqrt(list_aggregate(list_transform(smp, x -> x * x), 'avg')), 6) AS rms
+        |FROM s ORDER BY asset_id""".stripMargin,
 
     "q29_pages_extract" ->
       """SELECT doc_id,

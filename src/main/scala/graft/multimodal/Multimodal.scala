@@ -66,6 +66,37 @@ object Multimodal {
       while (i < bytes.length) { luma += (bytes(i) & 0xff); i += 1 }
       (w, h, ch, if (bytes.length > 16) luma / (bytes.length - 16) else 0.0)
     }
+
+    /** header: [magic 0xAB, modality=2, pad:5, rate:4, pad:5]; payload:
+      * signed 8-bit samples, sample i = (id·11 + i·3) mod 256 − 128
+      * (arithmetic, so the oracle can recompute rms).
+      */
+    def encodeAudioHeader(assetId: Long, sampleRate: Int, nSamples: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(16 + nSamples)
+      b.put(0xAB.toByte); b.put(2.toByte)
+      b.putShort(0); b.putShort(0); b.put(0.toByte)
+      b.putInt(sampleRate); b.put(new Array[Byte](5))
+      val px = Array.tabulate(nSamples)(i => ((assetId * 11 + i * 3) % 256 - 128).toByte)
+      b.put(px)
+      b.array()
+    }
+
+    /** (sampleRate, nSamples, rms of samples normalized to [-1, 1)). */
+    def decodeAudio(bytes: Array[Byte]): (Int, Long, Double) = {
+      require(bytes.length >= 16 && bytes(0) == 0xAB.toByte && bytes(1) == 2.toByte, "bad magic")
+      val b = java.nio.ByteBuffer.wrap(bytes)
+      b.position(7)
+      val rate = b.getInt
+      val n = bytes.length - 16
+      var acc = 0.0
+      var i = 16
+      while (i < bytes.length) {
+        val s = bytes(i) / 128.0
+        acc += s * s
+        i += 1
+      }
+      (rate, n.toLong, if (n > 0) math.sqrt(acc / n) else 0.0)
+    }
   }
   // ======== END STUB =======================================================
 
@@ -94,6 +125,21 @@ object Multimodal {
       it.map { a =>
         val (w, h, ch, luma) = FakeCodec.decodeImage(a.bytes)
         ImageFeatures(a.asset_id, w, h, ch, luma)
+      }
+    }
+  }
+
+  /** Audio twin of [[imageFeatures]] — same mapPartitions shape (init-once
+    * per task, streaming iterator); video would follow the same pattern
+    * with a frame-sampling step and stays stubbed until a codec exists.
+    */
+  def audioFeatures(assets: Dataset[Asset]): Dataset[AudioFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.filter(_.modality == "audio").mapPartitions { it =>
+      // >>> per-partition codec init would go here (once, not per row) <<<
+      it.map { a =>
+        val (rate, n, rms) = FakeCodec.decodeAudio(a.bytes)
+        AudioFeatures(a.asset_id, rate, n, rms)
       }
     }
   }

@@ -78,6 +78,33 @@ object EventStream {
       }
   }
 
+  final case class DiscoveredUrl(url_hash: Long, url: String)
+
+  /** Streaming twin of the seen-set ledger: stateful first-occurrence
+    * filter over a discovery stream — a url is emitted the FIRST time its
+    * hash appears across micro-batches, then suppressed forever (state =
+    * one boolean per url_hash, the streaming analogue of the bloom+ledger
+    * membership check). This is the operator a streaming frontier deploy
+    * would put between link discovery and scheduling; the batch wave loop
+    * keeps using [[graft.frontier.Ledger]] because fixtures demand a
+    * deterministic global order per wave (SURVEY.md §1.4).
+    */
+  def streamingSeenFilter(urls: Dataset[DiscoveredUrl]): Dataset[DiscoveredUrl] = {
+    import urls.sparkSession.implicits._
+    urls
+      .groupByKey(_.url_hash)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, batch: Iterator[DiscoveredUrl], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            // first occurrence within the batch wins; order inside a batch
+            // is the source order
+            batch.take(1)
+          }
+      }
+  }
+
   /** Drive a streaming aggregation over the (batch) events parquet through a
     * real streaming query into a memory sink; returns the final table.
     * Deterministic: one trigger consumes everything.

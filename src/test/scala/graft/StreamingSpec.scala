@@ -27,6 +27,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming seen-filter: first occurrence only, across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import EventStream.DiscoveredUrl
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[DiscoveredUrl]
+    val q = EventStream.streamingSeenFilter(input.toDS())
+      .writeStream.format("memory").queryName("t_seen").outputMode("append").start()
+    try {
+      input.addData(DiscoveredUrl(1, "http://a/1"), DiscoveredUrl(2, "http://b/1"),
+        DiscoveredUrl(1, "http://a/1?dup=batch"))
+      q.processAllAvailable()
+      // batch 2 re-offers both seen hashes plus one new
+      input.addData(DiscoveredUrl(2, "http://b/1"), DiscoveredUrl(1, "http://a/1"),
+        DiscoveredUrl(3, "http://c/1"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("t_seen").as[DiscoveredUrl].collect()
+    assert(got.map(_.url_hash).sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(got.length == 3) // each hash exactly once, ever
+  }
+
   test("stateful sessionization groups a user's events with bounds") {
     val events = spark.read.parquet(s"$sf/events.parquet")
       .select("event_id", "ts", "user_id", "event_type", "value")
