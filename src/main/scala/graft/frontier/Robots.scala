@@ -47,6 +47,26 @@ object Robots {
       Bridge.expression(graft.functions.url_path(col("canonical_url")))))
     df.where(pred)
   }
+
+  /** [[filterAllowed]] for rule sets that outgrow a broadcast (10^8 hosts ×
+    * prefix lists): ships only the rules for hosts PRESENT IN THIS WAVE.
+    * A wave's distinct-host set is politeness-bounded (each host contributes
+    * ≤ wave-duration/gap URLs, so hosts ≈ wave size in the worst case but
+    * the RULES for them are what fits — the global map never moves). The
+    * host collection is one cheap distinct over the wave; `maxRuleHosts`
+    * guards the degenerate case where even the subset is too big — there
+    * the filter falls back to the full broadcast and the caller should
+    * shard the wave.
+    */
+  def filterAllowedScalable(df: DataFrame, rules: Rules,
+      maxRuleHosts: Int = 5000000): DataFrame = {
+    if (rules.disallowByHost.isEmpty) return df
+    val waveHosts = df.select("host").distinct()
+      .collect().map(_.getString(0)).toSet
+    val subset = Rules(rules.disallowByHost.view.filterKeys(waveHosts.contains).toMap)
+    if (subset.disallowByHost.size > maxRuleHosts) filterAllowed(df, rules)
+    else filterAllowed(df, subset)
+  }
 }
 
 /** (host, path) → allowed? over a broadcast [[Robots.Rules]]. The rules ride

@@ -159,6 +159,20 @@ class RobotsSpec extends AnyFunSuite {
     assert(kept == Set(1L))
   }
 
+  test("scalable robots gate (wave-subset rules) == full-rules filter") {
+    val f = Seen.withUrlKeys(spark.range(200).select(
+      concat(lit("http://h"), (col("id") % 10).cast("string"),
+        lit(".test/private/"), col("id").cast("string")).as("url"),
+      col("id").as("seed_idx")))
+    // rules for 1000 hosts; only 10 appear in the wave
+    val rules = Robots.Rules(
+      (0 until 1000).map(i => s"h$i.test" -> Seq(if (i % 2 == 0) "/private" else "/other")).toMap)
+    val full = Robots.filterAllowed(f, rules).select("seed_idx").as[Long].collect().toSet
+    val scalable = Robots.filterAllowedScalable(f, rules).select("seed_idx").as[Long].collect().toSet
+    assert(scalable == full)
+    assert(full == (0L until 200L).filter(i => (i % 10) % 2 == 1).toSet)
+  }
+
   test("robots gate is a codegen'd expression, not a udf") {
     // range-based input: a LocalRelation would let the optimizer fold the
     // whole filter away at plan time and hide the expression
