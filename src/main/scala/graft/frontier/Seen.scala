@@ -15,10 +15,13 @@ import graft.functions.{bloom_agg, bloom_might_contain, canonicalize_url, host_o
   * ledger shuffles the world every wave. The classic crawler layout
   * (Heritrix/IRLbot lineage) is used instead:
   *
-  *   - ledger: Parquet of (url_hash BIGINT, canonical_url STRING), the
-  *     exact ground truth, hash-bucketed by `pmod(url_hash, buckets)` so the
-  *     per-wave anti-join is bucket-aligned (no full-table shuffle once both
-  *     sides are written bucketed);
+  *   - ledger: the exact ground truth of (url_hash, canonical_url). The
+  *     persistent, BUCKET-ALIGNED form (catalog table `CLUSTERED BY
+  *     url_hash` + incrementally-merged per-bucket blooms + compaction)
+  *     lives in [[Ledger]] — the anti-join there reads the ledger
+  *     pre-partitioned and shuffles only the candidate side. The helpers
+  *     in THIS object take ad-hoc ledger frames (benchmarks, single-shot
+  *     jobs) and build the bloom bank on the fly;
   *   - bloom pre-filter: one BloomFilter per run (or per bucket at scale),
   *     built by the [[graft.functions.BloomAgg]] TypedImperativeAggregate.
   *     `might_contain == false` → DEFINITELY new → skips the join entirely.
