@@ -294,6 +294,24 @@ object SparkEntry {
         .orderBy("asset_id")
     }),
 
+    "q37_video_frames" -> ((s, dir) => {
+      // video leg: decode-once / row-per-sampled-frame flatMap shape
+      import s.implicits._
+      val ids = docs(s, dir).select(col("doc_id")).as[Long]
+      val assets = ids.map { i =>
+        graft.multimodal.Multimodal.Asset(i, "video",
+          graft.multimodal.Multimodal.FakeCodec.encodeVideoHeader(
+            i, 320 + (i % 4).toInt * 160, 240 + (i % 3).toInt * 120, 24),
+          s"http://vid.test/$i")
+      }
+      graft.multimodal.Multimodal.videoFrames(assets, everyK = 6).toDF()
+        .select(col("asset_id"), col("frame_idx"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("mean_luma").cast("long").as("luma"))
+        .orderBy("asset_id", "frame_idx")
+    }),
+
     "q35_ann_ivf" -> ((s, dir) => {
       // IVF-cell ANN (second scale path next to SRP-LSH): rows-only check —
       // the kmeans quantizer is not SQL-expressible; recall vs brute force
@@ -748,6 +766,14 @@ object SparkEntry {
         |  CAST(64 AS BIGINT) AS n_samples,
         |  round(sqrt(list_aggregate(list_transform(smp, x -> x * x), 'avg')), 6) AS rms
         |FROM s ORDER BY asset_id""".stripMargin,
+
+    "q37_video_frames" ->
+      """SELECT doc_id AS asset_id, CAST(f AS INTEGER) AS frame_idx,
+        |  320 + (doc_id % 4) * 160 AS width,
+        |  240 + (doc_id % 3) * 120 AS height,
+        |  (doc_id * 13 + f * 5) % 256 AS luma
+        |FROM documents, unnest([0, 6, 12, 18]) AS t(f)
+        |ORDER BY asset_id, frame_idx""".stripMargin,
 
     "q29_pages_extract" ->
       """SELECT doc_id,

@@ -37,6 +37,14 @@ object Multimodal {
       n_samples: Long,
       rms: Double)
 
+  /** One sampled video frame (the explode shape: asset → frame rows). */
+  final case class VideoFrame(
+      asset_id: Long,
+      frame_idx: Int,
+      width: Int,
+      height: Int,
+      mean_luma: Double)
+
   /** ======== STUBBED CODEC (deterministic fake, NOT a real decoder) =======
     * A real build links an image/audio library here. The fake reads a
     * 16-byte header we also generate, so tests exercise the full path:
@@ -79,6 +87,40 @@ object Multimodal {
       val px = Array.tabulate(nSamples)(i => ((assetId * 11 + i * 3) % 256 - 128).toByte)
       b.put(px)
       b.array()
+    }
+
+    /** header: [magic 0xAB, modality=3, w:2, h:2, pad:1, nFrames:4, pad:5];
+      * payload: one luma byte per frame, frame f = (id·13 + f·5) mod 256
+      * (arithmetic ⇒ oracle-recomputable).
+      */
+    def encodeVideoHeader(assetId: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(16 + nFrames)
+      b.put(0xAB.toByte); b.put(3.toByte)
+      b.putShort(w.toShort); b.putShort(h.toShort); b.put(0.toByte)
+      b.putInt(nFrames); b.put(new Array[Byte](5))
+      val px = Array.tabulate(nFrames)(f => ((assetId * 13 + f * 5) % 256).toByte)
+      b.put(px)
+      b.array()
+    }
+
+    /** Sample every `everyK`-th frame: (width, height, Seq(frame_idx, luma)).
+      * The real codec would seek keyframes; the CONTRACT exercised here is
+      * the Spark-side shape — decode once per asset, emit a row per sampled
+      * frame, never materialize all frames.
+      */
+    def sampleVideoFrames(bytes: Array[Byte], everyK: Int): (Int, Int, Vector[(Int, Int)]) = {
+      require(bytes.length >= 16 && bytes(0) == 0xAB.toByte && bytes(1) == 3.toByte, "bad magic")
+      val b = java.nio.ByteBuffer.wrap(bytes)
+      b.position(2)
+      val w = b.getShort.toInt; val h = b.getShort.toInt; b.get()
+      val nFrames = b.getInt
+      val out = Vector.newBuilder[(Int, Int)]
+      var f = 0
+      while (f < nFrames && 16 + f < bytes.length) {
+        out += ((f, bytes(16 + f) & 0xff))
+        f += everyK
+      }
+      (w, h, out.result())
     }
 
     /** (sampleRate, nSamples, rms of samples normalized to [-1, 1)). */
@@ -140,6 +182,24 @@ object Multimodal {
       it.map { a =>
         val (rate, n, rms) = FakeCodec.decodeAudio(a.bytes)
         AudioFeatures(a.asset_id, rate, n, rms)
+      }
+    }
+  }
+
+  /** Video leg: decode once per asset, FLATMAP a row per sampled frame —
+    * the iterator never holds more than one asset's frames, which is the
+    * whole point of the shape at 100 TB (a per-row UDF returning an array
+    * would materialize every frame of every video in one buffer).
+    */
+  def videoFrames(assets: Dataset[Asset], everyK: Int = 6): Dataset[VideoFrame] = {
+    import assets.sparkSession.implicits._
+    assets.filter(_.modality == "video").mapPartitions { it =>
+      // >>> per-partition codec init would go here (once, not per row) <<<
+      it.flatMap { a =>
+        val (w, h, frames) = FakeCodec.sampleVideoFrames(a.bytes, everyK)
+        frames.iterator.map { case (f, luma) =>
+          VideoFrame(a.asset_id, f, w, h, luma.toDouble)
+        }
       }
     }
   }

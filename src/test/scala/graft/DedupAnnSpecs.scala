@@ -158,6 +158,33 @@ class AnnSpec extends AnyFunSuite {
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
+  test("audio + video decode plumbing: roundtrips through mapPartitions/flatMap") {
+    import graft.multimodal.Multimodal
+    import Multimodal.FakeCodec
+    val s = spark
+    import s.implicits._
+    val audio = (0L until 20L).map(i =>
+      Multimodal.Asset(i, "audio", FakeCodec.encodeAudioHeader(i, 16000, 32), s"a$i"))
+    val af = Multimodal.audioFeatures(spark.createDataset(audio)).collect()
+    assert(af.length == 20)
+    for (f <- af) {
+      assert(f.sample_rate == 16000 && f.n_samples == 32)
+      assert(f.rms >= 0.0 && f.rms <= 1.0)
+      val (_, _, rms) = FakeCodec.decodeAudio(audio(f.asset_id.toInt).bytes)
+      assert(f.rms == rms)
+    }
+    val video = (0L until 10L).map(i =>
+      Multimodal.Asset(i, "video", FakeCodec.encodeVideoHeader(i, 320, 240, 24), s"v$i"))
+    val frames = Multimodal.videoFrames(spark.createDataset(video), everyK = 6).collect()
+    // 4 sampled frames (0,6,12,18) per asset, luma = (id*13 + f*5) % 256
+    assert(frames.length == 40)
+    for (fr <- frames) {
+      assert(Seq(0, 6, 12, 18).contains(fr.frame_idx))
+      assert(fr.mean_luma == ((fr.asset_id * 13 + fr.frame_idx * 5) % 256).toDouble)
+      assert(fr.width == 320 && fr.height == 240)
+    }
+  }
+
   test("binary decode plumbing: header roundtrip through mapPartitions") {
     import graft.multimodal.Multimodal
     val feats = Multimodal.imageFeatures(Multimodal.syntheticAssets(spark, 50)).collect()
