@@ -33,12 +33,19 @@ object Crawl {
     var pages = ""; var out = ""; var waves = 3; var gap = 3L
     val urls = Seq.newBuilder[String]
     var i = 0
+    def value(flag: String): String = {
+      require(i + 1 < argv.length, s"error: $flag needs a value")
+      i += 2
+      argv(i - 1)
+    }
     while (i < argv.length) {
       argv(i) match {
-        case "--pages" => pages = argv(i + 1); i += 2
-        case "--out" => out = argv(i + 1); i += 2
-        case "--waves" => waves = argv(i + 1).toInt; i += 2
-        case "--gap" => gap = argv(i + 1).toLong; i += 2
+        case "--pages" => pages = value("--pages")
+        case "--out" => out = value("--out")
+        case "--waves" => waves = value("--waves").toInt
+        case "--gap" => gap = value("--gap").toLong
+        case f if f.startsWith("--") =>
+          throw new IllegalArgumentException(s"error: unknown flag $f")
         case u => urls += u; i += 1
       }
     }
@@ -86,11 +93,13 @@ object Crawl {
     try {
       val results = run(spark, a)
       results.write.mode(SaveMode.Overwrite).parquet(s"${a.out}/results.parquet")
-      spark.read.parquet(s"${a.out}/results.parquet")
+      // one read-back serves both the JSON render and the count
+      val written = spark.read.parquet(s"${a.out}/results.parquet")
+      written
         .select(to_json(struct(col("url"), col("full_text"), col("chunks"),
           col("embeddings"))).as("value"))
         .write.mode(SaveMode.Overwrite).text(s"${a.out}/results.json")
-      val n = spark.read.parquet(s"${a.out}/results.parquet").count()
+      val n = written.count() // column-pruned scan, no embeddings read
       println(s"""{"crawled_urls":$n,"out":"${a.out}"}""")
     } finally spark.stop()
   }

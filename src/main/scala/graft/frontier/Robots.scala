@@ -49,23 +49,20 @@ object Robots {
   }
 
   /** [[filterAllowed]] for rule sets that outgrow a broadcast (10^8 hosts ×
-    * prefix lists): ships only the rules for hosts PRESENT IN THIS WAVE.
-    * A wave's distinct-host set is politeness-bounded (each host contributes
-    * ≤ wave-duration/gap URLs, so hosts ≈ wave size in the worst case but
-    * the RULES for them are what fits — the global map never moves). The
-    * host collection is one cheap distinct over the wave; `maxRuleHosts`
-    * guards the degenerate case where even the subset is too big — there
-    * the filter falls back to the full broadcast and the caller should
-    * shard the wave.
+    * prefix lists): ships only the rules for hosts PRESENT IN THIS WAVE —
+    * the subset is a strict shrink of the global map, so it is ALWAYS the
+    * better broadcast (a wave whose own subset still exceeds broadcast
+    * limits must be sharded; Spark's broadcast error is the signal). The
+    * host collection is one cheap distinct over the wave; the subset build
+    * is O(|wave hosts|) hash lookups, never a scan of the global map.
     */
-  def filterAllowedScalable(df: DataFrame, rules: Rules,
-      maxRuleHosts: Int = 5000000): DataFrame = {
+  def filterAllowedScalable(df: DataFrame, rules: Rules): DataFrame = {
     if (rules.disallowByHost.isEmpty) return df
     val waveHosts = df.select("host").distinct()
-      .collect().map(_.getString(0)).toSet
-    val subset = Rules(rules.disallowByHost.view.filterKeys(waveHosts.contains).toMap)
-    if (subset.disallowByHost.size > maxRuleHosts) filterAllowed(df, rules)
-    else filterAllowed(df, subset)
+      .collect().map(_.getString(0))
+    val subset = Rules(waveHosts.iterator
+      .flatMap(h => rules.disallowByHost.get(h).map(h -> _)).toMap)
+    filterAllowed(df, subset)
   }
 }
 

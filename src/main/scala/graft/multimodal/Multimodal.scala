@@ -109,6 +109,7 @@ object Multimodal {
       * frame, never materialize all frames.
       */
     def sampleVideoFrames(bytes: Array[Byte], everyK: Int): (Int, Int, Vector[(Int, Int)]) = {
+      require(everyK >= 1, s"everyK must be >= 1: $everyK") // 0 would loop forever
       require(bytes.length >= 16 && bytes(0) == 0xAB.toByte && bytes(1) == 3.toByte, "bad magic")
       val b = java.nio.ByteBuffer.wrap(bytes)
       b.position(2)

@@ -98,9 +98,11 @@ object EventStream {
           if (state.exists) Iterator.empty
           else {
             state.update(true)
-            // first occurrence within the batch wins; order inside a batch
-            // is the source order
-            batch.take(1)
+            // deterministic representative: groupByKey's shuffle does NOT
+            // preserve source order inside a group, so "first" would vary
+            // across reruns — take the lexicographically-min url instead
+            // (only observable on hash collisions / non-canonical input)
+            Iterator.single(batch.minBy(_.url))
           }
       }
   }
