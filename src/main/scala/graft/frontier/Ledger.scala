@@ -233,6 +233,9 @@ final class Ledger(
 }
 
 object Ledger {
+  /** Recursive delete for local state roots (benchmarks, tests). */
+  def deleteTree(path: String): Unit = deleteRecursively(Paths.get(path))
+
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     if (!Files.exists(p)) return
     val st = Files.walk(p)
