@@ -29,12 +29,29 @@ object Discover {
     * a [[graft.sources.PageTable]]), html never survives past the explode,
     * and the explode output is (2 longs + 1 string)/link.
     */
-  def fromPages(pages: DataFrame, maxLinksPerPage: Int = 1024): DataFrame => DataFrame = {
+  /** Static bucket pruning of a PageTable-layout frame against a url-keyed
+    * wave: the wave's DISTINCT derived buckets (≤ `buckets` ints, one cheap
+    * map-side-combined job) become a partition filter on the pages scan —
+    * a selective wave reads only its buckets of the (huge) table. No-op
+    * for frames without the `bucket` partition column.
+    */
+  private def pruneToWave(pages: DataFrame, wave: DataFrame, urlCol: String,
+      buckets: Int): DataFrame =
+    if (pages.columns.contains("bucket")) {
+      val waveBuckets = wave
+        .select(pmod(hash(col(urlCol)), lit(buckets)).as("b")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      pages.where(col("bucket").isin(waveBuckets: _*))
+    } else pages
+
+  def fromPages(pages: DataFrame, maxLinksPerPage: Int = 1024,
+      buckets: Int = 64): DataFrame => DataFrame = {
     // 2^40 hash range × 2^13 positions < 2^63: the priority can never wrap
     require(maxLinksPerPage >= 1 && maxLinksPerPage <= 8192,
       s"maxLinksPerPage out of range: $maxLinksPerPage")
     scheduled => {
-      val p = pages.select(col("url").as("canonical_url"), col("html"))
+      val p = pruneToWave(pages, scheduled, "canonical_url", buckets)
+        .select(col("url").as("canonical_url"), col("html"))
       scheduled.select("canonical_url", "seed_idx")
         .join(p, Seq("canonical_url"))
         .select(col("canonical_url").as("base"),
@@ -59,8 +76,9 @@ object Discover {
   def fetchParse(frontier: DataFrame, pages: DataFrame,
       maxWords: Int = graft.text.Chunker.MaxWords,
       overlap: Int = graft.text.Chunker.OverlapWords,
-      urlCol: String = "url"): DataFrame = {
-    val p = pages.select(col("url").as("__page_url"), col("html").as("__html"))
+      urlCol: String = "url", buckets: Int = 64): DataFrame = {
+    val p = pruneToWave(pages, frontier, urlCol, buckets)
+      .select(col("url").as("__page_url"), col("html").as("__html"))
     frontier.join(p, frontier(urlCol) === p("__page_url"), "left")
       .withColumn("__extracted", extract_readable(col("__html").cast("string")))
       .withColumn("status", when(col("__html").isNull, 404).otherwise(200).cast("int"))

@@ -85,10 +85,28 @@ object PageTable {
     * broadcasts whichever side is small. `html` only enters the plan when
     * `withHtml` asks for it — column pruning keeps the fat binary out of
     * frontier-only scans.
+    *
+    * When `pages` still carries the layout's `bucket` partition column
+    * (i.e. it came from [[read]]), the frontier's DISTINCT derived buckets
+    * (≤ `buckets` ints, one cheap map-side-combined job) become a STATIC
+    * partition filter on the pages scan — a selective wave reads only its
+    * buckets of the table instead of all of it. (Dynamic partition pruning
+    * doesn't fire here: its benefit heuristic wants a selective predicate
+    * on the frontier side, which a frontier never has — measured, not
+    * assumed.) Pruning the right side of the left join by a function of
+    * the join key is semantics-preserving: removed rows couldn't match.
     */
-  def fetch(frontier: DataFrame, pages: DataFrame, withHtml: Boolean = true): DataFrame = {
+  def fetch(frontier: DataFrame, pages: DataFrame, withHtml: Boolean = true,
+      buckets: Int = 64): DataFrame = {
     val cols = if (withHtml) Seq("url", "warc_ts", "html", "text", "lang")
       else Seq("url", "warc_ts", "text", "lang")
-    frontier.join(pages.select(cols.map(col): _*), Seq("url"), "left")
+    val pruned =
+      if (pages.columns.contains("bucket")) {
+        val waveBuckets = frontier
+          .select(pmod(hash(col("url")), lit(buckets)).as("b")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        pages.where(col("bucket").isin(waveBuckets: _*))
+      } else pages
+    frontier.join(pruned.select(cols.map(col): _*), Seq("url"), "left")
   }
 }

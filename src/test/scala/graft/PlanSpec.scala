@@ -41,6 +41,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("html"), plan)
   }
 
+  test("selective fetch statically prunes pages-table buckets") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("planptprune").toString
+    graft.sources.PageTable.commit(spark, root,
+      spark.createDataset(graft.fixtures.PageGen.pages(2000)).toDF())
+    val stored = graft.sources.PageTable.read(spark, root)
+    val frontier = spark.range(3)
+      .select(concat(lit("http://src0.test/d/"), col("id").cast("string")).as("url"))
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      val records = new java.util.concurrent.atomic.AtomicLong(0)
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null) records.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val fetched = graft.sources.PageTable.fetch(frontier, stored, withHtml = false)
+      assert(fetched.count() == 3)
+      org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
+      // a 3-url wave touches ≤3 of 64 buckets (~31 pages each): the pages
+      // scan must read ~100 rows, not all 2000 (plus small frontier reads)
+      assert(listener.records.get < 600,
+        s"pruning did not bite: ${listener.records.get} records read")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("schedule pipeline shuffle budget") {
     // per SURVEY §4.2: dedup agg+semi-join partitioning, salt repartition /
     // per-(host,bucket) rank, offsets agg — the budget is 6 exchanges; the
