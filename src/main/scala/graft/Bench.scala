@@ -223,12 +223,23 @@ object Bench {
     * vCPUs are host-overcommitted, so identical runs vary up to 3× — the
     * per-query MINIMUM over `runs` is the only stable engine-side statistic.
     * Reported utilization is the min-run's task-time / (wall × cores).
+    *
+    * Noise self-defense (the round-2 official artifact landed in a stolen-
+    * cores window and understated a reproducible 12.4 s engine by 6×): when
+    * the best run's utilization is below `noisyUtil`, the query is rerun up
+    * to `extraRuns` more times — a degraded window rarely spans them all —
+    * and if it STILL can't reach the bar the query (and the file) carries an
+    * explicit `"noisy": true` flag, verifiable against the utilization
+    * column: low utilization + all cores idle-waiting = hypervisor weather,
+    * not engine serialization.
     */
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val warmups = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1").toInt
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val extraRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA", "2").toInt
+    val noisyUtil = sys.env.getOrElse("SPARK_GRAFT_BENCH_NOISY_UTIL", "0.6").toDouble
     val spark = BenchQueries.session(cpus)
     val listener = new TaskTimeListener
     spark.sparkContext.addSparkListener(listener)
@@ -236,23 +247,36 @@ object Bench {
     var frontierUrls = 0L
     var frontierSec = 0.0
     val results = BenchQueries.all.map { case (name, fn) =>
-      val best =
+      val (best, all) =
         try {
           (0 until warmups).foreach(_ => force(fn(spark, sfDir)))
-          (0 until math.max(runs, 1))
+          val base = (0 until math.max(runs, 1))
             .map(_ => measuredRun(spark, listener, cpus.toInt, fn(spark, sfDir)))
-            .minBy(_.sec)
-        } catch { case _: Throwable => RunStats(-1L, -1.0, 0.0, 0.0) }
+          // degraded-window retries: only while the best run still looks
+          // throttled (utilization under the bar)
+          val extended = (0 until extraRuns).foldLeft(base) { (acc, _) =>
+            if (acc.minBy(_.sec).utilization >= noisyUtil) acc
+            else acc :+ measuredRun(spark, listener, cpus.toInt, fn(spark, sfDir))
+          }
+          (extended.minBy(_.sec), extended)
+        } catch { case _: Throwable =>
+          (RunStats(-1L, -1.0, 0.0, 0.0), Seq.empty[RunStats]) }
       if (name == "frontier_schedule") { frontierUrls = best.rows; frontierSec = best.sec }
-      name -> best
+      (name, best, all)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v.sec }.mkString("{", ",", "}")
-    val util = results.map { case (k, v) =>
-      "\"" + k + "\":" + f"${v.utilization}%.3f" }.mkString("{", ",", "}")
+    def perQuery(f: ((String, RunStats, Seq[RunStats])) => String): String =
+      results.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
+    val qs = perQuery(_._2.sec.toString)
+    val util = perQuery(r => f"${r._2.utilization}%.3f")
+    val runsSec = perQuery(_._3.map(s => f"${s.sec}%.3f").mkString("[", ",", "]"))
+    val noisyQs = results.filter(r => r._2.sec >= 0 && r._2.utilization < noisyUtil).map(_._1)
     val total = results.map(_._2.sec).sum
     val ups = if (frontierSec > 0) frontierUrls / frontierSec else 0.0
     println(s"""{"metric":"total_headline_sec","value":$total,"unit":"sec",""" +
-      s""""queries":$qs,"utilization":$util,"warmups":$warmups,"runs":$runs,""" +
+      s""""queries":$qs,"utilization":$util,"runs_sec":$runsSec,""" +
+      s""""noisy":${noisyQs.nonEmpty},""" +
+      s""""noisy_queries":${noisyQs.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""warmups":$warmups,"runs":$runs,""" +
       s""""urls_scheduled":$frontierUrls,"urls_per_sec":$ups,""" +
       s""""cpus":$cpus,"sf":"$sfDir"}""")
     spark.stop()
@@ -303,13 +327,18 @@ object ScalingBench {
     val hi = samples.map(_._2).minBy(_.sec)
     require(lo.rows == hi.rows, s"row-count drift: ${lo.rows} vs ${hi.rows}")
     val eff = (lo.sec / hi.sec) / 4.0
-    // best SAME-TRIAL pair: lo and hi ran back-to-back inside one trial, so
-    // this pairing sees (approximately) the same hypervisor weather — the
+    // SAME-TRIAL pairs: lo and hi ran back-to-back inside one trial, so a
+    // pairing sees (approximately) the same hypervisor weather — the
     // min-of-mins above can pair a calm lo with a throttled hi and
-    // understate the engine
-    val paired = samples.map { case (l, h) => (l.sec / h.sec) / 4.0 }.max
+    // understate the engine. The MEDIAN of the paired ratios is the robust
+    // statistic; the max is biased upward (a throttled lo against a calm hi
+    // once produced a physically impossible 1.30) and is kept only as a
+    // labeled diagnostic.
+    val pairedRatios = samples.map { case (l, h) => (l.sec / h.sec) / 4.0 }.sorted
+    val pairedMedian = pairedRatios(pairedRatios.length / 2)
     println(s"""{"metric":"scaling_efficiency","value":$eff,"unit":"ratio",""" +
-      s""""best_paired_efficiency":$paired,""" +
+      s""""paired_efficiency_median":$pairedMedian,""" +
+      s""""paired_efficiency_max_diagnostic":${pairedRatios.max},""" +
       s""""urls":${lo.rows},"cores_lo":$n,"cores_hi":${4 * n},"sec_lo":${lo.sec},"sec_hi":${hi.sec},""" +
       s""""utilization_lo":${lo.utilization},"utilization_hi":${hi.utilization},""" +
       s""""gc_fraction_lo":${lo.gcFraction},"gc_fraction_hi":${hi.gcFraction},""" +

@@ -194,18 +194,27 @@ object Ann {
   def lshTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, qidCol: String, vecCol: String, k: Int,
       bits: Int = 8, tables: Int = 4): DataFrame = {
-    val c = withSrpBuckets(
-      corpus.select(col(idCol).as("nn_id"), col(vecCol).as("cv_raw")), "cv_raw", bits, tables)
-    val q = withSrpBuckets(
-      queries.select(col(qidCol).as("q_id"), col(vecCol).as("qv_raw")), "qv_raw", bits, tables)
-    // candidate = same bucket in ANY table → union over tables, dedup
-    val cands = (0 until tables).map { t =>
-      c.select(col("nn_id"), col("cv_raw"), col(s"bucket_$t").as("b"))
-        .join(q.select(col("q_id"), col("qv_raw"), col(s"bucket_$t").as("b")), "b")
-        .select("q_id", "nn_id", "qv_raw", "cv_raw")
-    }.reduce(_.unionByName(_)).dropDuplicates("q_id", "nn_id")
-    val scored = cands.withColumn("cosine",
-      cosineCol(asDouble(col("qv_raw")), asDouble(col("cv_raw"))))
+    // Bucket frames carry ONLY (id, table, bucket): the round-2 version
+    // shipped the raw dim-sized vectors through every per-table candidate
+    // join AND the pair-dedup exchange — dim×tables doubles per row where
+    // 12 bytes suffice (the exact anti-pattern Dedup.cosineNearDupsBucketed
+    // documents). Candidates are bare (q_id, nn_id) pairs; the vectors join
+    // back ONCE, after dedup, moving |candidates| vectors instead of
+    // |candidates|×tables.
+    def bucketFrame(df: DataFrame, in: String, out: String): DataFrame =
+      df.select(col(in).as(out),
+        posexplode(array((0 until tables).map(t =>
+          graft.functions.srp_bucket(col(vecCol), bits, seed = 7 + t)): _*)).as(Seq("t", "b")))
+    // candidate = same bucket in ANY table: equi-join on (table, bucket)
+    // ≡ the old union-over-tables, in one bucket-local join
+    val cands = bucketFrame(queries, qidCol, "q_id")
+      .join(bucketFrame(corpus, idCol, "nn_id"), Seq("t", "b"))
+      .select("q_id", "nn_id")
+      .distinct()
+    val scored = cands
+      .join(queries.select(col(qidCol).as("q_id"), asDouble(col(vecCol)).as("qv")), "q_id")
+      .join(corpus.select(col(idCol).as("nn_id"), asDouble(col(vecCol)).as("cv")), "nn_id")
+      .withColumn("cosine", cosineCol(col("qv"), col("cv")))
       .select(col("q_id"), col("nn_id"), col("cosine")) // narrow pre-window
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("nn_id"))
     scored

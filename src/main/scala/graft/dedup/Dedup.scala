@@ -29,9 +29,24 @@ object Dedup {
       .select(col(idCol).as("id"), xxhash64(col(textCol)).as("text_hash"),
         length(col(textCol)).as("text_len"))
       .groupBy(col("text_hash"), col("text_len"))
-      .agg(count(lit(1)).as("n_dups"), min(col("id")).as("keep_id"),
-        collect_list(col("id")).as("ids"))
+      // members stay OUT of this frame: collect_list(ids) on a pathological
+      // mega-group (one text duplicated 10^7×) is a single unbounded array
+      // row — [[exactDuplicateMembers]] emits members as ROWS instead
+      .agg(count(lit(1)).as("n_dups"), min(col("id")).as("keep_id"))
       .where(col("n_dups") > 1)
+
+  /** Duplicate-group membership as ROWS — (keep_id, id) per member, bounded
+    * per-row no matter how hot a group is. A semi-join of the docs' digests
+    * against the >1 groups, so only duplicate rows shuffle.
+    */
+  def exactDuplicateMembers(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keyed = docs.select(col(idCol).as("id"), xxhash64(col(textCol)).as("text_hash"),
+      length(col(textCol)).as("text_len"))
+    keyed.join(exactDuplicates(docs, idCol, textCol)
+        .select("text_hash", "text_len", "keep_id"),
+      Seq("text_hash", "text_len"))
+      .select(col("keep_id"), col("id"))
+  }
 
   /** Exact-dedup projection: one surviving row id per distinct text. */
   def exactDedupKeepIds(docs: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -43,9 +58,17 @@ object Dedup {
   /** MinHash-LSH candidate pairs: ids (a < b) sharing ≥1 LSH band bucket.
     * numHashes = bands × rowsPerBand. Collision probability for Jaccard s is
     * 1-(1-s^r)^b — with (b=8, r=4): s=0.8 → 0.97, s=0.3 → 0.06.
+    *
+    * `maxBucket` caps band-bucket occupancy: a bucket holding m documents
+    * emits m(m-1)/2 candidate pairs, so one template-cluster bucket of 10^5
+    * members alone produces 5×10^9 join rows — the pair-level mirror of the
+    * fingerprint doc-freq cap. Buckets over the cap are dropped BEFORE the
+    * self-join (near-dup recall for their members survives via the other
+    * bands, whose buckets split the cluster differently). `<= 0` disables.
     */
   def minHashCandidates(docs: DataFrame, idCol: String, textCol: String,
-      shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+      shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+      maxBucket: Int = 0): DataFrame = {
     val numHashes = bands * rowsPerBand
     val sigs = docs.select(col(idCol).as("id"),
       minhash_sig(col(textCol), shingleK, numHashes).as("sig"))
@@ -54,14 +77,34 @@ object Dedup {
       posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
         b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))).as(Seq("band", "bucket")))
-    val l = banded.as("l")
-    val r = banded.as("r")
+    val kept = capHotBuckets(banded, Seq("band", "bucket"), maxBucket)
+    val l = kept.as("l")
+    val r = kept.as("r")
     l.join(r,
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
           col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .distinct()
+      // pair dedup as an aggregate, not distinct(): the partial (map-side)
+      // agg collapses same-bucket repeats before the exchange, and the
+      // shared-band count rides along for free as a confidence signal
+      .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+      .select("id_a", "id_b")
   }
+
+  /** Drop rows of buckets whose occupancy exceeds `maxBucket` (`<= 0` = off).
+    * One map-side-combinable count over the bucket keys; the hot set joins
+    * back as an anti-join (broadcast-sized by construction: it only holds
+    * buckets with > maxBucket members).
+    */
+  private def capHotBuckets(bucketed: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame =
+    if (maxBucket <= 0) bucketed
+    else {
+      val hot = bucketed.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__occ"))
+        .where(col("__occ") > maxBucket)
+        .select(keys.map(col): _*)
+      bucketed.join(hot, keys, "left_anti")
+    }
 
   /** MinHash near-dup pairs with estimated Jaccard from signature agreement
     * (fraction of matching minhashes). `threshold` filters the estimate;
@@ -104,11 +147,16 @@ object Dedup {
     l.join(r,
         col("l.block_idx") === col("r.block_idx") &&
           col("l.block_val") === col("r.block_val") && col("l.id") < col("r.id"))
+      // hamming + threshold BEFORE the pair-dedup exchange (round 2 ran them
+      // after a distinct() that carried both 64-bit sigs): the exchange now
+      // moves only surviving (id_a, id_b, hamming) rows, the map-side
+      // partial agg collapses multi-block repeats pre-shuffle, and the sig
+      // columns never leave the join stage
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        col("l.sig").as("sig_a"), col("r.sig").as("sig_b"))
-      .distinct()
-      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+        bit_count(col("l.sig").bitwiseXOR(col("r.sig"))).as("hamming"))
       .where(col("hamming") <= maxDist)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("hamming")).as("hamming")) // hamming is pair-determined; min = the value
       .select("id_a", "id_b", "hamming")
   }
 
@@ -147,15 +195,18 @@ object Dedup {
     * axis-sign quantization, IVF assignments from a kmeans fit, …).
     */
   def cosineNearDupsBucketed(vecs: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, buckets: Seq[Column]): DataFrame = {
+      threshold: Double, buckets: Seq[Column], maxBucket: Int = 0): DataFrame = {
     val v = vecs.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
     val withNorm = v.withColumn("norm",
       sqrt(aggregate(col("v"), lit(0.0d), (acc, x) => acc + x * x)))
     // bucket frame carries ONLY (id, table, bucket): the vectors must not be
     // replicated ×tables through the explode or the shuffle moves dim×tables
-    // doubles per row instead of 12 bytes
-    val bk = vecs.select(col(idCol).as("id"), posexplode(array(buckets: _*)).as(Seq("t", "b")))
+    // doubles per row instead of 12 bytes. maxBucket caps per-bucket
+    // occupancy before the m²-emitting self-join (see minHashCandidates).
+    val bk = capHotBuckets(
+      vecs.select(col(idCol).as("id"), posexplode(array(buckets: _*)).as(Seq("t", "b"))),
+      Seq("t", "b"), maxBucket)
     val cands = bk.as("l")
       .join(bk.as("r"),
         col("l.t") === col("r.t") && col("l.b") === col("r.b") && col("l.id") < col("r.id"))

@@ -38,8 +38,12 @@ object Discover {
   private def pruneToWave(pages: DataFrame, wave: DataFrame, urlCol: String,
       buckets: Int): DataFrame =
     if (pages.columns.contains("bucket")) {
+      // modulus from the PageTable's own column metadata when present — a
+      // caller-supplied count disagreeing with the committed layout would
+      // prune away matching pages (false 404s / lost links)
+      val b = graft.sources.PageTable.bucketCountOf(pages).getOrElse(buckets)
       val waveBuckets = wave
-        .select(pmod(hash(col(urlCol)), lit(buckets)).as("b")).distinct()
+        .select(pmod(hash(col(urlCol)), lit(b)).as("b")).distinct()
         .collect().map(_.getInt(0)).toSeq
       pages.where(col("bucket").isin(waveBuckets: _*))
     } else pages

@@ -147,6 +147,19 @@ final class Ledger(
           .groupBy("bucket").agg(bloom_merge_agg(col("bloom")).as("bloom"))
     }
     merged.coalesce(1).write.mode(SaveMode.Overwrite).parquet(bloomDir(wave))
+    // GC: each bank is FULL state (tens of GB at 10^10 keys), so stale wave
+    // dirs accumulate unboundedly on a long crawl. Keep one predecessor for
+    // crash-resume (a crash before this wave's manifest re-runs against it),
+    // drop everything older.
+    val bloomsRoot = Paths.get(root, "blooms")
+    if (Files.isDirectory(bloomsRoot)) {
+      val st = Files.list(bloomsRoot)
+      try st.forEach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("wave=") && n.stripPrefix("wave=").toIntOption.exists(_ < wave - 1))
+          Ledger.deleteRecursively(p)
+      } finally st.close()
+    }
   }
 
   /** Exact unseen filter against the committed ledger: bloom-bank pre-filter
@@ -188,7 +201,19 @@ final class Ledger(
             Bridge.expression(col("url_hash"))))
           val positives = candidates.where(maybeSeen)
             .join(antiRight, Seq("url_hash"), "left_anti")
-          candidates.where(!maybeSeen).unionByName(positives)
+          val negatives = candidates.where(!maybeSeen)
+          // The bank may lag the table (caller appended waves (w, upToWave]
+          // without writeBlooms, or a bloom write crashed): keys committed in
+          // that gap probe bloom-NEGATIVE and would bypass the anti-join —
+          // silent lost dedup, the worst seen-set failure. Negatives must
+          // anti-join the uncovered slice; when the bank is current
+          // (w == upToWave, the WaveLoop invariant) this adds nothing.
+          val checkedNegatives =
+            if (w >= upToWave) negatives
+            else negatives.join(
+              committedFrame(upToWave).where(col("wave") > w).select("url_hash"),
+              Seq("url_hash"), "left_anti")
+          checkedNegatives.unionByName(positives)
         }
     }
   }

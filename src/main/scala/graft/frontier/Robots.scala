@@ -48,21 +48,42 @@ object Robots {
     df.where(pred)
   }
 
-  /** [[filterAllowed]] for rule sets that outgrow a broadcast (10^8 hosts ×
-    * prefix lists): ships only the rules for hosts PRESENT IN THIS WAVE —
-    * the subset is a strict shrink of the global map, so it is ALWAYS the
-    * better broadcast (a wave whose own subset still exceeds broadcast
-    * limits must be sharded; Spark's broadcast error is the signal). The
-    * host collection is one cheap distinct over the wave; the subset build
-    * is O(|wave hosts|) hash lookups, never a scan of the global map.
+  /** Rules in relational form — one (host, prefix) row per disallow prefix.
+    * This is the shape a 10^8-host rule set actually lives in at scale (a
+    * robots TABLE on storage, not a driver map); [[filterAllowedJoin]]
+    * consumes it directly, and this helper lifts a driver-side [[Rules]]
+    * into it for the small/test case.
     */
+  def rulesFrame(spark: SparkSession, rules: Rules): DataFrame = {
+    import spark.implicits._
+    rules.disallowByHost.toSeq
+      .flatMap { case (h, ps) => ps.filter(_.nonEmpty).map(h -> _) }
+      .toDF("host", "prefix")
+  }
+
+  /** [[filterAllowed]] for rule sets that outgrow a broadcast (10^8 hosts ×
+    * prefix lists): ONE left-anti join of the wave against the (host, prefix)
+    * rules frame — a row is denied iff some nonempty prefix for its host
+    * prefixes its path, exactly [[Rules.allows]]. Nothing is ever
+    * materialized on the driver (the round-2 version collected the wave's
+    * distinct hosts — a driver OOM at exactly the scale this path exists
+    * for); Catalyst/AQE picks broadcast-hash vs shuffle-hash for the anti
+    * join from the RUNTIME size of the rules side, so a wave-sized rule
+    * subset broadcasts and a genuinely huge one co-partitions.
+    */
+  def filterAllowedJoin(df: DataFrame, rulesDf: DataFrame): DataFrame = {
+    val r = rulesDf.select(col("host").as("__r_host"), col("prefix").as("__r_prefix"))
+      .where(length(col("__r_prefix")) > 0)
+    df.join(r,
+      df("host") === col("__r_host") &&
+        startswith(graft.functions.url_path(df("canonical_url")), col("__r_prefix")),
+      "left_anti")
+  }
+
+  /** Driver-map convenience over [[filterAllowedJoin]]. */
   def filterAllowedScalable(df: DataFrame, rules: Rules): DataFrame = {
     if (rules.disallowByHost.isEmpty) return df
-    val waveHosts = df.select("host").distinct()
-      .collect().map(_.getString(0))
-    val subset = Rules(waveHosts.iterator
-      .flatMap(h => rules.disallowByHost.get(h).map(h -> _)).toMap)
-    filterAllowed(df, subset)
+    filterAllowedJoin(df, rulesFrame(df.sparkSession, rules))
   }
 }
 

@@ -54,11 +54,28 @@ object PageTable {
     * enforced, bucket column added), then the commit marker. Readers of
     * `latest` flip atomically with the marker file.
     */
+  /** Column-metadata key carrying the layout's bucket count on the `bucket`
+    * column of frames produced by [[read]]. Pruning code derives the count
+    * from here instead of trusting a caller-supplied parameter: recomputing
+    * bucket ids with the WRONG modulus silently prunes away matching pages
+    * (false 404s, lost links) — the table's own layout is the only
+    * authority.
+    */
+  val BucketCountKey = "graft.pagetable.buckets"
+
   def commit(spark: SparkSession, root: String, pages: DataFrame,
       buckets: Int = 64): Int = {
     require(pages.columns.toSet == schema.fieldNames.toSet,
       s"schema mismatch: ${pages.columns.mkString(",")} vs ${schema.fieldNames.mkString(",")}")
-    val snap = committedSnapshots(root).lastOption.getOrElse(-1) + 1
+    val snaps = committedSnapshots(root)
+    snaps.lastOption.foreach { last =>
+      val prev = bucketCount(root, last)
+      require(prev == buckets,
+        s"page table at $root is laid out with $prev buckets; appending a snapshot " +
+          s"with $buckets would make derived-bucket pruning wrong — the bucket count " +
+          "is part of the on-disk format")
+    }
+    val snap = snaps.lastOption.getOrElse(-1) + 1
     val typed = pages.select(schema.fieldNames.map(col): _*)
     typed
       .withColumn("bucket", pmod(hash(col("url")), lit(buckets)))
@@ -66,17 +83,46 @@ object PageTable {
       .partitionBy("bucket")
       .parquet(snapDir(root, snap))
     Files.createDirectories(Paths.get(root))
-    Files.writeString(marker(root, snap), s"""{"snapshot":$snap}""")
+    Files.writeString(marker(root, snap), s"""{"snapshot":$snap,"buckets":$buckets}""")
     snap
   }
 
-  /** Latest committed snapshot (time-travel: pass an explicit snapshot). */
+  /** Bucket count a snapshot was committed with (from its commit marker).
+    * Pre-round-3 markers carry no count; they were only ever written with
+    * the default 64.
+    */
+  def bucketCount(root: String, snap: Int): Int = {
+    val txt = Files.readString(marker(root, snap))
+    "\"buckets\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(txt)
+      .map(_.group(1).toInt).getOrElse(64)
+  }
+
+  /** Latest committed snapshot (time-travel: pass an explicit snapshot).
+    * The returned frame's `bucket` column carries the layout's bucket count
+    * as column metadata ([[BucketCountKey]]) so downstream pruning derives
+    * the modulus from the data, never from an independent parameter.
+    */
   def read(spark: SparkSession, root: String, snapshot: Option[Int] = None): DataFrame = {
     val snaps = committedSnapshots(root)
     require(snaps.nonEmpty, s"no committed snapshot under $root")
     val snap = snapshot.getOrElse(snaps.last)
     require(snaps.contains(snap), s"snapshot $snap not committed")
-    spark.read.parquet(snapDir(root, snap))
+    val md = new MetadataBuilder().putLong(BucketCountKey, bucketCount(root, snap)).build()
+    val df = spark.read.parquet(snapDir(root, snap))
+    df.withColumn("bucket", col("bucket").as("bucket", md))
+  }
+
+  /** Bucket count recorded in a frame's `bucket` column metadata (present on
+    * frames from [[read]]); callers fall back to their parameter when the
+    * frame was assembled by hand.
+    */
+  def bucketCountOf(pages: DataFrame): Option[Int] = {
+    val idx = pages.schema.fieldNames.indexOf("bucket")
+    if (idx < 0) None
+    else {
+      val md = pages.schema(idx).metadata
+      if (md.contains(BucketCountKey)) Some(md.getLong(BucketCountKey).toInt) else None
+    }
   }
 
   /** Fetch replay: frontier(url, …) ⋈ pages ON url — the rebuild's analogue
@@ -102,8 +148,12 @@ object PageTable {
       else Seq("url", "warc_ts", "text", "lang")
     val pruned =
       if (pages.columns.contains("bucket")) {
+        // modulus from the table's own metadata when present — a
+        // caller-supplied count that disagrees with the committed layout
+        // would prune away MATCHING pages (false 404s)
+        val b = bucketCountOf(pages).getOrElse(buckets)
         val waveBuckets = frontier
-          .select(pmod(hash(col("url")), lit(buckets)).as("b")).distinct()
+          .select(pmod(hash(col("url")), lit(b)).as("b")).distinct()
           .collect().map(_.getInt(0)).toSeq
         pages.where(col("bucket").isin(waveBuckets: _*))
       } else pages

@@ -83,6 +83,46 @@ class DedupSpec extends AnyFunSuite {
       "boilerplate pairs survived the cap")
   }
 
+  test("LSH bucket-occupancy cap kills template-cluster skew, keeps real pairs") {
+    // 80 docs sharing ONE template text (identical signatures → every band
+    // bucket holds all 80 → 80·79/2 pairs per band uncapped), plus a planted
+    // genuine near-dup pair with unique text
+    val template = (0 until 40).map(i => s"tmpl$i").mkString(" ")
+    val unique = (0 until 40).map(i => s"uniq$i").mkString(" ")
+    val docs = ((0 until 80).map(i => (i.toLong, template)) ++
+      Seq((1000L, unique), (1001L, unique + " tail")))
+      .toDF("id", "text")
+    val uncapped = Dedup.minHashCandidates(docs, "id", "text", 3, 8, 4)
+    val capped = Dedup.minHashCandidates(docs, "id", "text", 3, 8, 4, maxBucket = 10)
+    assert(uncapped.count() > 3000L) // the template cluster's pair blow-up
+    val pairs = capped.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1000L, 1001L)), "real near-dup lost by the cap")
+    assert(!pairs.exists { case (a, b) => a < 80 && b < 80 },
+      "template-cluster pairs survived the cap")
+    // same cap on the cosine path: identical vectors bucket together
+    val vecs = ((0 until 80).map(i => (i.toLong, Seq.fill(16)(0.5f))) ++
+      Seq((1000L, Seq.tabulate(16)(j => if (j < 8) -1f else 1f)),
+        (1001L, Seq.tabulate(16)(j => if (j < 8) -1f else 0.9f))))
+      .toDF("id", "vec")
+    val cosCapped = Dedup.cosineNearDupsBucketed(vecs, "id", "vec", 0.9,
+      (0 until 4).map(t => graft.functions.srp_bucket(col("vec"), 4, seed = 7 + t)),
+      maxBucket = 10)
+    val cosPairs = cosCapped.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(cosPairs.contains((1000L, 1001L)), "real cosine pair lost by the cap")
+    assert(!cosPairs.exists { case (a, b) => a < 80 && b < 80 })
+  }
+
+  test("exact duplicate members come back as rows, not arrays") {
+    val m = Dedup.exactDuplicateMembers(corpus, "id", "text")
+      .select("keep_id", "id").as[(Long, Long)].collect().toSet
+    // each exact-dup group {id, id+2000} contributes two member rows
+    for (id <- 0 until 60 by 6) {
+      assert(m.contains((id.toLong, id.toLong)))
+      assert(m.contains((id.toLong, id + 2000L)))
+    }
+    assert(m.forall { case (k, _) => k % 6 == 0 && k < 60 })
+  }
+
   test("cosine near-dups: perturbed copy is closest") {
     val vecs = (0 until 30).map { i =>
       val rnd = new scala.util.Random(i)

@@ -145,6 +145,46 @@ class LedgerSpec extends AnyFunSuite {
     assert(unseen == (500L until 1000L).toSet)
   }
 
+  test("stale bloom bank (bank wave < table wave) still dedups exactly") {
+    // wave 0 appended WITH blooms, wave 1 appended WITHOUT (crashed bloom
+    // write / caller skipped writeBlooms). Wave-1 keys probe bloom-negative;
+    // the ADVICE guard must route negatives through the uncovered-slice
+    // anti-join instead of passing them straight through (silent lost dedup).
+    val root = java.nio.file.Files.createTempDirectory("ledgerstale").toString
+    val l = new Ledger(spark, root, buckets = 4)
+    val w0 = keyed(0 until 400).select("url_hash", "canonical_url")
+    l.append(w0, 0)
+    l.writeBlooms(w0, 0)
+    l.append(keyed(400 until 800).select("url_hash", "canonical_url"), 1)
+    val unseen = l.filterUnseen(keyed(0 until 1200), 1)
+      .select("seed_idx").as[Long].collect().toSet
+    assert(unseen == (800L until 1200L).toSet,
+      "keys from the bloom-uncovered wave leaked through")
+  }
+
+  test("bloom GC keeps only the current bank and one predecessor") {
+    val root = java.nio.file.Files.createTempDirectory("ledgergc").toString
+    val l = new Ledger(spark, root, buckets = 4)
+    for (w <- 0 until 5) {
+      val delta = keyed(w * 100 until (w + 1) * 100).select("url_hash", "canonical_url")
+      l.append(delta, w)
+      l.writeBlooms(delta, w)
+    }
+    val dirs = {
+      val st = java.nio.file.Files.list(java.nio.file.Paths.get(root, "blooms"))
+      try {
+        val b = scala.collection.mutable.ArrayBuffer.empty[String]
+        st.forEach(p => b += p.getFileName.toString)
+        b.toSet
+      } finally st.close()
+    }
+    assert(dirs == Set("wave=3", "wave=4"), dirs.toString)
+    // and the surviving bank still pre-filters exactly
+    val unseen = l.filterUnseen(keyed(0 until 600), 4)
+      .select("seed_idx").as[Long].collect().toSet
+    assert(unseen == (500L until 600L).toSet)
+  }
+
   test("ledger-mode resume: crash between append and manifest is exact") {
     def discover(sched: org.apache.spark.sql.DataFrame) =
       sched.select(col("seed_idx")).where(col("seed_idx") < 300)

@@ -34,6 +34,27 @@ class PageTableSpec extends AnyFunSuite {
     }
   }
 
+  test("bucket count is persisted and drives pruning (ADVICE fix)") {
+    // committed with a NON-default bucket count: fetch must derive the
+    // modulus from the table, not from its own default parameter — a
+    // mismatched modulus silently prunes away matching pages (false 404s)
+    val root = java.nio.file.Files.createTempDirectory("pagetable4").toString
+    PageTable.commit(spark, root, pagesDf(200), buckets = 7)
+    val pages = PageTable.read(spark, root)
+    assert(PageTable.bucketCountOf(pages).contains(7))
+    val frontier = pagesDf(200).select("url")
+    // default-parameter fetch (buckets = 64) against the 7-bucket layout:
+    // every frontier url must still hit its page
+    val fetched = PageTable.fetch(frontier, pages, withHtml = false)
+    assert(fetched.where(col("text").isNull).count() == 0,
+      "metadata-derived pruning lost matching pages")
+    // appending with a different bucket count is an on-disk format break
+    val e = intercept[IllegalArgumentException] {
+      PageTable.commit(spark, root, pagesDf(10), buckets = 64)
+    }
+    assert(e.getMessage.contains("bucket"))
+  }
+
   test("fetch join replays pages for a frontier; html prunable") {
     val root = java.nio.file.Files.createTempDirectory("pagetable3").toString
     PageTable.commit(spark, root, pagesDf(40))

@@ -119,11 +119,49 @@ class PlanSpec extends AnyFunSuite {
 
   test("ANN LSH path carries no udf (codegen'd srp_bucket expression)") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
-    val plan = graft.ann.Ann.lshTopK(e, e.where(col("vec_id") < 5),
+    val df = graft.ann.Ann.lshTopK(e, e.where(col("vec_id") < 5),
       "vec_id", "vec_id", "embedding", k = 3, bits = 4, tables = 2)
-      .queryExecution.executedPlan.toString
+    val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("UDF"), plan)
     assert(plan.contains("srp_bucket"), plan)
+    // round-2 regression: the candidate machinery shipped raw dim-sized
+    // vectors through ×tables joins AND the pair-dedup exchange. Candidates
+    // must now dedup as bare (q_id, nn_id): the dedup aggregate's INPUT
+    // carries no array column (vectors join back only above it)
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val dedups = df.queryExecution.optimizedPlan.collect {
+      case a: Aggregate if a.output.map(_.name).toSet == Set("q_id", "nn_id") => a
+    }
+    assert(dedups.nonEmpty, df.queryExecution.optimizedPlan.toString)
+    assert(dedups.forall(_.child.output.forall(att =>
+      !att.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])),
+      df.queryExecution.optimizedPlan.toString)
+  }
+
+  test("scalable robots gate is a distributed anti-join, nothing driver-side") {
+    val f = frontier.Seen.withUrlKeys(spark.range(50)
+      .select(concat(lit("http://h"), (col("id") % 5).cast("string"),
+        lit(".test/private/"), col("id").cast("string")).as("url"),
+        col("id").as("seed_idx")))
+    val rules = frontier.Robots.Rules(
+      (0 until 100).map(i => s"h$i.test" -> Seq("/private")).toMap)
+    val plan = frontier.Robots.filterAllowedScalable(f, rules)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), plan)
+  }
+
+  test("simhash pair dedup shuffles bare (id_a, id_b, hamming), no sigs") {
+    import spark.implicits._
+    val docs = (0 until 40).map(i => (i.toLong, s"w$i x$i y$i z$i common words here"))
+      .toDF("id", "text")
+    val df = graft.dedup.Dedup.simHashNearDups(docs, "id", "text", maxDist = 10)
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val dedups = df.queryExecution.optimizedPlan.collect {
+      case a: Aggregate if a.output.map(_.name).toSet == Set("id_a", "id_b", "hamming") => a
+    }
+    assert(dedups.nonEmpty, df.queryExecution.optimizedPlan.toString)
+    assert(dedups.forall(_.child.output.forall(att => !att.name.contains("sig"))),
+      df.queryExecution.optimizedPlan.toString)
   }
 
   test("whole text pipeline is one codegen'd map over the scan (no exchange)") {
