@@ -509,17 +509,47 @@ object SparkEntry {
     }),
 
     "q34_fetch_status" -> ((s, dir) => {
-      // frontier = every document's url; pages exist only for even doc_ids →
-      // odd rows are the 404 analogue (join miss), even rows carry parse
-      // metrics (char count + chunk count at the 16/5 guard config)
+      // full status taxonomy: pages exist only for even doc_ids (odd = 404
+      // join miss); even doc_id % 10 == 6 pages carry junk-only html (the
+      // extractor gets nothing → 422 PARSE_ERROR); a parsed robots rule
+      // denies the /docs/7* path space (451 ROBOTS_DENIED, checked before
+      // the fetch); the rest are 200 with parse metrics (16/5 guard config)
       val fr = frontier(s, dir).select("url", "seed_idx")
       val pg = docs(s, dir).where(col("doc_id") % 2 === 0)
         .select(concat(lit("http://"), col("source"), lit(".test/docs/"),
           col("doc_id").cast("string")).as("url"),
-          concat(lit("<html><body><p>"), col("text"), lit("</p></body></html>")).as("html"))
-      graft.frontier.Discover.fetchParse(fr, pg, maxWords = 16, overlap = 5)
+          when(col("doc_id") % 10 === 6,
+            lit("<html><body><script>var x = 1;</script></body></html>"))
+            .otherwise(concat(lit("<html><body><p>"), col("text"), lit("</p></body></html>")))
+            .as("html"))
+      val robots = graft.frontier.Robots.FullRules(Map.empty,
+        graft.frontier.Robots.parse("User-agent: *\nDisallow: /docs/7\n"))
+      graft.frontier.Discover.fetchParse(fr, pg, maxWords = 16, overlap = 5, robots = robots)
         .select(col("seed_idx"), col("status"), col("n_chars"), col("n_chunks"))
         .orderBy("seed_idx")
+    }),
+
+    "q38_schedule_perhost_gap" -> ((s, dir) => {
+      // per-host politeness from a PARSED robots.txt: each host's body has a
+      // decoy group for another agent, a '*' group with an Allow rule and a
+      // host-derived Crawl-delay — group selection, rule attachment and the
+      // delay all sit in the oracle-gated path; slot = (host_pos-1) × gap(h)
+      val f = Seen.withUrlKeys(frontier(s, dir))
+        .select("url", "canonical_url", "url_hash", "host", "host_rev", "seed_idx")
+      val txt = concat(
+        lit("# robots for "), col("host"),
+        lit("\nUser-agent: other-bot\nDisallow: /\n\nUser-agent: *\nAllow: /docs\nCrawl-delay: "),
+        (lit(1) + pmod(length(col("host")), lit(5))).cast("string"))
+      val withGap = f.withColumn("gap_seconds", graft.functions.robots_gap_seconds(txt))
+      val sched = Scheduler.schedule(withGap, gapSeconds = 3L, salted = true,
+        gapCol = Some(col("gap_seconds")))
+      sched
+        .withColumn("fetch_seq",
+          row_number().over(Window.orderBy(col("slot"), col("host_rev"), col("seed_idx")))
+            .cast("long"))
+        .select(col("fetch_seq"), col("slot"), col("host_rev"), col("canonical_url"),
+          col("seed_idx"), col("host_pos"), col("gap_seconds"))
+        .orderBy("fetch_seq")
     }),
 
     "q32_json_parity" -> ((s, dir) => {
@@ -806,12 +836,29 @@ object SparkEntry {
 
     "q34_fetch_status" ->
       """WITH t AS (SELECT doc_id, text,
-        |             len(regexp_split_to_array(trim(text), '\s+')) AS nw FROM documents)
-        |SELECT doc_id AS seed_idx,
-        |  CASE WHEN doc_id % 2 = 0 THEN 200 ELSE 404 END AS status,
-        |  CASE WHEN doc_id % 2 = 0 THEN len(text) ELSE NULL END AS n_chars,
-        |  CASE WHEN doc_id % 2 = 0 THEN CAST(ceil(nw / 16.0) AS BIGINT) ELSE NULL END AS n_chunks
+        |             len(regexp_split_to_array(trim(text), '\s+')) AS nw,
+        |             CASE WHEN CAST(doc_id AS VARCHAR) LIKE '7%' THEN 451
+        |                  WHEN doc_id % 2 = 1 THEN 404
+        |                  WHEN doc_id % 10 = 6 THEN 422
+        |                  ELSE 200 END AS status
+        |           FROM documents)
+        |SELECT doc_id AS seed_idx, status,
+        |  CASE WHEN status = 200 THEN len(text) ELSE NULL END AS n_chars,
+        |  CASE WHEN status = 200 THEN CAST(ceil(nw / 16.0) AS BIGINT) ELSE NULL END AS n_chunks
         |FROM t ORDER BY seed_idx""".stripMargin,
+
+    "q38_schedule_perhost_gap" ->
+      """WITH f AS (
+        |  SELECT 'http://' || source || '.test/docs/' || doc_id AS canonical_url,
+        |         'test.' || source AS host_rev, doc_id AS seed_idx,
+        |         CAST(1 + (length(source || '.test') % 5) AS BIGINT) AS gap_seconds
+        |  FROM documents),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY host_rev ORDER BY seed_idx) AS host_pos FROM f)
+        |SELECT row_number() OVER (ORDER BY (host_pos - 1) * gap_seconds, host_rev, seed_idx) AS fetch_seq,
+        |       (host_pos - 1) * gap_seconds AS slot, host_rev, canonical_url, seed_idx,
+        |       host_pos, gap_seconds
+        |FROM r ORDER BY fetch_seq""".stripMargin,
 
     "q27_window_topk" ->
       """WITH w AS (SELECT o_orderpriority, o_orderkey,

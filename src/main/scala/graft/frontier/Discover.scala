@@ -68,28 +68,55 @@ object Discover {
     }
   }
 
+  /** Fetch-status vocabulary — INT codes so the metrics table stays
+    * SQL/oracle-friendly. The reference ABORTS the whole run on the first
+    * fetch failure (`web_scraper_pipeline.py:64-65`); a 10^10-row job
+    * records per-row status instead (divergence noted in SURVEY §7.3).
+    */
+  val StatusOk = 200
+  val StatusMiss = 404          // join miss — the 404 analogue in replay
+  val StatusParseError = 422    // page fetched but the extractor got nothing
+  val StatusRobotsDenied = 451  // the robots gate said no; row kept, not fetched
+
   /** Per-URL fetch/parse metrics (north rule: "fetch/parse metrics written
     * to Iceberg"): left-join the frontier against the pages table — a join
     * miss is the 404 analogue — and compute parse metrics on the hits.
     *
     * @param frontier must carry `urlCol` (the frontier-side join key)
     * @param pages    must carry (url, html)
-    * @return frontier columns + (status INT 200|404, n_chars BIGINT,
-    *         n_chunks BIGINT; parse columns NULL on 404)
+    * @param robots   parsed rules; denied rows FLOW THROUGH with status 451
+    *                 (metrics must account for every frontier row — a gate
+    *                 that silently drops rows makes wave totals unauditable)
+    * @return frontier columns + (status INT 200|404|422|451,
+    *         n_chars BIGINT, n_chunks BIGINT; parse columns NULL unless 200)
     */
   def fetchParse(frontier: DataFrame, pages: DataFrame,
       maxWords: Int = graft.text.Chunker.MaxWords,
       overlap: Int = graft.text.Chunker.OverlapWords,
-      urlCol: String = "url", buckets: Int = 64): DataFrame = {
+      urlCol: String = "url", buckets: Int = 64,
+      robots: Robots.FullRules = Robots.FullAllowAll): DataFrame = {
     val p = pruneToWave(pages, frontier, urlCol, buckets)
       .select(col("url").as("__page_url"), col("html").as("__html"))
+    val denied =
+      if (robots.byHost.isEmpty && (robots.default eq Robots.HostRules.AllowAll)) lit(false)
+      else !Robots.allowedColFull(frontier.sparkSession, robots,
+        graft.functions.host_of(frontier(urlCol)),
+        graft.functions.url_path(frontier(urlCol)))
     frontier.join(p, frontier(urlCol) === p("__page_url"), "left")
-      .withColumn("__extracted", extract_readable(col("__html").cast("string")))
-      .withColumn("status", when(col("__html").isNull, 404).otherwise(200).cast("int"))
-      .withColumn("n_chars", length(col("__extracted")).cast("long"))
+      // denied rows skip the parse entirely (the gate would have skipped the
+      // fetch; at scale the extractor is the dominant per-row cost)
+      .withColumn("__extracted",
+        when(denied, lit(null)).otherwise(extract_readable(col("__html").cast("string"))))
+      .withColumn("status",
+        when(denied, StatusRobotsDenied)
+          .when(col("__html").isNull, StatusMiss)
+          .when(length(col("__extracted")) === 0, StatusParseError)
+          .otherwise(StatusOk).cast("int"))
+      .withColumn("n_chars",
+        when(col("status") === StatusOk, length(col("__extracted"))).cast("long"))
       .withColumn("n_chunks",
-        when(col("__extracted").isNull, lit(null).cast("long"))
-          .otherwise(size(chunk_text(col("__extracted"), maxWords, overlap)).cast("long")))
+        when(col("status") === StatusOk,
+          size(chunk_text(col("__extracted"), maxWords, overlap))).cast("long"))
       .drop("__page_url", "__html", "__extracted")
   }
 }

@@ -85,6 +85,183 @@ object Robots {
     if (rules.disallowByHost.isEmpty) return df
     filterAllowedJoin(df, rulesFrame(df.sparkSession, rules))
   }
+
+  // ---------- robots.txt parsing (RFC 9309 subset) ---------------------------
+
+  /** Parsed rules of ONE host's robots.txt for one crawler: Allow/Disallow
+    * patterns of the selected user-agent group(s) plus the (non-standard but
+    * ubiquitous) Crawl-delay. Precedence is RFC 9309 §2.2.2: the MOST
+    * SPECIFIC (longest) matching pattern wins; an Allow beats a Disallow of
+    * equal length. Patterns support the RFC's `*` wildcard and `$`
+    * end-anchor.
+    *
+    * The reference ignores robots entirely (`web_scraper_pipeline.py:61`
+    * fetches regardless), so these semantics are north-rule surface pinned
+    * by the RFC, not by reference behavior.
+    */
+  final case class HostRules(
+      allow: Seq[String],
+      disallow: Seq[String],
+      crawlDelay: Option[Double]) extends Serializable {
+    def allows(path: String): Boolean = {
+      var bestDis = -1
+      var bestAll = -1
+      disallow.foreach(p =>
+        if (p.length > bestDis && p.nonEmpty && Robots.patternMatches(p, path)) bestDis = p.length)
+      if (bestDis < 0) return true
+      allow.foreach(p =>
+        if (p.length > bestAll && p.nonEmpty && Robots.patternMatches(p, path)) bestAll = p.length)
+      bestAll >= bestDis
+    }
+  }
+
+  object HostRules {
+    val AllowAll: HostRules = HostRules(Nil, Nil, None)
+  }
+
+  /** RFC 9309 path-pattern match: literal prefix with `*` matching any run
+    * of octets and a trailing `$` anchoring the end. Greedy leftmost scan —
+    * correct for this grammar because segments between `*`s can always take
+    * the earliest occurrence without losing later matches.
+    */
+  def patternMatches(pattern: String, path: String): Boolean = {
+    val anchored = pattern.endsWith("$")
+    val p = if (anchored) pattern.dropRight(1) else pattern
+    val segs = p.split("\\*", -1)
+    if (segs.length == 1) {
+      if (anchored) path == segs(0) else path.startsWith(segs(0))
+    } else {
+      if (!path.startsWith(segs.head)) return false
+      var idx = segs.head.length
+      var i = 1
+      while (i < segs.length - 1) {
+        val f = path.indexOf(segs(i), idx)
+        if (f < 0) return false
+        idx = f + segs(i).length
+        i += 1
+      }
+      val last = segs.last
+      if (anchored) path.length - last.length >= idx && path.endsWith(last)
+      else path.indexOf(last, idx) >= 0
+    }
+  }
+
+  /** Parse one robots.txt body for `agent` (RFC 9309 group selection):
+    * groups are runs of `User-agent:` lines plus the rules that follow; the
+    * group(s) whose agent token most specifically matches ours (longest
+    * token that our product name starts with, case-insensitive) are
+    * selected; only if none match does the `*` group apply. Rules of all
+    * selected groups merge; the most conservative (largest) Crawl-delay
+    * wins. Unknown keys (Sitemap, Host, …) and comments are ignored; empty
+    * Allow/Disallow values constrain nothing, per the RFC.
+    */
+  def parse(txt: String, agent: String = "graft"): HostRules = {
+    final class G {
+      val agents = scala.collection.mutable.ListBuffer.empty[String]
+      val allow = scala.collection.mutable.ListBuffer.empty[String]
+      val disallow = scala.collection.mutable.ListBuffer.empty[String]
+      var delay: Option[Double] = None
+      var sawRule = false
+    }
+    val groups = scala.collection.mutable.ListBuffer.empty[G]
+    var cur: G = null
+    for (raw <- txt.linesIterator) {
+      val line = raw.takeWhile(_ != '#').trim
+      val ci = line.indexOf(':')
+      if (ci > 0) {
+        val key = line.substring(0, ci).trim.toLowerCase
+        val value = line.substring(ci + 1).trim
+        key match {
+          case "user-agent" =>
+            // a user-agent line after rules starts a NEW group; consecutive
+            // user-agent lines share one group
+            if (cur == null || cur.sawRule) { cur = new G; groups += cur }
+            cur.agents += value.toLowerCase
+          case "allow" if cur != null =>
+            cur.sawRule = true; if (value.nonEmpty) cur.allow += value
+          case "disallow" if cur != null =>
+            cur.sawRule = true; if (value.nonEmpty) cur.disallow += value
+          case "crawl-delay" if cur != null =>
+            cur.sawRule = true
+            cur.delay = value.toDoubleOption.filter(_ >= 0).orElse(cur.delay)
+          case _ => () // Sitemap / Host / unknown keys: not group-relevant
+        }
+      }
+    }
+    val al = agent.toLowerCase
+    val scored = groups.toList.flatMap { g =>
+      val hits = g.agents.collect { case a if a != "*" && al.startsWith(a) => a.length }
+      if (hits.isEmpty) None else Some((hits.max, g))
+    }
+    val selected =
+      if (scored.nonEmpty) {
+        val m = scored.map(_._1).max
+        scored.collect { case (s, g) if s == m => g }
+      } else groups.toList.filter(_.agents.contains("*"))
+    HostRules(
+      selected.flatMap(_.allow),
+      selected.flatMap(_.disallow),
+      selected.flatMap(_.delay).maxOption)
+  }
+
+  /** All hosts' parsed rules + a default for hosts with no robots.txt.
+    * `gapSeconds` is the politeness budget: the host's Crawl-delay (rounded
+    * up to whole seconds — the scheduler's slot unit) or `defaultGapSeconds`.
+    */
+  final case class FullRules(
+      byHost: Map[String, HostRules],
+      default: HostRules = HostRules.AllowAll,
+      defaultGapSeconds: Long = 3L) extends Serializable {
+    def rulesOf(host: String): HostRules = byHost.getOrElse(host, default)
+    def allows(host: String, path: String): Boolean = rulesOf(host).allows(path)
+    def gapSeconds(host: String): Long =
+      rulesOf(host).crawlDelay
+        .map(d => math.max(1L, math.ceil(d).toLong))
+        .getOrElse(defaultGapSeconds)
+  }
+
+  val FullAllowAll: FullRules = FullRules(Map.empty)
+
+  /** Parse every host's robots.txt body into a [[FullRules]]. */
+  def parseAll(robotsTxtByHost: Map[String, String], agent: String = "graft",
+      defaultGapSeconds: Long = 3L): FullRules =
+    FullRules(robotsTxtByHost.map { case (h, t) => h -> parse(t, agent) },
+      HostRules.AllowAll, defaultGapSeconds)
+
+  /** The allow-predicate over broadcast [[FullRules]] as a Column (callers
+    * split allowed/denied without filtering the denied rows away — the
+    * denied side flows into metrics with status 451 instead of silently
+    * vanishing).
+    */
+  def allowedColFull(spark: SparkSession, full: FullRules,
+      host: Column, path: Column): Column = {
+    val bc = spark.sparkContext.broadcast(full)
+    Bridge.column(RobotsFullAllowedExpr(bc,
+      Bridge.expression(host), Bridge.expression(path)))
+  }
+
+  /** Filter by parsed full rules (longest-match Allow/Disallow). */
+  def filterAllowedFull(df: DataFrame, full: FullRules): DataFrame = {
+    if (full.byHost.isEmpty && (full.default eq HostRules.AllowAll)) return df
+    df.where(allowedColFull(df.sparkSession, full, col("host"),
+      graft.functions.url_path(col("canonical_url"))))
+  }
+
+  /** Per-host politeness gap (Crawl-delay or the default) over broadcast
+    * [[FullRules]] — the scheduler's per-host slot width.
+    */
+  def gapColFull(spark: SparkSession, full: FullRules, host: Column): Column = {
+    val bc = spark.sparkContext.broadcast(full)
+    Bridge.column(RobotsGapExpr(bc, Bridge.expression(host)))
+  }
+
+  // static helpers the per-row parser expressions codegen against (the
+  // fixture/oracle surface — a real crawl parses each host's robots.txt
+  // ONCE into broadcast FullRules, never per row)
+  def gapSecondsOf(txt: String, agent: String, defaultGap: Long): Long =
+    FullRules(Map.empty, parse(txt, agent), defaultGap).gapSeconds("")
+  def txtAllows(txt: String, agent: String, path: String): Boolean =
+    parse(txt, agent).allows(path)
 }
 
 /** (host, path) → allowed? over a broadcast [[Robots.Rules]]. The rules ride
@@ -116,4 +293,122 @@ case class RobotsAllowedExpr(
       r: org.apache.spark.sql.catalyst.expressions.Expression): RobotsAllowedExpr =
     copy(left = l, right = r)
   override def prettyName: String = "robots_allowed"
+}
+
+/** (host, path) → allowed? over broadcast PARSED [[Robots.FullRules]]
+  * (longest-match Allow/Disallow precedence, RFC 9309) — same broadcast +
+  * codegen shape as [[RobotsAllowedExpr]], richer rule model.
+  */
+case class RobotsFullAllowedExpr(
+    bc: org.apache.spark.broadcast.Broadcast[Robots.FullRules],
+    left: org.apache.spark.sql.catalyst.expressions.Expression,
+    right: org.apache.spark.sql.catalyst.expressions.Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types.{BooleanType, DataType}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(host: Any, path: Any): Any =
+    bc.value.allows(host.asInstanceOf[UTF8String].toString, path.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftRobotsFull", bc,
+      classOf[org.apache.spark.broadcast.Broadcast[Robots.FullRules]].getName)
+    defineCodeGen(ctx, ev, (h, p) =>
+      s"((graft.frontier.Robots.FullRules) $ref.value()).allows($h.toString(), $p.toString())")
+  }
+  override protected def withNewChildrenInternal(
+      l: org.apache.spark.sql.catalyst.expressions.Expression,
+      r: org.apache.spark.sql.catalyst.expressions.Expression): RobotsFullAllowedExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "robots_allowed_full"
+}
+
+/** host → per-host politeness gap (Crawl-delay, whole seconds) over
+  * broadcast [[Robots.FullRules]] — the scheduler's per-host slot width.
+  */
+case class RobotsGapExpr(
+    bc: org.apache.spark.broadcast.Broadcast[Robots.FullRules],
+    child: org.apache.spark.sql.catalyst.expressions.Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types.{DataType, LongType}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(host: Any): Any =
+    bc.value.gapSeconds(host.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftRobotsFull", bc,
+      classOf[org.apache.spark.broadcast.Broadcast[Robots.FullRules]].getName)
+    defineCodeGen(ctx, ev, h =>
+      s"((graft.frontier.Robots.FullRules) $ref.value()).gapSeconds($h.toString())")
+  }
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): RobotsGapExpr =
+    copy(child = c)
+  override def prettyName: String = "robots_gap"
+}
+
+/** robots.txt body → Crawl-delay in whole seconds (or `defaultGap`) for
+  * `agent` — the PER-ROW parser surface, used by fixtures/oracles where the
+  * body is a column. A real crawl parses each host once into broadcast
+  * [[Robots.FullRules]] instead (see [[RobotsGapExpr]]).
+  */
+case class RobotsGapSeconds(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    agent: String, defaultGap: Long)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types.{DataType, LongType}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(txt: Any): Any =
+    Robots.gapSecondsOf(txt.asInstanceOf[UTF8String].toString, agent, defaultGap)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val a = ctx.addReferenceObj("graftAgent", agent, "java.lang.String")
+    defineCodeGen(ctx, ev, t =>
+      s"graft.frontier.Robots.gapSecondsOf($t.toString(), $a, ${defaultGap}L)")
+  }
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): RobotsGapSeconds =
+    copy(child = c)
+  override def prettyName: String = "robots_gap_seconds"
+}
+
+/** (robots.txt body, path) → allowed? for `agent` — per-row parser twin of
+  * [[RobotsGapSeconds]] for fixtures/oracles.
+  */
+case class RobotsTxtAllows(
+    left: org.apache.spark.sql.catalyst.expressions.Expression,
+    right: org.apache.spark.sql.catalyst.expressions.Expression,
+    agent: String)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types.{BooleanType, DataType}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(txt: Any, path: Any): Any =
+    Robots.txtAllows(txt.asInstanceOf[UTF8String].toString, agent,
+      path.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val a = ctx.addReferenceObj("graftAgent", agent, "java.lang.String")
+    defineCodeGen(ctx, ev, (t, p) =>
+      s"graft.frontier.Robots.txtAllows($t.toString(), $a, $p.toString())")
+  }
+  override protected def withNewChildrenInternal(
+      l: org.apache.spark.sql.catalyst.expressions.Expression,
+      r: org.apache.spark.sql.catalyst.expressions.Expression): RobotsTxtAllows =
+    copy(left = l, right = r)
+  override def prettyName: String = "robots_txt_allows"
 }

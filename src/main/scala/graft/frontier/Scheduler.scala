@@ -103,13 +103,24 @@ object Scheduler {
 
   /** Full schedule: adds host_pos, slot, and the global crawl order columns.
     * gapSeconds mirrors the reference's 3 s sleep.
+    *
+    * `gapCol`, when present, is a PER-HOST gap in whole seconds (robots
+    * Crawl-delay, adaptive backoff, host-class budgets) — the slot model
+    * extends naturally: a host with gap g occupies slots 0, g, 2g, …, so
+    * `slot = (host_pos - 1) × gap(host)` and the global order stays
+    * `ORDER BY (slot, host_rev, seed_idx)`. Must be host-constant (evaluated
+    * per row; rows of one host with different gaps would interleave
+    * nonsensically) and stays a plain codegen'd column — the ranking
+    * machinery is untouched.
     */
   def schedule(frontier: DataFrame, gapSeconds: Long = 3L, salted: Boolean = true,
       orderKeyRange: Option[(Long, Long)] = None,
-      offsetsJoin: String = "broadcast"): DataFrame = {
+      offsetsJoin: String = "broadcast",
+      gapCol: Option[Column] = None): DataFrame = {
     val ranked =
       if (salted) perHostRankSalted(frontier, "host_rev", "seed_idx", -1L, orderKeyRange, offsetsJoin)
       else perHostRank(frontier, col("host_rev"), col("seed_idx"))
-    ranked.withColumn("slot", (col("host_pos") - 1L) * gapSeconds)
+    val gap = gapCol.map(_.cast("long")).getOrElse(lit(gapSeconds))
+    ranked.withColumn("slot", (col("host_pos") - 1L) * gap)
   }
 }

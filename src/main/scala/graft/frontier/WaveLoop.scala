@@ -64,6 +64,12 @@ object WaveLoop {
     *                    read — the 10^10-scale layout: per-wave cost tracks
     *                    the delta, the anti-join never re-shuffles the
     *                    ledger, and compaction bounds file counts
+    * @param fullRules   PARSED robots rules ([[Robots.parse]]): longest-match
+    *                    Allow/Disallow gate AND per-host Crawl-delay — the
+    *                    scheduler slots each host at its own gap. Denied rows
+    *                    are not silently dropped: when metrics are on they
+    *                    land in `metrics/wave=K` with status 451. Takes
+    *                    precedence over the prefix-model `robots` param.
     */
   def run(
       spark: SparkSession,
@@ -74,7 +80,8 @@ object WaveLoop {
       gapSeconds: Long = 3L,
       robots: Robots.Rules = Robots.AllowAll,
       pages: Option[DataFrame] = None,
-      ledger: Option[Ledger] = None): Seq[WaveResult] = {
+      ledger: Option[Ledger] = None,
+      fullRules: Option[Robots.FullRules] = None): Seq[WaveResult] = {
 
     Files.createDirectories(Paths.get(root))
     val already = committedWaves(root)
@@ -91,7 +98,18 @@ object WaveLoop {
       // re-evaluates its input twice, so its input must stay scan-cheap;
       // the two stages commute (seen-status is constant per url_hash group)
       val keyed = Seen.withUrlKeys(frontier)
-      val gated = Robots.filterAllowed(keyed, robots)
+      val gated = fullRules match {
+        case Some(fr) => Robots.filterAllowedFull(keyed, fr)
+        case None => Robots.filterAllowed(keyed, robots)
+      }
+      // denied rows are audit surface, not garbage: with metrics on they are
+      // written as status-451 rows next to the wave's fetch metrics below
+      val deniedRows = fullRules match {
+        case Some(fr) if pages.nonEmpty =>
+          Some(keyed.where(!Robots.allowedColFull(spark, fr, col("host"),
+            graft.functions.url_path(col("canonical_url")))))
+        case _ => None
+      }
       // partitioned bloom pre-filter (north rule): per-bucket sketches over
       // the ledger, probes routed by pmod(url_hash, buckets); positives
       // verified exactly by the anti-join inside. Ledger mode reads the
@@ -107,9 +125,12 @@ object WaveLoop {
       val mm = frontier.agg(min(col("seed_idx")).as("lo"), max(col("seed_idx")).as("hi")).collect()(0)
       val range = if (mm.isNullAt(0)) None
         else Some((mm.getAs[Long]("lo"), mm.getAs[Long]("hi")))
+      // per-host politeness: robots Crawl-delay (whole seconds) when parsed
+      // rules are present, the single global gap otherwise
+      val gapCol = fullRules.map(fr => Robots.gapColFull(spark, fr, col("host")))
       val scheduled = Scheduler.schedule(
         inWave.select("url", "canonical_url", "url_hash", "host", "host_rev", "seed_idx"),
-        gapSeconds, salted = true, orderKeyRange = range)
+        gapSeconds, salted = true, orderKeyRange = range, gapCol = gapCol)
 
       // wave data writes (overwrite → idempotent re-run of an uncommitted wave)
       scheduled
@@ -141,17 +162,29 @@ object WaveLoop {
       // per-URL fetch/parse metrics (north rule) — written next to the wave,
       // totals into the manifest
       val fetchStats = pages.map { pg =>
-        Discover.fetchParse(
+        val fetched = Discover.fetchParse(
           sched.select("url", "canonical_url", "url_hash", "seed_idx"), pg,
           urlCol = "canonical_url")
-          .write.mode(SaveMode.Overwrite).parquet(s"$root/metrics/wave=$wave")
+        // robots-denied rows join the metrics table with status 451 — every
+        // frontier row is accounted for, nothing vanishes at the gate
+        val withDenied = deniedRows match {
+          case Some(d) => fetched.unionByName(
+            d.select(col("url"), col("canonical_url"), col("url_hash"), col("seed_idx"),
+              lit(Discover.StatusRobotsDenied).cast("int").as("status"),
+              lit(null).cast("long").as("n_chars"),
+              lit(null).cast("long").as("n_chunks")))
+          case None => fetched
+        }
+        withDenied.write.mode(SaveMode.Overwrite).parquet(s"$root/metrics/wave=$wave")
         val m = spark.read.parquet(s"$root/metrics/wave=$wave")
           .agg(sum(when(col("status") === 200, 1L).otherwise(0L)).as("fetched"),
             sum(when(col("status") =!= 200, 1L).otherwise(0L)).as("missed"),
+            sum(when(col("status") === Discover.StatusRobotsDenied, 1L).otherwise(0L)).as("denied"),
             coalesce(sum(col("n_chars")), lit(0L)).as("parse_chars"),
             coalesce(sum(col("n_chunks")), lit(0L)).as("parse_chunks"))
           .collect()(0)
         s""","fetched":${m.getAs[Long]("fetched")},"missed":${m.getAs[Long]("missed")},""" +
+          s""""denied":${m.getAs[Long]("denied")},""" +
           s""""parse_chars":${m.getAs[Long]("parse_chars")},"parse_chunks":${m.getAs[Long]("parse_chunks")}"""
       }.getOrElse("")
       val manifest =

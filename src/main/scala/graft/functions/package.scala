@@ -106,6 +106,18 @@ package object functions {
   def srp_bucket(vec: Column, bits: Int, seed: Int = 7): Column =
     col(SrpBucket(expr(vec), bits, seed))
 
+  /** robots.txt body → Crawl-delay in whole seconds (or the default) for the
+    * agent — per-row parser surface; crawls parse once into broadcast
+    * [[graft.frontier.Robots.FullRules]] instead.
+    */
+  def robots_gap_seconds(txt: Column, agent: String = "graft",
+      defaultGap: Long = 3L): Column =
+    col(graft.frontier.RobotsGapSeconds(expr(txt), agent, defaultGap))
+
+  /** (robots.txt body, path) → allowed? for the agent (RFC 9309 longest-match). */
+  def robots_txt_allows(txt: Column, path: Column, agent: String = "graft"): Column =
+    col(graft.frontier.RobotsTxtAllows(expr(txt), expr(path), agent))
+
   /** Register all functions for SQL use (`SELECT canonicalize_url(url) …`). */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

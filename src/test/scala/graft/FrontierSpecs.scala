@@ -173,6 +173,59 @@ class RobotsSpec extends AnyFunSuite {
     assert(full == (0L until 200L).filter(i => (i % 10) % 2 == 1).toSet)
   }
 
+  test("robots.txt parser: groups, longest-match precedence, wildcards, delay") {
+    val txt =
+      """# comment line
+        |User-agent: other-bot
+        |Disallow: /
+        |Crawl-delay: 99
+        |
+        |User-agent: graft
+        |User-agent: friend
+        |Allow: /public
+        |Disallow: /pub
+        |Disallow: /private/*/tmp
+        |Disallow: /*.zip$
+        |Crawl-delay: 2.4
+        |Sitemap: http://x/s.xml
+        |""".stripMargin
+    val r = Robots.parse(txt, agent = "graft")
+    assert(r.crawlDelay.contains(2.4))
+    assert(r.allows("/public/x")) // Allow /public (len 7) beats Disallow /pub (len 4)
+    assert(!r.allows("/pubx")) // /pub disallow, no allow match
+    assert(!r.allows("/private/a/tmp/f")) // '*' wildcard
+    assert(r.allows("/private/a/xyz"))
+    assert(!r.allows("/data/file.zip")) // '$' end anchor
+    assert(r.allows("/data/file.zipx")) // anchor must match the END
+    assert(r.allows("/anything/else"))
+    // unknown agent: no '*' group in this file → unrestricted
+    val star = Robots.parse(txt, agent = "randombot")
+    assert(star.allows("/pubx") && star.crawlDelay.isEmpty)
+    // the most specific agent group wins over '*' (and '*' rules then do
+    // NOT apply — RFC 9309 group selection, not union)
+    val g2 = Robots.parse("User-agent: *\nDisallow: /a\n\nUser-agent: graft\nDisallow: /b\n", "graft")
+    assert(g2.allows("/a/x") && !g2.allows("/b/x"))
+    // gap helper: ceil to whole seconds, default when absent
+    assert(Robots.gapSecondsOf(txt, "graft", 10L) == 3L) // ceil(2.4) = 3, not the default
+    assert(Robots.gapSecondsOf("User-agent: *\nDisallow:\n", "graft", 7L) == 7L)
+  }
+
+  test("FullRules gate + per-host gap columns agree with the driver-side model") {
+    val full = Robots.parseAll(Map(
+      "a.test" -> "User-agent: *\nDisallow: /private\nCrawl-delay: 2\n",
+      "b.test" -> "User-agent: *\nCrawl-delay: 5\n"))
+    val f = Seen.withUrlKeys(Seq(
+      ("http://a.test/private/x", 1L), ("http://a.test/public/x", 2L),
+      ("http://b.test/private/x", 3L), ("http://c.test/anything", 4L))
+      .toDF("url", "seed_idx"))
+    val kept = Robots.filterAllowedFull(f, full).select("seed_idx").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L, 4L))
+    val gaps = f.select(col("seed_idx"),
+      Robots.gapColFull(spark, full, col("host")).as("g"))
+      .as[(Long, Long)].collect().toMap
+    assert(gaps == Map(1L -> 2L, 2L -> 2L, 3L -> 5L, 4L -> 3L))
+  }
+
   test("robots gate is a codegen'd expression, not a udf") {
     // range-based input: a LocalRelation would let the optimizer fold the
     // whole filter away at plan time and hide the expression
@@ -264,6 +317,40 @@ class WaveLoopSpec extends AnyFunSuite {
     // manifest totals match
     val mf = java.nio.file.Files.readString(WaveLoop.manifestPath(root, 1))
     assert(mf.contains("\"fetched\":3") && mf.contains("\"missed\":2"), mf)
+  }
+
+  test("parsed robots through the loop: per-host crawl-delay + 451 metrics") {
+    val seeds2 = (0 until 12).map(i => (s"http://h${i % 2}.test/p/$i", i.toLong))
+      .toDF("url", "seed_idx")
+    val pages2 = (0 until 12).map(i =>
+      (s"http://h${i % 2}.test/p/$i", s"<html><body><p>t $i</p></body></html>"))
+      .toDF("url", "html")
+    val fullRules = Robots.parseAll(Map(
+      "h0.test" -> "User-agent: *\nDisallow: /p/4\nCrawl-delay: 2\n",
+      "h1.test" -> "User-agent: *\nCrawl-delay: 5\n"))
+    val noDiscovery = (sched: org.apache.spark.sql.DataFrame) =>
+      sched.select(col("canonical_url").as("url"), col("seed_idx")).limit(0)
+    val root = java.nio.file.Files.createTempDirectory("wavesrobots").toString
+    WaveLoop.run(spark, root, seeds2, noDiscovery, maxWaves = 1,
+      pages = Some(pages2), fullRules = Some(fullRules))
+    val sched = spark.read.parquet(s"$root/schedule/wave=0")
+      .select("canonical_url", "slot", "host_pos").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // the denied url never schedules
+    assert(!sched.exists(_._1.endsWith("/p/4")))
+    // per-host slot spacing = that host's Crawl-delay
+    for ((u, slot, pos) <- sched) {
+      val gap = if (u.contains("h0.test")) 2L else 5L
+      assert(slot == (pos - 1) * gap, s"$u slot $slot pos $pos")
+    }
+    // the denied row flows into metrics with status 451 and null parse cols
+    val m = spark.read.parquet(s"$root/metrics/wave=0")
+    val deniedRows = m.where(col("status") === 451).collect()
+    assert(deniedRows.length == 1 && deniedRows(0).getAs[String]("canonical_url").endsWith("/p/4"))
+    assert(deniedRows(0).isNullAt(deniedRows(0).fieldIndex("n_chars")))
+    assert(m.where(col("status") === 200).count() == 11)
+    val mf = java.nio.file.Files.readString(WaveLoop.manifestPath(root, 0))
+    assert(mf.contains("\"denied\":1"), mf)
   }
 
   test("resume: crash between data write and manifest → identical final state") {
