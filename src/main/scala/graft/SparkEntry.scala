@@ -429,20 +429,30 @@ object SparkEntry {
     //     query has a DuckDB oracle; the PageGen byte-identity invariant
     //     stays covered by HtmlTextSpec/PageTableSpec fixtures) --------------
     "q28_multimodal_features" -> ((s, dir) => {
+      // REAL PNG decode: bytes are genuine deflate-compressed, Sub-filtered
+      // grayscale PNG streams (graft.multimodal.Png); pixel (x, y) of asset
+      // i is (i*7 + y*w + x) mod 256. The oracle recomputes the 8x8-block
+      // mean arithmetically (stride-dependent — a wrong unfilter or stride
+      // cannot fake it) and the full mean is exactly 127.5 because w*h is a
+      // multiple of 256 (whole value cycles).
       import s.implicits._
       val ids = docs(s, dir).select(col("doc_id")).as[Long]
       val assets = ids.map { i =>
+        val w = 64 + (i % 8).toInt * 32
+        val h = 48 + (i % 5).toInt * 32
+        val px = Array.tabulate(w * h)(j => ((i * 7 + j) % 256).toByte)
         graft.multimodal.Multimodal.Asset(i, "image",
-          graft.multimodal.Multimodal.FakeCodec.encodeImageHeader(
-            i, 64 + (i % 8).toInt * 32, 48 + (i % 5).toInt * 32, 3),
-          s"http://img.test/$i")
+          graft.multimodal.Png.encode(w, h, 1, px), s"http://img.test/$i")
       }
-      graft.multimodal.Multimodal.featureTable(assets)
+      graft.multimodal.Multimodal.pngFeatures(assets).toDF()
+        .join(assets.toDF().select(col("asset_id"), col("source_url")), "asset_id")
         .select(col("asset_id"),
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
           col("channels").cast("long").as("channels"),
-          round(col("mean_luma"), 6).as("mean_luma"), col("source_url"))
+          round(col("mean_luma"), 6).as("mean_luma"),
+          round(col("mean_luma8"), 6).as("mean_luma8"),
+          col("source_url"))
         .orderBy("asset_id")
     }),
 
@@ -550,6 +560,33 @@ object SparkEntry {
         .select(col("fetch_seq"), col("slot"), col("host_rev"), col("canonical_url"),
           col("seed_idx"), col("host_pos"), col("gap_seconds"))
         .orderBy("fetch_seq")
+    }),
+
+    "q39_corpus_pipeline" -> ((s, dir) => {
+      // THE composed training-data job: extract → chunk → exact-dedup the
+      // chunks (digest groupBy via Dedup.exactDedupKeepIds — 16 B/row on the
+      // dedup shuffle, text joins back by key) → quality gate → embed.
+      // Corpus = dupCorpus (every 5th doc duplicated), so the dedup stage
+      // genuinely collapses work; chunk config (16, 5) = the q12 oracle
+      // window shape.
+      val corpus = dupCorpus(s, dir)
+      val chunks = corpus
+        .select(col("id"),
+          extract_readable(concat(lit("<html><body><p>"), col("text"),
+            lit("</p></body></html>"))).as("text"))
+        .select(col("id"), chunk_explode(col("text"), 16, 5).as(Seq("chunk_id", "chunk")))
+        .select((col("id") * 100000L + col("chunk_id")).as("key"), col("chunk"))
+      val kept = graft.dedup.Dedup.exactDedupKeepIds(chunks, "key", "chunk")
+      val surviving = chunks.join(kept.select(col("keep_id").as("key")), "key")
+      val emb = hash_embed(col("chunk"))
+      surviving
+        .withColumn("n_words", size(split(trim(col("chunk")), "\\s+")).cast("long"))
+        .where(col("n_words") >= 16) // quality gate: fragments dropped
+        .select(col("key").as("keep_key"), col("chunk"), col("n_words"),
+          size(emb).cast("long").as("dim"),
+          round(sqrt(aggregate(transform(emb, x => x.cast("double")),
+            lit(0.0d), (acc, x) => acc + x * x)), 3).as("norm"))
+        .orderBy("keep_key")
     }),
 
     "q32_json_parity" -> ((s, dir) => {
@@ -780,10 +817,12 @@ object SparkEntry {
       """SELECT doc_id AS asset_id,
         |  64 + (doc_id % 8) * 32 AS width,
         |  48 + (doc_id % 5) * 32 AS height,
-        |  CAST(3 AS BIGINT) AS channels,
+        |  CAST(1 AS BIGINT) AS channels,
+        |  CAST(127.5 AS DOUBLE) AS mean_luma,
         |  round(list_aggregate(
-        |    list_transform(range(64), i -> CAST((doc_id * 7 + i) % 256 AS DOUBLE)),
-        |    'avg'), 6) AS mean_luma,
+        |    list_transform(range(64),
+        |      j -> CAST((doc_id * 7 + (j // 8) * (64 + (doc_id % 8) * 32) + (j % 8)) % 256 AS DOUBLE)),
+        |    'avg'), 6) AS mean_luma8,
         |  'http://img.test/' || doc_id AS source_url
         |FROM documents ORDER BY asset_id""".stripMargin,
 
@@ -859,6 +898,26 @@ object SparkEntry {
         |       (host_pos - 1) * gap_seconds AS slot, host_rev, canonical_url, seed_idx,
         |       host_pos, gap_seconds
         |FROM r ORDER BY fetch_seq""".stripMargin,
+
+    "q39_corpus_pipeline" ->
+      """WITH c AS (
+        |  SELECT doc_id AS id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0),
+        |t AS (SELECT id, regexp_split_to_array(trim(text), '\s+') AS toks,
+        |             len(regexp_split_to_array(trim(text), '\s+')) AS nw FROM c),
+        |ch AS (SELECT id, toks, nw,
+        |         unnest(generate_series(0, CAST(ceil(nw / 16.0) AS INT) - 1)) AS cid FROM t),
+        |s AS (SELECT id * 100000 + cid AS key,
+        |        CASE WHEN cid = 0 THEN array_to_string(toks[1:least(nw, 16)], ' ')
+        |             ELSE array_to_string(toks[cid*16-4:cid*16], ' ') || ' ' ||
+        |                  array_to_string(toks[cid*16+1:least(nw, (cid+1)*16)], ' ') END AS chunk
+        |      FROM ch),
+        |d AS (SELECT min(key) AS keep_key, chunk FROM s GROUP BY chunk),
+        |g AS (SELECT keep_key, chunk,
+        |        CAST(len(regexp_split_to_array(chunk, '\s+')) AS BIGINT) AS n_words FROM d)
+        |SELECT keep_key, chunk, n_words, CAST(384 AS BIGINT) AS dim, CAST(1.0 AS DOUBLE) AS norm
+        |FROM g WHERE n_words >= 16 ORDER BY keep_key""".stripMargin,
 
     "q27_window_topk" ->
       """WITH w AS (SELECT o_orderpriority, o_orderkey,

@@ -7,13 +7,15 @@ import org.apache.spark.sql.functions._
   * metadata (the Common-Crawl/WARC framing the north-rule table already
   * uses for html).
   *
-  * Real codec work (JPEG decode, resampling, frame extraction) needs native
-  * libraries that are not in this container, so the DECODE KERNEL IS A
-  * DETERMINISTIC FAKE (clearly marked below); everything Spark-owned — the
-  * schema, the per-partition batch loop, the resource-init-once pattern, the
-  * partitioning so one task never holds more than a batch of payloads in
-  * memory — is real and tested. Swapping `FakeCodec` for a JNI codec changes
-  * no plan shape.
+  * The IMAGE leg decodes REAL bytes: [[Png]] is a standards-conformant
+  * pure-JVM PNG codec (zlib inflate + scanline unfilter), see
+  * [[Multimodal.pngFeatures]]. Audio/video codec work (MP3/H.264 et al.)
+  * needs native libraries that are not in this container, so THOSE decode
+  * kernels remain a DETERMINISTIC FAKE (clearly marked below); everything
+  * Spark-owned — the schema, the per-partition batch loop, the
+  * resource-init-once pattern, the partitioning so one task never holds
+  * more than a batch of payloads in memory — is real and tested for all
+  * three legs. Swapping `FakeCodec` for a JNI codec changes no plan shape.
   */
 object Multimodal {
 
@@ -211,4 +213,47 @@ object Multimodal {
   def featureTable(assets: Dataset[Asset]): DataFrame =
     imageFeatures(assets).toDF()
       .join(assets.toDF().select(col("asset_id"), col("source_url")), "asset_id")
+
+  // ---------- REAL image decode (graft.multimodal.Png) ----------------------
+
+  final case class PngFeatures(
+      asset_id: Long,
+      width: Int,
+      height: Int,
+      channels: Int,
+      mean_luma: Double,
+      mean_luma8: Double)
+
+  /** REAL image decode — [[Png]] is a genuine zlib-inflate + scanline
+    * unfilter, not the FakeCodec header trick: the bytes are standards-
+    * conformant PNG streams. Features: `mean_luma` = full-image mean of the
+    * first channel; `mean_luma8` = mean of the top-left 8×8 block, a value
+    * that depends on the row STRIDE — a decoder that mis-unfilters or
+    * mis-strides cannot reproduce it. Same init-once `mapPartitions`
+    * streaming shape as the fake path (swapping codecs changes no plan).
+    */
+  def pngFeatures(assets: Dataset[Asset]): Dataset[PngFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.filter(_.modality == "image").mapPartitions { it =>
+      // >>> per-partition codec init would go here (once, not per row) <<<
+      it.map { a =>
+        val (w, h, ch, px) = Png.decode(a.bytes)
+        var sum = 0.0
+        var i = 0
+        val n = w.toLong * h
+        while (i < n) { sum += px(i.toInt * ch) & 0xff; i += 1 }
+        var sum8 = 0.0
+        val w8 = math.min(8, w); val h8 = math.min(8, h)
+        var y = 0
+        while (y < h8) {
+          var x = 0
+          while (x < w8) { sum8 += px((y * w + x) * ch) & 0xff; x += 1 }
+          y += 1
+        }
+        PngFeatures(a.asset_id, w, h, ch,
+          if (n > 0) sum / n else 0.0,
+          if (w8 * h8 > 0) sum8 / (w8 * h8) else 0.0)
+      }
+    }
+  }
 }

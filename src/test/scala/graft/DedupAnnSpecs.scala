@@ -225,6 +225,47 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("PNG codec: encode/decode round-trip across all filters and channels") {
+    import graft.multimodal.Png
+    val rnd = new scala.util.Random(7)
+    for (filter <- 0 to 4; ch <- Seq(1, 3)) {
+      val w = 1 + rnd.nextInt(40); val h = 1 + rnd.nextInt(30)
+      val px = Array.fill(w * h * ch)(rnd.nextInt(256).toByte)
+      val (dw, dh, dch, out) = Png.decode(Png.encode(w, h, ch, px, filter))
+      assert((dw, dh, dch) == ((w, h, ch)), s"filter $filter ch $ch")
+      assert(out.toSeq == px.toSeq, s"filter $filter ch $ch roundtrip")
+    }
+  }
+
+  test("PNG decoder rejects garbage and unimplemented features") {
+    import graft.multimodal.Png
+    intercept[IllegalArgumentException](Png.decode("not a png at all".getBytes))
+    val good = Png.encode(4, 4, 1, Array.tabulate(16)(_.toByte))
+    // IHDR interlace byte (sig 8 + len/type 8 + 12 data bytes = offset 28):
+    // Adam7 must be REJECTED, never mis-decoded
+    val interlaced = good.clone(); interlaced(28) = 1
+    intercept[IllegalArgumentException](Png.decode(interlaced))
+  }
+
+  test("pngFeatures: real decode through mapPartitions matches direct pixels") {
+    import graft.multimodal.{Multimodal, Png}
+    val s = spark
+    import s.implicits._
+    val assets = spark.range(12).map { i =>
+      val w = 16 + (i % 3).toInt * 8; val h = 16
+      val px = Array.tabulate(w * h)(j => ((i * 7 + j) % 256).toByte)
+      Multimodal.Asset(i, "image", Png.encode(w, h, 1, px, filterType = 4), s"u$i")
+    }
+    for (f <- Multimodal.pngFeatures(assets).collect()) {
+      val w = 16 + (f.asset_id % 3).toInt * 8
+      assert(f.width == w && f.height == 16 && f.channels == 1)
+      val px = Array.tabulate(w * 16)(j => ((f.asset_id * 7 + j) % 256).toDouble)
+      assert(math.abs(f.mean_luma - px.sum / px.length) < 1e-9)
+      val m8 = (for (y <- 0 until 8; x <- 0 until 8) yield px(y * w + x)).sum / 64
+      assert(math.abs(f.mean_luma8 - m8) < 1e-9)
+    }
+  }
+
   test("binary decode plumbing: header roundtrip through mapPartitions") {
     import graft.multimodal.Multimodal
     val feats = Multimodal.imageFeatures(Multimodal.syntheticAssets(spark, 50)).collect()
