@@ -240,6 +240,13 @@ object Bench {
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val extraRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA", "2").toInt
     val noisyUtil = sys.env.getOrElse("SPARK_GRAFT_BENCH_NOISY_UTIL", "0.6").toDouble
+    // low utilization only signals a stolen-cores window on queries long
+    // enough to keep the cores busy: a 0.3 s scan-bound query idles most of
+    // 32 cores by NATURE and cannot distort the total — don't flag or
+    // re-run it (the round-2 contamination was a 43 s query at util 0.4)
+    val noisyFloorSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_NOISY_FLOOR", "2.0").toDouble
+    def looksThrottled(s: RunStats): Boolean =
+      s.sec >= noisyFloorSec && s.utilization < noisyUtil
     val spark = BenchQueries.session(cpus)
     val listener = new TaskTimeListener
     spark.sparkContext.addSparkListener(listener)
@@ -255,7 +262,7 @@ object Bench {
           // degraded-window retries: only while the best run still looks
           // throttled (utilization under the bar)
           val extended = (0 until extraRuns).foldLeft(base) { (acc, _) =>
-            if (acc.minBy(_.sec).utilization >= noisyUtil) acc
+            if (!looksThrottled(acc.minBy(_.sec))) acc
             else acc :+ measuredRun(spark, listener, cpus.toInt, fn(spark, sfDir))
           }
           (extended.minBy(_.sec), extended)
@@ -269,7 +276,7 @@ object Bench {
     val qs = perQuery(_._2.sec.toString)
     val util = perQuery(r => f"${r._2.utilization}%.3f")
     val runsSec = perQuery(_._3.map(s => f"${s.sec}%.3f").mkString("[", ",", "]"))
-    val noisyQs = results.filter(r => r._2.sec >= 0 && r._2.utilization < noisyUtil).map(_._1)
+    val noisyQs = results.filter(r => r._2.sec >= 0 && looksThrottled(r._2)).map(_._1)
     val total = results.map(_._2.sec).sum
     val ups = if (frontierSec > 0) frontierUrls / frontierSec else 0.0
     println(s"""{"metric":"total_headline_sec","value":$total,"unit":"sec",""" +

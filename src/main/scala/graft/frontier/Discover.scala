@@ -87,6 +87,13 @@ object Discover {
     * @param robots   parsed rules; denied rows FLOW THROUGH with status 451
     *                 (metrics must account for every frontier row — a gate
     *                 that silently drops rows makes wave totals unauditable)
+    * @param parseStats when false, skip the extract+chunk pass entirely:
+    *                 status degrades to {200, 404, 451} (no 422 — nothing
+    *                 parsed) and the parse columns are NULL. At 100 TB the
+    *                 extractor dominates per-row cost and the DOWNSTREAM
+    *                 text pipeline extracts anyway — a metrics pass that
+    *                 re-extracts doubles the bill, so the loop can turn it
+    *                 off and let parse stats come from the consumer.
     * @return frontier columns + (status INT 200|404|422|451,
     *         n_chars BIGINT, n_chunks BIGINT; parse columns NULL unless 200)
     */
@@ -94,7 +101,8 @@ object Discover {
       maxWords: Int = graft.text.Chunker.MaxWords,
       overlap: Int = graft.text.Chunker.OverlapWords,
       urlCol: String = "url", buckets: Int = 64,
-      robots: Robots.FullRules = Robots.FullAllowAll): DataFrame = {
+      robots: Robots.FullRules = Robots.FullAllowAll,
+      parseStats: Boolean = true): DataFrame = {
     val p = pruneToWave(pages, frontier, urlCol, buckets)
       .select(col("url").as("__page_url"), col("html").as("__html"))
     val denied =
@@ -102,21 +110,33 @@ object Discover {
       else !Robots.allowedColFull(frontier.sparkSession, robots,
         graft.functions.host_of(frontier(urlCol)),
         graft.functions.url_path(frontier(urlCol)))
-    frontier.join(p, frontier(urlCol) === p("__page_url"), "left")
-      // denied rows skip the parse entirely (the gate would have skipped the
-      // fetch; at scale the extractor is the dominant per-row cost)
-      .withColumn("__extracted",
-        when(denied, lit(null)).otherwise(extract_readable(col("__html").cast("string"))))
-      .withColumn("status",
-        when(denied, StatusRobotsDenied)
-          .when(col("__html").isNull, StatusMiss)
-          .when(length(col("__extracted")) === 0, StatusParseError)
-          .otherwise(StatusOk).cast("int"))
-      .withColumn("n_chars",
-        when(col("status") === StatusOk, length(col("__extracted"))).cast("long"))
-      .withColumn("n_chunks",
-        when(col("status") === StatusOk,
-          size(chunk_text(col("__extracted"), maxWords, overlap))).cast("long"))
-      .drop("__page_url", "__html", "__extracted")
+    val joined = frontier.join(p, frontier(urlCol) === p("__page_url"), "left")
+    val statused =
+      if (!parseStats)
+        joined
+          .withColumn("status",
+            when(denied, StatusRobotsDenied)
+              .when(col("__html").isNull, StatusMiss)
+              .otherwise(StatusOk).cast("int"))
+          .withColumn("n_chars", lit(null).cast("long"))
+          .withColumn("n_chunks", lit(null).cast("long"))
+      else
+        joined
+          // denied rows skip the parse entirely (the gate would have skipped
+          // the fetch; at scale the extractor is the dominant per-row cost)
+          .withColumn("__extracted",
+            when(denied, lit(null)).otherwise(extract_readable(col("__html").cast("string"))))
+          .withColumn("status",
+            when(denied, StatusRobotsDenied)
+              .when(col("__html").isNull, StatusMiss)
+              .when(length(col("__extracted")) === 0, StatusParseError)
+              .otherwise(StatusOk).cast("int"))
+          .withColumn("n_chars",
+            when(col("status") === StatusOk, length(col("__extracted"))).cast("long"))
+          .withColumn("n_chunks",
+            when(col("status") === StatusOk,
+              size(chunk_text(col("__extracted"), maxWords, overlap))).cast("long"))
+          .drop("__extracted")
+    statused.drop("__page_url", "__html")
   }
 }

@@ -81,7 +81,8 @@ object WaveLoop {
       robots: Robots.Rules = Robots.AllowAll,
       pages: Option[DataFrame] = None,
       ledger: Option[Ledger] = None,
-      fullRules: Option[Robots.FullRules] = None): Seq[WaveResult] = {
+      fullRules: Option[Robots.FullRules] = None,
+      metricsParseStats: Boolean = true): Seq[WaveResult] = {
 
     Files.createDirectories(Paths.get(root))
     val already = committedWaves(root)
@@ -162,9 +163,12 @@ object WaveLoop {
       // per-URL fetch/parse metrics (north rule) — written next to the wave,
       // totals into the manifest
       val fetchStats = pages.map { pg =>
+        // parseStats=false is the 100 TB setting: the downstream text
+        // pipeline extracts anyway, so the metrics pass should not pay a
+        // SECOND full extract+chunk of every fetched page just for counts
         val fetched = Discover.fetchParse(
           sched.select("url", "canonical_url", "url_hash", "seed_idx"), pg,
-          urlCol = "canonical_url")
+          urlCol = "canonical_url", parseStats = metricsParseStats)
         // robots-denied rows join the metrics table with status 451 — every
         // frontier row is accounted for, nothing vanishes at the gate
         val withDenied = deniedRows match {

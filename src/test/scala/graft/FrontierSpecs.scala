@@ -351,6 +351,15 @@ class WaveLoopSpec extends AnyFunSuite {
     assert(m.where(col("status") === 200).count() == 11)
     val mf = java.nio.file.Files.readString(WaveLoop.manifestPath(root, 0))
     assert(mf.contains("\"denied\":1"), mf)
+    // parseStats=false (the 100 TB setting): statuses survive, parse columns
+    // are null for EVERY row — the metrics pass pays no second extract
+    val root2 = java.nio.file.Files.createTempDirectory("wavesrobots2").toString
+    WaveLoop.run(spark, root2, seeds2, noDiscovery, maxWaves = 1,
+      pages = Some(pages2), fullRules = Some(fullRules), metricsParseStats = false)
+    val m2 = spark.read.parquet(s"$root2/metrics/wave=0")
+    assert(m2.where(col("status") === 200).count() == 11)
+    assert(m2.where(col("status") === 451).count() == 1)
+    assert(m2.where(col("n_chars").isNotNull || col("n_chunks").isNotNull).count() == 0)
   }
 
   test("resume: crash between data write and manifest → identical final state") {

@@ -48,6 +48,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.length == 3) // each hash exactly once, ever
   }
 
+  test("streaming frontier == batch WaveLoop on the same discovery graph") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.frontier.WaveLoop
+    // batch reference: the WaveLoopSpec synthetic graph, 3 waves
+    def discover(sched: org.apache.spark.sql.DataFrame) = {
+      val children = sched.select(col("seed_idx"))
+        .where(col("seed_idx") < 200)
+        .select(explode(array(col("seed_idx") * 2 + 100, col("seed_idx") * 2 + 101)).as("next_idx"))
+        .select(concat(lit("http://h"), (col("next_idx") % 5).cast("string"),
+          lit(".test/p/"), col("next_idx").cast("string")).as("url"),
+          col("next_idx").cast("long").as("seed_idx"))
+      // every wave re-discovers seed 0's url — the seen state must drop it
+      val revisit = sched.sparkSession.createDataFrame(
+        Seq(("http://h0.test/p/0", 9999L))).toDF("url", "seed_idx")
+      children.unionByName(revisit)
+    }
+    val seeds = (0 until 20).map(i => (s"http://h${i % 3}.test/p/$i", i.toLong))
+    val batchRoot = java.nio.file.Files.createTempDirectory("sfb").toString
+    WaveLoop.run(spark, batchRoot, seeds.toDF("url", "seed_idx"), discover, maxWaves = 3)
+    // streaming run: micro-batch K carries exactly wave K's input frontier
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val streamRoot = java.nio.file.Files.createTempDirectory("sfs").toString
+    val q = graft.streaming.StreamingFrontier.run(
+      input.toDF().toDF("url", "seed_idx"), streamRoot)
+    try {
+      input.addData(seeds)
+      q.processAllAvailable()
+      for (w <- 0 until 2) { // waves 1, 2 inputs = batch loop's next/wave=w
+        val next = spark.read.parquet(s"$batchRoot/next/wave=$w")
+          .as[(String, Long)].collect().toSeq
+        input.addData(next)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // row-identical schedules, wave by wave (batch ids are 0,1,2)
+    for (w <- 0 until 3) {
+      val batch = spark.read.parquet(s"$batchRoot/schedule/wave=$w")
+        .select("slot", "host_rev", "canonical_url", "url_hash", "seed_idx", "host_pos")
+        .orderBy("slot", "host_rev", "seed_idx").collect().toSeq
+      val streamed = spark.read.parquet(s"$streamRoot/schedule/batch=$w")
+        .select("slot", "host_rev", "canonical_url", "url_hash", "seed_idx", "host_pos")
+        .orderBy("slot", "host_rev", "seed_idx").collect().toSeq
+      assert(streamed == batch, s"wave $w schedule drift")
+      assert(batch.nonEmpty)
+    }
+  }
+
   test("stateful sessionization groups a user's events with bounds") {
     val events = spark.read.parquet(s"$sf/events.parquet")
       .select("event_id", "ts", "user_id", "event_type", "value")
