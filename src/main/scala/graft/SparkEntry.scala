@@ -589,6 +589,102 @@ object SparkEntry {
         .orderBy("keep_key")
     }),
 
+    "q40_dup_clusters" -> ((s, dir) => {
+      // duplicate GROUPS from pairwise near-dup output: the q19 pair set
+      // (LSH candidates, exact-Jaccard verified ≥ 0.7) → connected
+      // components (alternating star, O(log n) rounds) → (id, cluster_id =
+      // component min). The oracle recomputes the same clusters with a
+      // recursive transitive-closure CTE over the same SQL pair set.
+      val corpus = nearDupCorpus(s, dir)
+      val cands = graft.dedup.Dedup.minHashCandidates(corpus, "id", "text",
+        shingleK = 3, bands = 8, rowsPerBand = 4)
+      val pairs = graft.dedup.Dedup.verifyJaccard(cands, corpus, "id", "text", shingleK = 3)
+        .where(col("jaccard") >= 0.7)
+        .select("id_a", "id_b")
+      graft.dedup.Components.connectedComponents(pairs)
+        .select(col("id"), col("cluster_id"))
+        .orderBy("id")
+    }),
+
+    "q41_repetition" -> ((s, dir) => {
+      // Gopher-style repetition quality signals over a planted multi-line
+      // fixture: text + a 40-char prefix line REPEATED (dup-line mass) + a
+      // unique trailer line for every 4th doc (varies n_lines)
+      import graft.text.Repetition
+      val rep = concat(col("text"), lit("\n"),
+        substring(col("text"), 1, 40), lit("\n"),
+        substring(col("text"), 1, 40),
+        when(col("doc_id") % 4 === 0,
+          concat(lit("\nunique trailer "), col("doc_id").cast("string")))
+          .otherwise(lit("")))
+      docs(s, dir).select(
+        col("doc_id"),
+        size(Repetition.linesCol(rep)).cast("long").as("n_lines"),
+        round(Repetition.dupLineFrac(rep), 6).as("dup_line_frac"),
+        round(Repetition.excessCharFrac(rep), 6).as("excess_char_frac"),
+        round(Repetition.topBigramFrac(col("text")), 6).as("top_bigram_frac"))
+        .orderBy("doc_id")
+    }),
+
+    "q42_sitemap" -> ((s, dir) => {
+      // per-host sitemap.xml synthesized from the corpus (lexically-sorted
+      // <url> entries so both engines build the identical document), parsed
+      // back through Sitemap.locs — the whitespace padding exercises trim,
+      // the <lastmod> noise exercises the non-<loc> skip
+      val sm = docs(s, dir).groupBy("source").agg(
+        concat(lit("<?xml version=\"1.0\"?><urlset>"),
+          concat_ws("", array_sort(collect_list(concat(
+            lit("<url><loc> http://"), col("source"), lit(".test/docs/"),
+            col("doc_id").cast("string"),
+            lit(" </loc><lastmod>2026-01-01</lastmod></url>"))))),
+          lit("</urlset>")).as("xml"))
+      sm.select(col("source"), explode(graft.frontier.Sitemap.locs(col("xml"))).as("url"))
+        .orderBy("source", "url")
+    }),
+
+    "q43_priority_schedule" -> ((s, dir) => {
+      // frontier prioritization by link in-degree (doc i is linked from
+      // floor-div parents 2i..2i+1 and 3i..3i+2): one count aggregate, one
+      // key join, and the SAME salted rank machinery — priority rides in
+      // the packed (priority, seed) integral order key
+      val links = docs(s, dir).select(explode(array(
+        floor(col("doc_id") / 2).cast("long"),
+        floor(col("doc_id") / 3).cast("long"))).as("target"))
+      val indeg = links.groupBy("target").agg(count(lit(1)).as("priority"))
+      val f = Seen.withUrlKeys(frontier(s, dir))
+        .select("canonical_url", "host_rev", "seed_idx")
+        .join(indeg, col("seed_idx") === col("target"), "left")
+        .withColumn("priority", coalesce(col("priority"), lit(0L)))
+        .withColumn("order_key",
+          Scheduler.priorityOrderKey(col("priority"), col("seed_idx")))
+        .drop("target")
+      Scheduler.schedule(f, gapSeconds = 3L, salted = true, orderCol = "order_key")
+        .withColumn("fetch_seq",
+          row_number().over(Window.orderBy(col("slot"), col("host_rev"), col("order_key")))
+            .cast("long"))
+        .select(col("fetch_seq"), col("slot"), col("host_rev"), col("canonical_url"),
+          col("seed_idx"), col("priority"), col("host_pos"))
+        .orderBy("fetch_seq")
+    }),
+
+    "q44_adaptive_backoff" -> ((s, dir) => {
+      // wave-K metrics feed wave-K+1 politeness: odd doc_ids 404ed, so each
+      // host's observed error rate sets its gap = 1 + ceil(3 × err_rate)
+      val f = Seen.withUrlKeys(frontier(s, dir))
+        .select("canonical_url", "host", "host_rev", "seed_idx")
+      val metrics = f.select(col("host"),
+        when(col("seed_idx") % 2 === 1, lit(404)).otherwise(lit(200)).as("status"))
+      val gaps = Scheduler.adaptiveGaps(metrics, base = 1L, scale = 3)
+      Scheduler.schedule(f.join(gaps, Seq("host")), salted = true,
+          gapCol = Some(col("gap_seconds")))
+        .withColumn("fetch_seq",
+          row_number().over(Window.orderBy(col("slot"), col("host_rev"), col("seed_idx")))
+            .cast("long"))
+        .select(col("fetch_seq"), col("slot"), col("host_rev"), col("canonical_url"),
+          col("seed_idx"), col("host_pos"), col("gap_seconds"))
+        .orderBy("fetch_seq")
+    }),
+
     "q32_json_parity" -> ((s, dir) => {
       // to_json output contract (reference writes one JSON object per url,
       // `web_scraper_pipeline.py:231-232`); DuckDB oracle reconstructs the
@@ -918,6 +1014,116 @@ object SparkEntry {
         |        CAST(len(regexp_split_to_array(chunk, '\s+')) AS BIGINT) AS n_words FROM d)
         |SELECT keep_key, chunk, n_words, CAST(384 AS BIGINT) AS dim, CAST(1.0 AS DOUBLE) AS norm
         |FROM g WHERE n_words >= 16 ORDER BY keep_key""".stripMargin,
+
+    "q40_dup_clusters" ->
+      """WITH RECURSIVE
+        |c AS (
+        |  SELECT doc_id AS id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text || ' extra tail words appended here'
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |sh AS (SELECT id,
+        |  list_distinct(list_transform(
+        |    range(len(regexp_split_to_array(trim(text), '\s+')) - 2),
+        |    i -> regexp_split_to_array(trim(text), '\s+')[i+1] || ' ' ||
+        |         regexp_split_to_array(trim(text), '\s+')[i+2] || ' ' ||
+        |         regexp_split_to_array(trim(text), '\s+')[i+3])) AS sset
+        |FROM c),
+        |p AS (SELECT a.id AS id_a, b.id AS id_b,
+        |        len(list_intersect(a.sset, b.sset)) AS inter,
+        |        len(a.sset) + len(b.sset) - len(list_intersect(a.sset, b.sset)) AS uni
+        |      FROM sh a JOIN sh b ON a.id < b.id),
+        |e AS (SELECT id_a AS u, id_b AS v FROM p WHERE inter / uni >= 0.7
+        |      UNION
+        |      SELECT id_b, id_a FROM p WHERE inter / uni >= 0.7),
+        |reach(id, l) AS (
+        |  SELECT DISTINCT u, u FROM e
+        |  UNION
+        |  SELECT e.u, r.l FROM e JOIN reach r ON r.id = e.v)
+        |SELECT id, CAST(min(l) AS BIGINT) AS cluster_id
+        |FROM reach GROUP BY id ORDER BY id""".stripMargin,
+
+    "q41_repetition" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    text || chr(10) || substr(text, 1, 40) || chr(10) || substr(text, 1, 40) ||
+        |    CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'unique trailer ' || doc_id ELSE '' END AS rep,
+        |    text FROM documents),
+        |l AS (
+        |  SELECT doc_id, text,
+        |    list_filter(list_transform(string_split(rep, chr(10)), x -> trim(x)),
+        |      x -> len(x) > 0) AS ls
+        |  FROM f),
+        |b AS (
+        |  SELECT doc_id, ls,
+        |    list_transform(range(len(regexp_split_to_array(trim(text), '\s+')) - 1),
+        |      i -> regexp_split_to_array(trim(text), '\s+')[i+1] || ' ' ||
+        |           regexp_split_to_array(trim(text), '\s+')[i+2]) AS bg
+        |  FROM l)
+        |SELECT doc_id,
+        |  CAST(len(ls) AS BIGINT) AS n_lines,
+        |  round((len(ls) - len(list_distinct(ls))) * 1.0 / len(ls), 6) AS dup_line_frac,
+        |  round((list_sum(list_transform(ls, x -> len(x))) -
+        |         list_sum(list_transform(list_distinct(ls), x -> len(x)))) * 1.0 /
+        |        list_sum(list_transform(ls, x -> len(x))), 6) AS excess_char_frac,
+        |  round(CAST(list_max(list_transform(list_distinct(bg),
+        |          x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE) / len(bg), 6)
+        |    AS top_bigram_frac
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    "q42_sitemap" ->
+      """WITH sm AS (
+        |  SELECT source,
+        |    '<?xml version="1.0"?><urlset>' ||
+        |    string_agg('<url><loc> http://' || source || '.test/docs/' || doc_id ||
+        |               ' </loc><lastmod>2026-01-01</lastmod></url>', ''
+        |      ORDER BY '<url><loc> http://' || source || '.test/docs/' || doc_id ||
+        |               ' </loc><lastmod>2026-01-01</lastmod></url>') ||
+        |    '</urlset>' AS xml
+        |  FROM documents GROUP BY source)
+        |SELECT source, trim(loc) AS url
+        |FROM (SELECT source, unnest(regexp_extract_all(xml, '<loc>([^<]+)</loc>', 1)) AS loc
+        |      FROM sm)
+        |ORDER BY source, url""".stripMargin,
+
+    "q43_priority_schedule" ->
+      """WITH ind AS (
+        |  SELECT t AS target, CAST(count(*) AS BIGINT) AS priority FROM (
+        |    SELECT CAST(floor(doc_id / 2) AS BIGINT) AS t FROM documents
+        |    UNION ALL
+        |    SELECT CAST(floor(doc_id / 3) AS BIGINT) FROM documents) GROUP BY t),
+        |f AS (
+        |  SELECT 'http://' || source || '.test/docs/' || doc_id AS canonical_url,
+        |         'test.' || source AS host_rev, doc_id AS seed_idx,
+        |         CAST(coalesce(priority, 0) AS BIGINT) AS priority,
+        |         (1048575 - least(CAST(coalesce(priority, 0) AS BIGINT), 1048575))
+        |           * 1099511627776 + doc_id AS okey
+        |  FROM documents LEFT JOIN ind ON doc_id = target),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY host_rev ORDER BY okey) AS BIGINT)
+        |        AS host_pos FROM f)
+        |SELECT CAST(row_number() OVER (ORDER BY (host_pos - 1) * 3, host_rev, okey) AS BIGINT)
+        |         AS fetch_seq,
+        |       (host_pos - 1) * 3 AS slot, host_rev, canonical_url, seed_idx, priority, host_pos
+        |FROM r ORDER BY fetch_seq""".stripMargin,
+
+    "q44_adaptive_backoff" ->
+      """WITH f AS (
+        |  SELECT 'http://' || source || '.test/docs/' || doc_id AS canonical_url,
+        |         source || '.test' AS host, 'test.' || source AS host_rev, doc_id AS seed_idx
+        |  FROM documents),
+        |g AS (
+        |  SELECT host,
+        |    CAST(1 + ceil(3 * CAST(sum(CASE WHEN seed_idx % 2 = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |                  / count(*)) AS BIGINT) AS gap_seconds
+        |  FROM f GROUP BY host),
+        |j AS (SELECT f.*, g.gap_seconds FROM f JOIN g USING (host)),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY host_rev ORDER BY seed_idx) AS BIGINT)
+        |        AS host_pos FROM j)
+        |SELECT CAST(row_number() OVER (ORDER BY (host_pos - 1) * gap_seconds, host_rev, seed_idx)
+        |         AS BIGINT) AS fetch_seq,
+        |       (host_pos - 1) * gap_seconds AS slot, host_rev, canonical_url, seed_idx,
+        |       host_pos, gap_seconds
+        |FROM r ORDER BY fetch_seq""".stripMargin,
 
     "q27_window_topk" ->
       """WITH w AS (SELECT o_orderpriority, o_orderkey,

@@ -1,0 +1,108 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a near-duplicate pair list — the step that
+  * turns pairwise dedup output ((id_a, id_b) from minhash/simhash/cosine/
+  * exact) into duplicate GROUPS with one canonical representative each,
+  * which is what a training-data pipeline actually deletes against.
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14) — converges in
+  * O(log n) rounds on any graph, each round a pair of bucket-local
+  * groupBy+join jobs, so the cost at 10^10 edges is a handful of linear
+  * shuffles rather than the O(diameter) rounds of naive label propagation
+  * (a 10^6-long chain of near-dup chunks would take 10^6 propagation
+  * rounds but ~20 star rounds).
+  *
+  * Scale shape: every round moves only (u: LONG, v: LONG) pairs — 16
+  * bytes/row; the per-round frames are `localCheckpoint`ed so the plan
+  * does not grow with iteration count (lineage-truncation, the standard
+  * iterative-DataFrame pattern); convergence is detected from a
+  * count+hash signature (one tiny aggregate per round, no driver-side
+  * edge materialization).
+  */
+object Components {
+
+  /** (id BIGINT, cluster_id BIGINT) for every id appearing in `pairs`;
+    * cluster_id = the minimum id of the component. Ids absent from `pairs`
+    * (singletons) are not emitted — left-join and coalesce(cluster_id, id)
+    * to label a full corpus.
+    *
+    * @param pairs    edge list; the two id columns must be integral
+    * @param maxIters safety bound on star rounds (2^maxIters ≥ any
+    *                 realistic component count; the algorithm needs
+    *                 O(log n) rounds)
+    */
+  def connectedComponents(pairs: DataFrame, idACol: String = "id_a",
+      idBCol: String = "id_b", maxIters: Int = 25): DataFrame = {
+    var e = pairs
+      .select(col(idACol).cast("long").as("u"), col(idBCol).cast("long").as("v"))
+      .where(col("u") =!= col("v"))
+    var converged = false
+    var sig = signature(e)
+    var it = 0
+    while (!converged && it < maxIters) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      sig = nextSig
+      e = next
+      it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents: no convergence after $maxIters star rounds")
+    // converged edge set = stars (child -> component-min root); roots
+    // appear only on the parent side, so they label themselves
+    e.select(col("u").as("id"), col("v").as("cluster_id"))
+      .union(e.select(col("v").as("id"), col("v").as("cluster_id")))
+      .groupBy("id").agg(min("cluster_id").as("cluster_id"))
+  }
+
+  /** Large-star: every node u connects its LARGER neighbors to
+    * m = min(neighbors(u) ∪ {u}). Operates on the symmetrized edge set;
+    * output edges all point child→smaller-parent.
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select("u", "v")
+      .union(e.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+    val mins = sym.groupBy("u").agg(min("v").as("mn"))
+      .select(col("u"), least(col("mn"), col("u")).as("m"))
+    sym.join(mins, "u")
+      .where(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Small-star: every node u re-points its SMALLER neighbors (its current
+    * parents) at m = min of them. Input edges must point child→smaller
+    * (large-star's postcondition).
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy("u").agg(min("v").as("m"))
+    val repointed = e.join(mins, "u")
+      .where(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+    repointed
+      .union(mins.select(col("u"), col("m").as("v")))
+      .where(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Order-independent fixed-point signature: (row count, sum of row
+    * hashes). Collision would stop iteration one round early — at 64-bit
+    * sums over committed edge sets the risk is negligible and the result
+    * is still validated by the caller's own checks/oracles.
+    */
+  private def signature(e: DataFrame): (Long, Long) = {
+    val r = e.agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(pmod(xxhash64(col("u"), col("v")), lit(1000000007L))), lit(0L)).as("h"))
+      .collect()(0)
+    (r.getAs[Long]("n"), r.getAs[Long]("h"))
+  }
+}

@@ -116,11 +116,46 @@ object Scheduler {
   def schedule(frontier: DataFrame, gapSeconds: Long = 3L, salted: Boolean = true,
       orderKeyRange: Option[(Long, Long)] = None,
       offsetsJoin: String = "broadcast",
-      gapCol: Option[Column] = None): DataFrame = {
+      gapCol: Option[Column] = None,
+      orderCol: String = "seed_idx"): DataFrame = {
     val ranked =
-      if (salted) perHostRankSalted(frontier, "host_rev", "seed_idx", -1L, orderKeyRange, offsetsJoin)
-      else perHostRank(frontier, col("host_rev"), col("seed_idx"))
+      if (salted) perHostRankSalted(frontier, "host_rev", orderCol, -1L, orderKeyRange, offsetsJoin)
+      else perHostRank(frontier, col("host_rev"), col(orderCol))
     val gap = gapCol.map(_.cast("long")).getOrElse(lit(gapSeconds))
     ranked.withColumn("slot", (col("host_pos") - 1L) * gap)
   }
+
+  /** Integral order key encoding "higher priority first, then discovery
+    * order" for the salted ranking machinery (which needs ONE non-negative
+    * integral key to form its ordered segments): key =
+    * (cap − min(priority, cap)) × 2^40 + seedIdx. Fits a signed long for
+    * cap ≤ 2^20−1 and seedIdx < 2^40 (10^12 urls — beyond any crawl's
+    * per-wave id space). Null priority ⇒ 0 (lowest).
+    *
+    * Use for frontier prioritization: priority = link in-degree (OPIC-ish
+    * cash), host authority, refresh score, … — one groupBy-count plus a
+    * key-only join, never a per-host sort change.
+    */
+  def priorityOrderKey(priority: Column, seedIdx: Column,
+      cap: Int = (1 << 20) - 1): Column =
+    (lit(cap.toLong) - least(coalesce(priority.cast("long"), lit(0L)), lit(cap.toLong))) *
+      lit(1L << 40) + seedIdx.cast("long")
+
+  /** Per-host adaptive politeness gaps from observed fetch statuses (the
+    * wave-K metrics table feeding wave K+1's schedule): hosts answering
+    * with errors get backed off. gap = base + ceil(scale × err_rate) where
+    * err_rate = fraction of statuses ≥ 400. One map-side-combinable
+    * aggregate over (host, status) — 12 B/row on the wire; join the result
+    * to the next wave's frontier as `schedule(gapCol = …)`.
+    */
+  def adaptiveGaps(metrics: DataFrame, hostCol: String = "host",
+      statusCol: String = "status", base: Long = 1L, scale: Int = 3): DataFrame =
+    metrics
+      .groupBy(col(hostCol).as("host"))
+      .agg(
+        sum(when(col(statusCol) >= 400, 1L).otherwise(0L)).as("_err"),
+        count(lit(1)).as("_n"))
+      .select(col("host"),
+        (lit(base) + ceil(lit(scale) * col("_err").cast("double") / col("_n")).cast("long"))
+          .as("gap_seconds"))
 }

@@ -1,0 +1,101 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.dedup.Components
+import graft.text.Repetition
+
+class ComponentsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def clusters(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    Components.connectedComponents(pairs.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+
+  test("chain collapses to the min id (the diameter killer)") {
+    // a 30-long chain: naive label propagation needs 30 rounds, star ~log
+    val got = clusters((1L until 30L).map(i => (i, i + 1)))
+    assert(got.keySet == (1L to 30L).toSet)
+    assert(got.values.toSet == Set(1L))
+  }
+
+  test("multiple components, input order and orientation irrelevant") {
+    val got = clusters(Seq((9L, 7L), (3L, 5L), (5L, 4L), (20L, 21L), (7L, 9L)))
+    assert(got == Map(9L -> 7L, 7L -> 7L, 3L -> 3L, 5L -> 3L, 4L -> 3L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("star + bridge merges into one cluster") {
+    val star = (1L to 10L).map(i => (100L, 100L + i))
+    val bridge = Seq((105L, 2L), (2L, 1L))
+    val got = clusters(star ++ bridge)
+    assert(got.values.toSet == Set(1L))
+    assert(got.keySet.size == 13)
+  }
+
+  test("empty pair set yields empty labels; self-loops ignored") {
+    assert(clusters(Seq.empty).isEmpty)
+    assert(clusters(Seq((4L, 4L))).isEmpty)
+    assert(clusters(Seq((4L, 4L), (4L, 6L))) == Map(4L -> 4L, 6L -> 4L))
+  }
+
+  test("matches brute-force closure on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val pairs = (0 until 120).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+    // driver-side union-find reference
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) => val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    val want = parent.keys.map(k => k -> find(k)).toMap
+    assert(clusters(pairs) == want)
+  }
+}
+
+class RepetitionSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def stats(text: String): (Long, Double, Double, Double) =
+    Seq(Tuple1(text)).toDF("t").select(
+      size(Repetition.linesCol(col("t"))).cast("long"),
+      Repetition.dupLineFrac(col("t")),
+      Repetition.excessCharFrac(col("t")),
+      Repetition.topBigramFrac(col("t")))
+      .as[(Long, Double, Double, Double)].collect()(0)
+
+  test("clean text: no duplicate lines, distinct bigrams") {
+    val (n, dl, ec, tb) = stats("one two three\nfour five six")
+    assert(n == 2 && dl == 0.0 && ec == 0.0)
+    // \s+ tokenization crosses the newline: 6 tokens → 5 bigrams, all unique
+    assert(math.abs(tb - 1.0 / 5.0) < 1e-12)
+  }
+
+  test("duplicated line mass") {
+    // 3 lines, one exact repeat of 'aa bb' (5 chars each, 12 total line chars)
+    val (n, dl, ec, _) = stats("aa bb\ncc\naa bb")
+    assert(n == 3)
+    assert(math.abs(dl - 1.0 / 3.0) < 1e-12)
+    assert(math.abs(ec - 5.0 / 12.0) < 1e-12)
+  }
+
+  test("blank and whitespace-only lines are dropped before the fractions") {
+    val (n, dl, _, _) = stats("x y\n\n   \nx y")
+    assert(n == 2 && math.abs(dl - 0.5) < 1e-12)
+  }
+
+  test("top bigram fraction catches the repeated phrase") {
+    // 'spam ham' appears 3 times in 7 bigrams
+    val (_, _, _, tb) = stats("spam ham x spam ham y spam ham")
+    assert(math.abs(tb - 3.0 / 7.0) < 1e-12)
+  }
+
+  test("degenerate inputs: empty, single token") {
+    assert(stats("") == ((0L, 0.0, 0.0, 0.0)))
+    assert(stats("word") == ((1L, 0.0, 0.0, 0.0)))
+  }
+}

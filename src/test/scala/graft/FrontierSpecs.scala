@@ -76,6 +76,49 @@ class SchedulerSpec extends AnyFunSuite {
       .select("url").as[String].collect().toSeq
     assert(run(1) == run(8))
   }
+
+  test("priority order key: higher priority first within a host, seed order as tiebreak") {
+    val f = Seq(
+      ("http://a.test/1", "test.a", 1L, 5L), // highest priority → host_pos 1
+      ("http://a.test/2", "test.a", 2L, 0L),
+      ("http://a.test/3", "test.a", 3L, 5L), // same priority, later seed
+      ("http://a.test/4", "test.a", 4L, 9L)
+    ).toDF("url", "host_rev", "seed_idx", "priority")
+      .withColumn("order_key", Scheduler.priorityOrderKey(col("priority"), col("seed_idx")))
+    val got = Scheduler.schedule(f, orderCol = "order_key")
+      .orderBy("host_pos").select("seed_idx").as[Long].collect().toSeq
+    assert(got == Seq(4L, 1L, 3L, 2L))
+    // cap: a priority beyond the cap saturates rather than wrapping negative
+    val k = Seq(Tuple2(0L, Long.MaxValue)).toDF("seed_idx", "priority")
+      .select(Scheduler.priorityOrderKey(col("priority"), col("seed_idx")).as("k"))
+      .as[Long].collect()(0)
+    assert(k == 0L)
+  }
+
+  test("adaptive gaps: error-rate backoff, error-free host keeps the base gap") {
+    val metrics = Seq(
+      ("err.test", 200), ("err.test", 404), ("err.test", 451), ("err.test", 404),
+      ("ok.test", 200), ("ok.test", 200)
+    ).toDF("host", "status")
+    val gaps = Scheduler.adaptiveGaps(metrics, base = 1L, scale = 3)
+      .as[(String, Long)].collect().toMap
+    // err.test: 3/4 errors → 1 + ceil(2.25) = 4; ok.test: 1 + ceil(0) = 1
+    assert(gaps == Map("err.test" -> 4L, "ok.test" -> 1L))
+  }
+
+  test("sitemap locs: trim, non-loc skip, document order, index nesting") {
+    val xml =
+      """<?xml version="1.0"?><sitemapindex>
+        |<sitemap><loc> http://a.test/sitemap1.xml </loc><lastmod>2026-01-01</lastmod></sitemap>
+        |<sitemap><loc>http://a.test/sitemap2.xml</loc></sitemap>
+        |</sitemapindex>""".stripMargin
+    val got = Seq(Tuple1(xml)).toDF("xml")
+      .select(graft.frontier.Sitemap.locs(col("xml")).as("locs"))
+      .as[Seq[String]].collect()(0)
+    assert(got == Seq("http://a.test/sitemap1.xml", "http://a.test/sitemap2.xml"))
+    assert(Seq(Tuple1("<urlset></urlset>")).toDF("xml")
+      .select(graft.frontier.Sitemap.locCount(col("xml"))).as[Int].collect()(0) == 0)
+  }
 }
 
 class SeenSpec extends AnyFunSuite {
