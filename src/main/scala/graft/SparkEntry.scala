@@ -626,6 +626,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q45_cluster_dedup" -> ((s, dir) => {
+      // the clustering put to use: survivors = one representative per
+      // near-dup cluster (the component min), singletons pass through the
+      // left join untouched — the row-level delete set a 100 TB dedup run
+      // actually applies
+      val corpus = nearDupCorpus(s, dir)
+      val cands = graft.dedup.Dedup.minHashCandidates(corpus, "id", "text",
+        shingleK = 3, bands = 8, rowsPerBand = 4)
+      val pairs = graft.dedup.Dedup.verifyJaccard(cands, corpus, "id", "text", shingleK = 3)
+        .where(col("jaccard") >= 0.7)
+        .select("id_a", "id_b")
+      val labels = graft.dedup.Components.connectedComponents(pairs)
+      corpus.join(labels, Seq("id"), "left")
+        .where(col("cluster_id").isNull || col("cluster_id") === col("id"))
+        .select(col("id"), length(col("text")).cast("long").as("n_chars"))
+        .orderBy("id")
+    }),
+
     "q42_sitemap" -> ((s, dir) => {
       // per-host sitemap.xml synthesized from the corpus (lexically-sorted
       // <url> entries so both engines build the identical document), parsed
@@ -1042,6 +1060,37 @@ object SparkEntry {
         |  SELECT e.u, r.l FROM e JOIN reach r ON r.id = e.v)
         |SELECT id, CAST(min(l) AS BIGINT) AS cluster_id
         |FROM reach GROUP BY id ORDER BY id""".stripMargin,
+
+    "q45_cluster_dedup" ->
+      """WITH RECURSIVE
+        |c AS (
+        |  SELECT doc_id AS id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text || ' extra tail words appended here'
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |sh AS (SELECT id,
+        |  list_distinct(list_transform(
+        |    range(len(regexp_split_to_array(trim(text), '\s+')) - 2),
+        |    i -> regexp_split_to_array(trim(text), '\s+')[i+1] || ' ' ||
+        |         regexp_split_to_array(trim(text), '\s+')[i+2] || ' ' ||
+        |         regexp_split_to_array(trim(text), '\s+')[i+3])) AS sset
+        |FROM c),
+        |p AS (SELECT a.id AS id_a, b.id AS id_b,
+        |        len(list_intersect(a.sset, b.sset)) AS inter,
+        |        len(a.sset) + len(b.sset) - len(list_intersect(a.sset, b.sset)) AS uni
+        |      FROM sh a JOIN sh b ON a.id < b.id),
+        |e AS (SELECT id_a AS u, id_b AS v FROM p WHERE inter / uni >= 0.7
+        |      UNION
+        |      SELECT id_b, id_a FROM p WHERE inter / uni >= 0.7),
+        |reach(id, l) AS (
+        |  SELECT DISTINCT u, u FROM e
+        |  UNION
+        |  SELECT e.u, r.l FROM e JOIN reach r ON r.id = e.v),
+        |lab AS (SELECT id, min(l) AS cluster_id FROM reach GROUP BY id)
+        |SELECT c.id, CAST(len(c.text) AS BIGINT) AS n_chars
+        |FROM c LEFT JOIN lab ON c.id = lab.id
+        |WHERE lab.cluster_id IS NULL OR lab.cluster_id = c.id
+        |ORDER BY c.id""".stripMargin,
 
     "q41_repetition" ->
       """WITH f AS (

@@ -70,6 +70,15 @@ object WaveLoop {
     *                    are not silently dropped: when metrics are on they
     *                    land in `metrics/wave=K` with status 451. Takes
     *                    precedence over the prefix-model `robots` param.
+    * @param adaptiveBackoff when Some((base, scale)), wave K's schedule uses
+    *                    per-host gaps derived from wave K−1's COMMITTED fetch
+    *                    metrics ([[Scheduler.adaptiveGaps]]): gap_h = base +
+    *                    ceil(scale × err_rate_h). Hosts unseen in the prior
+    *                    wave (and all of wave 0) use `base`. Combined with a
+    *                    robots Crawl-delay by taking the LARGER of the two —
+    *                    backoff may slow a host below its declared budget,
+    *                    never speed it past it. State crosses waves only via
+    *                    the metrics files, like everything else in the loop.
     */
   def run(
       spark: SparkSession,
@@ -82,7 +91,8 @@ object WaveLoop {
       pages: Option[DataFrame] = None,
       ledger: Option[Ledger] = None,
       fullRules: Option[Robots.FullRules] = None,
-      metricsParseStats: Boolean = true): Seq[WaveResult] = {
+      metricsParseStats: Boolean = true,
+      adaptiveBackoff: Option[(Long, Int)] = None): Seq[WaveResult] = {
 
     Files.createDirectories(Paths.get(root))
     val already = committedWaves(root)
@@ -128,10 +138,33 @@ object WaveLoop {
         else Some((mm.getAs[Long]("lo"), mm.getAs[Long]("hi")))
       // per-host politeness: robots Crawl-delay (whole seconds) when parsed
       // rules are present, the single global gap otherwise
-      val gapCol = fullRules.map(fr => Robots.gapColFull(spark, fr, col("host")))
+      val robotsGap = fullRules.map(fr => Robots.gapColFull(spark, fr, col("host")))
+      // adaptive backoff: prior wave's error rates → this wave's gaps,
+      // joined by host (AQE sizes the join; the gaps frame is #hosts rows)
+      val prevMetrics = s"$root/metrics/wave=${wave - 1}"
+      val adaptiveGaps = adaptiveBackoff.flatMap { case (base, scale) =>
+        if (wave > 0 && Files.exists(Paths.get(prevMetrics)))
+          Some((base, Scheduler.adaptiveGaps(
+            spark.read.parquet(prevMetrics)
+              .select(graft.functions.host_of(col("canonical_url")).as("host"), col("status")),
+            base = base, scale = scale)))
+        else None
+      }
+      val toSchedule0 =
+        inWave.select("url", "canonical_url", "url_hash", "host", "host_rev", "seed_idx")
+      val (toSchedule, adaptiveGapCol) = adaptiveGaps match {
+        case Some((base, g)) =>
+          (toSchedule0.join(g.withColumnRenamed("gap_seconds", "_gap_adaptive"),
+            Seq("host"), "left"),
+            Some(coalesce(col("_gap_adaptive"), lit(base))))
+        case None => (toSchedule0, adaptiveBackoff.map { case (base, _) => lit(base) })
+      }
+      val gapCol = (robotsGap, adaptiveGapCol) match {
+        case (Some(r), Some(a)) => Some(greatest(r, a))
+        case (r, a) => r.orElse(a)
+      }
       val scheduled = Scheduler.schedule(
-        inWave.select("url", "canonical_url", "url_hash", "host", "host_rev", "seed_idx"),
-        gapSeconds, salted = true, orderKeyRange = range, gapCol = gapCol)
+        toSchedule, gapSeconds, salted = true, orderKeyRange = range, gapCol = gapCol)
 
       // wave data writes (overwrite → idempotent re-run of an uncommitted wave)
       scheduled

@@ -405,6 +405,33 @@ class WaveLoopSpec extends AnyFunSuite {
     assert(m2.where(col("n_chars").isNotNull || col("n_chunks").isNotNull).count() == 0)
   }
 
+  test("adaptive backoff: wave-0 error rates set wave-1 per-host gaps") {
+    // e.test misses 2 of 4 fetches (err 0.5 → gap 1+ceil(1.5)=3);
+    // f.test hits all 4 (gap stays at base 1)
+    val seeds = ((0 until 4).map(i => (s"http://e.test/p/$i", i.toLong)) ++
+      (0 until 4).map(i => (s"http://f.test/p/$i", 10L + i))).toDF("url", "seed_idx")
+    val pages = ((0 until 2).map(i => (s"http://e.test/p/$i", "<p>x</p>")) ++
+      (0 until 4).map(i => (s"http://f.test/p/$i", "<p>x</p>")) ++
+      Seq(("http://e.test/q/0", "<p>x</p>"))).toDF("url", "html")
+    def disc(sched: org.apache.spark.sql.DataFrame) =
+      sched.where(col("canonical_url").contains("/p/"))
+        .select(regexp_replace(col("canonical_url"), "/p/", "/q/").as("url"),
+          (col("seed_idx") + 100L).as("seed_idx"))
+    val root = java.nio.file.Files.createTempDirectory("wavesbackoff").toString
+    WaveLoop.run(spark, root, seeds, disc, maxWaves = 2, pages = Some(pages),
+      adaptiveBackoff = Some((1L, 3)))
+    // wave 0 has no prior metrics → everyone at base gap 1
+    val w0 = spark.read.parquet(s"$root/schedule/wave=0")
+      .select("host_rev", "slot", "host_pos").as[(String, Long, Long)].collect()
+    assert(w0.forall { case (_, slot, pos) => slot == pos - 1 })
+    // wave 1: e.test backed off to gap 3, f.test still at 1
+    val w1 = spark.read.parquet(s"$root/schedule/wave=1")
+      .select("host_rev", "slot", "host_pos").as[(String, Long, Long)].collect()
+    assert(w1.nonEmpty)
+    assert(w1.filter(_._1 == "test.e").forall { case (_, slot, pos) => slot == (pos - 1) * 3 })
+    assert(w1.filter(_._1 == "test.f").forall { case (_, slot, pos) => slot == pos - 1 })
+  }
+
   test("resume: crash between data write and manifest → identical final state") {
     val rootA = java.nio.file.Files.createTempDirectory("wavesA").toString
     val rootB = java.nio.file.Files.createTempDirectory("wavesB").toString

@@ -172,4 +172,33 @@ class PlanSpec extends AnyFunSuite {
     assert(countShuffles(res.queryExecution.executedPlan) == 0,
       res.queryExecution.executedPlan.toString)
   }
+
+  test("repetition signals are a shuffle-free projection (quality gate in the scan)") {
+    import graft.text.Repetition
+    val docs = spark.range(100).select(col("id"),
+      concat(lit("alpha beta gamma "), col("id").cast("string"),
+        lit("\nalpha beta gamma "), col("id").cast("string")).as("text"))
+    val res = docs.select(col("id"),
+      Repetition.dupLineFrac(col("text")).as("dlf"),
+      Repetition.excessCharFrac(col("text")).as("ecf"),
+      Repetition.topBigramFrac(col("text")).as("tbf"))
+    assert(countShuffles(res.queryExecution.executedPlan) == 0,
+      res.queryExecution.executedPlan.toString)
+  }
+
+  test("adaptive gaps: one partial-aggregated exchange, 12-byte rows") {
+    val metrics = spark.range(1000).select(
+      concat(lit("h"), (col("id") % 50).cast("string"), lit(".test")).as("host"),
+      when(col("id") % 3 === 0, 404).otherwise(200).as("status"))
+    val gaps = graft.frontier.Scheduler.adaptiveGaps(metrics)
+    gaps.collect() // execute THIS QueryExecution so AQE finalizes the plan
+    // AQE hides the exchange inside a ShuffleQueryStage leaf, so count on
+    // the printed final plan rather than the node tree
+    // the printout repeats the tree under "== Initial Plan ==" — count only
+    // the executed (final) section
+    val plan = gaps.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.split("Exchange hashpartitioning").length - 1 == 1, plan)
+    // map-side partial agg present → the exchange moves (host, partial sums)
+    assert(plan.contains("partial_"), plan)
+  }
 }
