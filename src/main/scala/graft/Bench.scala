@@ -119,6 +119,11 @@ object BenchQueries {
   def simhashDedup(s: SparkSession, dir: String): DataFrame =
     dedup.Dedup.simHashNearDups(docsTimes(s, dir, 4), "id", "text", maxDist = 3)
 
+  /** minhash pairs → connected components: the full dedup-grouping chain. */
+  def clusterDedup(s: SparkSession, dir: String): DataFrame =
+    dedup.Components.connectedComponents(
+      minhashDedup(s, dir).select("id_a", "id_b"))
+
   def annTopk(s: SparkSession, dir: String): DataFrame = {
     // corpus repartition: the sf parquet is one row group = one task, which
     // would serialize all |corpus|×|queries| scoring onto one core (measured
@@ -279,12 +284,29 @@ object Bench {
     val noisyQs = results.filter(r => r._2.sec >= 0 && looksThrottled(r._2)).map(_._1)
     val total = results.map(_._2.sec).sum
     val ups = if (frontierSec > 0) frontierUrls / frontierSec else 0.0
+    // round-3 operator additions, measured OUTSIDE the headline total so
+    // round-over-round totals stay comparable (warm-up + min-of-2 each)
+    val extraQueries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "cluster_dedup" -> ((s: SparkSession, d: String) => BenchQueries.clusterDedup(s, d)),
+      "repetition_signals" -> ((s: SparkSession, d: String) =>
+        SparkEntry.queries("q41_repetition")(s, d)),
+      "corpus_pipeline" -> ((s: SparkSession, d: String) =>
+        SparkEntry.queries("q39_corpus_pipeline")(s, d)))
+    val extras = extraQueries.map { case (name, fn) =>
+      val sec = try {
+        force(fn(spark, sfDir))
+        (0 until 2).map(_ => measuredRun(spark, listener, cpus.toInt, fn(spark, sfDir)))
+          .map(_.sec).min
+      } catch { case _: Throwable => -1.0 }
+      s""""$name":$sec"""
+    }.mkString("{", ",", "}")
     println(s"""{"metric":"total_headline_sec","value":$total,"unit":"sec",""" +
       s""""queries":$qs,"utilization":$util,"runs_sec":$runsSec,""" +
       s""""noisy":${noisyQs.nonEmpty},""" +
       s""""noisy_queries":${noisyQs.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""warmups":$warmups,"runs":$runs,""" +
       s""""urls_scheduled":$frontierUrls,"urls_per_sec":$ups,""" +
+      s""""extras":$extras,""" +
       s""""cpus":$cpus,"sf":"$sfDir"}""")
     spark.stop()
   }

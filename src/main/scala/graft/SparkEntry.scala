@@ -617,11 +617,12 @@ object SparkEntry {
         when(col("doc_id") % 4 === 0,
           concat(lit("\nunique trailer "), col("doc_id").cast("string")))
           .otherwise(lit("")))
+      val st = Repetition.statsCol(rep)
       docs(s, dir).select(
         col("doc_id"),
-        size(Repetition.linesCol(rep)).cast("long").as("n_lines"),
-        round(Repetition.dupLineFrac(rep), 6).as("dup_line_frac"),
-        round(Repetition.excessCharFrac(rep), 6).as("excess_char_frac"),
+        st.getField("n_lines").cast("long").as("n_lines"),
+        round(st.getField("dup_line_frac"), 6).as("dup_line_frac"),
+        round(st.getField("excess_char_frac"), 6).as("excess_char_frac"),
         round(Repetition.topBigramFrac(col("text")), 6).as("top_bigram_frac"))
         .orderBy("doc_id")
     }),

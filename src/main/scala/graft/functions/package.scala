@@ -118,6 +118,11 @@ package object functions {
   def robots_txt_allows(txt: Column, path: Column, agent: String = "graft"): Column =
     col(graft.frontier.RobotsTxtAllows(expr(txt), expr(path), agent))
 
+  /** Repetition quality signals, one kernel pass per row:
+    * STRUCT(n_lines, dup_line_frac, excess_char_frac, top_bigram_frac).
+    */
+  def repetition_stats(c: Column): Column = col(RepetitionStatsExpr(expr(c)))
+
   /** Register all functions for SQL use (`SELECT canonicalize_url(url) …`). */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -84,6 +84,72 @@ object TextStats {
     Quality(n, chars.toDouble / n, if (chars == 0) 0.0 else punct.toDouble / chars, stop.toDouble / n)
   }
 
+  /** Repetition quality signals (Gopher/MassiveText §A1.1), one pass.
+    * Semantics pinned to the q41 DuckDB oracle:
+    *  - lines = '\n'-split segments, SPACE-trimmed (DuckDB `trim` strips
+    *    spaces only — not Java `String.trim`, which also eats tabs),
+    *    empties dropped;
+    *  - dup_line_frac   = (|lines| − |distinct|) / |lines|;
+    *  - excess_char_frac = character mass beyond one copy per distinct line;
+    *  - top_bigram_frac = max bigram frequency / bigram count, over
+    *    space-trimmed `\s+` tokens (0.0 under 2 tokens).
+    *
+    * Exists as a kernel because the Column-composition version (higher-order
+    * array functions) runs interpreted AND re-evaluates the embedded
+    * split-per-lambda-element — O(tokens² × distinct) regex work per row,
+    * measured as a single-task multi-minute stall at sf0.1.
+    */
+  final case class Repetition(nLines: Int, dupLineFrac: Double,
+      excessCharFrac: Double, topBigramFrac: Double)
+
+  private def trimSpaces(s: String): String = {
+    var a = 0
+    var b = s.length
+    while (a < b && s.charAt(a) == ' ') a += 1
+    while (b > a && s.charAt(b - 1) == ' ') b -= 1
+    if (a == 0 && b == s.length) s else s.substring(a, b)
+  }
+
+  def repetitionStats(text: String): Repetition = {
+    if (text == null || text.isEmpty) return Repetition(0, 0.0, 0.0, 0.0)
+    // --- line signals ---
+    val rawLines = text.split("\n", -1)
+    var nLines = 0
+    var sumLen = 0L
+    var sumDistinctLen = 0L
+    val seen = new java.util.HashSet[String]()
+    var i = 0
+    while (i < rawLines.length) {
+      val l = trimSpaces(rawLines(i))
+      if (l.nonEmpty) {
+        nLines += 1
+        sumLen += l.length
+        if (seen.add(l)) sumDistinctLen += l.length
+      }
+      i += 1
+    }
+    val dupLineFrac =
+      if (nLines == 0) 0.0 else (nLines - seen.size) * 1.0 / nLines
+    val excess =
+      if (sumLen == 0L) 0.0 else (sumLen - sumDistinctLen) * 1.0 / sumLen
+    // --- top-bigram signal ---
+    val toks = trimSpaces(text).split("\\s+", -1)
+    val nBigrams = toks.length - 1
+    var top = 0
+    if (nBigrams >= 1) {
+      val counts = new java.util.HashMap[String, Int]()
+      var j = 0
+      while (j < nBigrams) {
+        val bg = toks(j) + " " + toks(j + 1)
+        val c = counts.merge(bg, 1, (a, b) => a + b)
+        if (c > top) top = c
+        j += 1
+      }
+    }
+    val topFrac = if (nBigrams < 1) 0.0 else top.toDouble / nBigrams
+    Repetition(nLines, dupLineFrac, excess, topFrac)
+  }
+
   /** Whitespace token count (Python str.split). */
   def tokenCountWs(text: String): Int = if (text == null) 0 else Py.wordCount(text)
 

@@ -62,11 +62,34 @@ class RepetitionSpec extends AnyFunSuite {
 
   private def stats(text: String): (Long, Double, Double, Double) =
     Seq(Tuple1(text)).toDF("t").select(
-      size(Repetition.linesCol(col("t"))).cast("long"),
+      Repetition.nLines(col("t")).cast("long"),
       Repetition.dupLineFrac(col("t")),
       Repetition.excessCharFrac(col("t")),
       Repetition.topBigramFrac(col("t")))
       .as[(Long, Double, Double, Double)].collect()(0)
+
+  test("kernel matches the column-composition reference on mixed inputs") {
+    // the interpreted HOF formulation, kept ONLY as a test reference
+    import org.apache.spark.sql.Column
+    def linesRef(t: Column) =
+      filter(transform(split(t, "\n"), l => trim(l)), l => length(l) > 0)
+    def sumLen(a: Column) = aggregate(a, lit(0L), (acc, x) => acc + length(x))
+    val texts = Seq("a b\na b\nc", "x", "", "one two one two one",
+      "  pad  \n\tpad\n pad", "q r\nq r\nq r\nq r")
+    for (t <- texts) {
+      val df = Seq(Tuple1(t)).toDF("t")
+      val ls = linesRef(col("t"))
+      val want = df.select(
+        size(ls).cast("long"),
+        when(size(ls) === 0, 0.0)
+          .otherwise((size(ls) - size(array_distinct(ls))).cast("double") / size(ls)),
+        when(sumLen(ls) === 0L, 0.0)
+          .otherwise((sumLen(ls) - sumLen(array_distinct(ls))).cast("double") / sumLen(ls)))
+        .as[(Long, Double, Double)].collect()(0)
+      val got = stats(t)
+      assert((got._1, got._2, got._3) == want, s"input: ${t.replace("\n", "\\n")}")
+    }
+  }
 
   test("clean text: no duplicate lines, distinct bigrams") {
     val (n, dl, ec, tb) = stats("one two three\nfour five six")

@@ -96,6 +96,40 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming frontier runs on the RocksDB state store (10^10-key layout)") {
+    // the default HDFS-backed store keeps all state on the JVM heap — at
+    // 10^10 url_hash keys that's an executor OOM; RocksDB keeps state
+    // off-heap/on-disk per partition. Same query, same semantics, swapped
+    // provider: this pins that our state schema (primitive key, boolean
+    // value) round-trips through the RocksDB encoder.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val input = MemoryStream[(String, Long)]
+      val root = java.nio.file.Files.createTempDirectory("sfrocks").toString
+      val q = graft.streaming.StreamingFrontier.run(
+        input.toDF().toDF("url", "seed_idx"), root)
+      try {
+        input.addData(Seq(("http://a.test/1", 1L), ("http://a.test/2", 2L)))
+        q.processAllAvailable()
+        // re-offer a seen url (must be state-filtered) plus one new
+        input.addData(Seq(("http://a.test/1", 5L), ("http://a.test/3", 3L)))
+        q.processAllAvailable()
+      } finally q.stop()
+      assert(spark.read.parquet(s"$root/schedule/batch=0").count() == 2)
+      val b1 = spark.read.parquet(s"$root/schedule/batch=1")
+        .select("canonical_url").as[String].collect().toSeq
+      assert(b1 == Seq("http://a.test/3"))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("stateful sessionization groups a user's events with bounds") {
     val events = spark.read.parquet(s"$sf/events.parquet")
       .select("event_id", "ts", "user_id", "event_type", "value")
