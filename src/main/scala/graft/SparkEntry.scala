@@ -645,6 +645,30 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "q46_quality_gate" -> ((s, dir) => {
+      // the composed Gopher-style gate, fixture tripping every reason:
+      // %7 → 3-token stub (too_short + low mean word len + trivially
+      // repetitive bigrams), %11 → 12×21-char words (word_len high), %5 →
+      // 30× ' spam ham' tail (repeated_bigram), %3 → 4 duplicate lines
+      val ftext =
+        when(col("doc_id") % 7 === 0, lit("a b c"))
+          .when(col("doc_id") % 11 === 0,
+            lit(Seq.fill(12)("verylongsyntheticword").mkString(" ")))
+          .otherwise(concat(col("text"),
+            when(col("doc_id") % 5 === 0, repeat(lit(" spam ham"), 30)).otherwise(lit("")),
+            when(col("doc_id") % 3 === 0,
+              lit("\nxx yy\nxx yy\nxx yy\nxx yy")).otherwise(lit(""))))
+      graft.text.CorpusFilter.withGate(
+          docs(s, dir).select(col("doc_id"), ftext.as("text")), "text")
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("mean_word_len"), 6).as("mean_word_len"),
+          round(col("dup_line_frac"), 6).as("dup_line_frac"),
+          round(col("top_bigram_frac"), 6).as("top_bigram_frac"),
+          array_join(col("reasons"), ",").as("reasons"),
+          col("passed").cast("long").as("passed"))
+        .orderBy("doc_id")
+    }),
+
     "q42_sitemap" -> ((s, dir) => {
       // per-host sitemap.xml synthesized from the corpus (lexically-sorted
       // <url> entries so both engines build the identical document), parsed
@@ -1120,6 +1144,46 @@ object SparkEntry {
         |          x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE) / len(bg), 6)
         |    AS top_bigram_frac
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "q46_quality_gate" ->
+      """WITH f AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN 'a b c'
+        |       WHEN doc_id % 11 = 0 THEN 'verylongsyntheticword verylongsyntheticword verylongsyntheticword verylongsyntheticword verylongsyntheticword verylongsyntheticword verylongsyntheticword verylongsyntheticword verylongsyntheticword verylongsyntheticword verylongsyntheticword verylongsyntheticword'
+        |       ELSE text ||
+        |         CASE WHEN doc_id % 5 = 0 THEN repeat(' spam ham', 30) ELSE '' END ||
+        |         CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'xx yy' || chr(10) || 'xx yy' ||
+        |              chr(10) || 'xx yy' || chr(10) || 'xx yy' ELSE '' END
+        |  END AS t FROM documents),
+        |sig AS (SELECT doc_id, t,
+        |  len(regexp_split_to_array(trim(t), '\s+')) AS ntok,
+        |  len(regexp_replace(trim(t), '\s+', '', 'g')) AS nchar,
+        |  list_filter(list_transform(string_split(t, chr(10)), x -> trim(x)),
+        |    x -> len(x) > 0) AS ls,
+        |  list_transform(range(len(regexp_split_to_array(trim(t), '\s+')) - 1),
+        |    i -> regexp_split_to_array(trim(t), '\s+')[i+1] || ' ' ||
+        |         regexp_split_to_array(trim(t), '\s+')[i+2]) AS bg
+        |  FROM f),
+        |m AS (SELECT doc_id, ntok,
+        |  nchar * 1.0 / ntok AS mwl,
+        |  (len(ls) - len(list_distinct(ls))) * 1.0 / len(ls) AS dlf,
+        |  CASE WHEN len(bg) = 0 THEN 0.0
+        |       ELSE CAST(list_max(list_transform(list_distinct(bg),
+        |              x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE) / len(bg) END AS tbf
+        |  FROM sig),
+        |r AS (SELECT doc_id, ntok, mwl, dlf, tbf,
+        |  list_sort(list_filter([
+        |    CASE WHEN ntok < 10 THEN 'too_short' END,
+        |    CASE WHEN ntok > 100000 THEN 'too_long' END,
+        |    CASE WHEN mwl < 2.0 OR mwl > 12.0 THEN 'word_len_out_of_range' END,
+        |    CASE WHEN dlf > 0.30 THEN 'dup_lines' END,
+        |    CASE WHEN tbf > 0.18 THEN 'repeated_bigram' END],
+        |    x -> x IS NOT NULL)) AS reasons
+        |  FROM m)
+        |SELECT doc_id, CAST(ntok AS BIGINT) AS n_tokens, round(mwl, 6) AS mean_word_len,
+        |  round(dlf, 6) AS dup_line_frac, round(tbf, 6) AS top_bigram_frac,
+        |  coalesce(array_to_string(reasons, ','), '') AS reasons,
+        |  CAST(len(reasons) = 0 AS BIGINT) AS passed
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "q42_sitemap" ->
       """WITH sm AS (

@@ -1,0 +1,70 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The composed pre-training quality gate: every per-document signal the
+  * engine computes (token count, mean word length, stopword ratio,
+  * duplicate-line mass, top-bigram repetition) applied as one Gopher-style
+  * filter pass, emitting per-row failure REASONS rather than a bare
+  * boolean — at 100 TB the reasons histogram is how you tune thresholds
+  * without re-running the sweep.
+  *
+  * Shape: one projection over the scan (every signal is a codegen'd
+  * expression or plain column arithmetic; no UDF, no shuffle, no join), so
+  * the gate fuses into whatever reads the corpus next.
+  *
+  * Threshold defaults follow the Gopher rules' spirit (Rae et al. 2021
+  * §A1.1) scaled to this corpus's synthetic word-soup documents; every
+  * threshold is a parameter because the filter IS the tuning surface.
+  */
+object CorpusFilter {
+
+  final case class Thresholds(
+      minTokens: Int = 10,
+      maxTokens: Int = 100000,
+      minMeanWordLen: Double = 2.0,
+      maxMeanWordLen: Double = 12.0,
+      maxDupLineFrac: Double = 0.30,
+      maxTopBigramFrac: Double = 0.18)
+
+  /** Adds `n_tokens`, `mean_word_len`, `dup_line_frac`, `top_bigram_frac`,
+    * `reasons` (sorted ARRAY<STRING> of failed checks, empty = clean) and
+    * `passed` to `docs`. Reason vocabulary: too_short, too_long,
+    * word_len_out_of_range, dup_lines, repeated_bigram.
+    */
+  def withGate(docs: DataFrame, textCol: String,
+      t: Thresholds = Thresholds()): DataFrame = {
+    val text = col(textCol)
+    val toks = split(trim(text), "\\s+")
+    val nTokens = size(toks)
+    val meanWordLen =
+      length(regexp_replace(trim(text), "\\s+", "")).cast("double") / nTokens
+    val rep = Repetition.statsCol(text)
+    val dupLine = rep.getField("dup_line_frac")
+    val topBigram = rep.getField("top_bigram_frac")
+    def reason(cond: Column, name: String): Column =
+      when(cond, lit(name)).otherwise(lit(null).cast("string"))
+    val reasons = array_sort(filter(array(
+      reason(nTokens < t.minTokens, "too_short"),
+      reason(nTokens > t.maxTokens, "too_long"),
+      reason(meanWordLen < t.minMeanWordLen || meanWordLen > t.maxMeanWordLen,
+        "word_len_out_of_range"),
+      reason(dupLine > t.maxDupLineFrac, "dup_lines"),
+      reason(topBigram > t.maxTopBigramFrac, "repeated_bigram")),
+      r => r.isNotNull))
+    docs
+      .withColumn("n_tokens", nTokens.cast("long"))
+      .withColumn("mean_word_len", meanWordLen)
+      .withColumn("dup_line_frac", dupLine)
+      .withColumn("top_bigram_frac", topBigram)
+      .withColumn("reasons", reasons)
+      .withColumn("passed", size(reasons) === 0)
+  }
+
+  /** Only the survivors, original columns. */
+  def survivors(docs: DataFrame, textCol: String,
+      t: Thresholds = Thresholds()): DataFrame =
+    withGate(docs, textCol, t).where(col("passed"))
+      .select(docs.columns.map(col): _*)
+}

@@ -122,3 +122,33 @@ class RepetitionSpec extends AnyFunSuite {
     assert(stats("word") == ((1L, 0.0, 0.0, 0.0)))
   }
 }
+
+class CorpusFilterSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import graft.text.CorpusFilter
+
+  private val docs = Seq(
+    (1L, "a clean document with exactly ten ordinary word tokens here now"),
+    (2L, "short one"),                                          // too_short
+    (3L, "aaaaaaaaaaaaaaaaa " * 12),                            // word_len high
+    (4L, "x y\nx y\nx y\nunique line words here padd pad more"), // dup_lines
+    (5L, "go go go go go go go go go go go go")                 // repeated bigram
+  ).toDF("id", "text")
+
+  test("gate emits the right reasons per document") {
+    val got = CorpusFilter.withGate(docs, "text")
+      .select("id", "reasons").as[(Long, Seq[String])].collect().toMap
+    assert(got(1L) == Seq.empty)
+    assert(got(2L).contains("too_short"))
+    assert(got(3L).contains("word_len_out_of_range"))
+    assert(got(4L).contains("dup_lines"))
+    assert(got(5L).contains("repeated_bigram"))
+  }
+
+  test("survivors keep original schema and only clean rows") {
+    val s = CorpusFilter.survivors(docs, "text")
+    assert(s.columns.toSeq == Seq("id", "text"))
+    assert(s.select("id").as[Long].collect().toSeq == Seq(1L))
+  }
+}
