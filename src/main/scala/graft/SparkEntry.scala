@@ -645,6 +645,20 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "q47_host_budget" -> ((s, dir) => {
+      // per-host crawl budget: first 15 urls per host fetch this wave, the
+      // rest defer — the cap rides the already-computed skew-proof host_pos
+      val f = Seen.withUrlKeys(frontier(s, dir))
+        .select("canonical_url", "host_rev", "seed_idx")
+      val sched = Scheduler.schedule(f, gapSeconds = 3L, salted = true)
+      val (kept, _) = Scheduler.capPerHost(sched, 15L)
+      kept.withColumn("fetch_seq",
+          row_number().over(Window.orderBy(col("slot"), col("host_rev"), col("seed_idx")))
+            .cast("long"))
+        .select("fetch_seq", "slot", "host_rev", "canonical_url", "seed_idx", "host_pos")
+        .orderBy("fetch_seq")
+    }),
+
     "q46_quality_gate" -> ((s, dir) => {
       // the composed Gopher-style gate, fixture tripping every reason:
       // %7 → 3-token stub (too_short + low mean word len + trivially
@@ -1144,6 +1158,19 @@ object SparkEntry {
         |          x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE) / len(bg), 6)
         |    AS top_bigram_frac
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "q47_host_budget" ->
+      """WITH f AS (
+        |  SELECT 'http://' || source || '.test/docs/' || doc_id AS canonical_url,
+        |         'test.' || source AS host_rev, doc_id AS seed_idx
+        |  FROM documents),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY host_rev ORDER BY seed_idx) AS BIGINT)
+        |        AS host_pos FROM f),
+        |k AS (SELECT * FROM r WHERE host_pos <= 15)
+        |SELECT CAST(row_number() OVER (ORDER BY (host_pos - 1) * 3, host_rev, seed_idx) AS BIGINT)
+        |         AS fetch_seq,
+        |       (host_pos - 1) * 3 AS slot, host_rev, canonical_url, seed_idx, host_pos
+        |FROM k ORDER BY fetch_seq""".stripMargin,
 
     "q46_quality_gate" ->
       """WITH f AS (SELECT doc_id,

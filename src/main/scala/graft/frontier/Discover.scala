@@ -68,6 +68,27 @@ object Discover {
     }
   }
 
+  /** Sitemap-channel discovery: fetched sitemap BODIES → frontier rows,
+    * same (url, seed_idx) contract and the same hash-based priority policy
+    * as [[fromPages]] (parent = the sitemap url, position = `<loc>` order).
+    * Compose with the seen-ledger/scheduler exactly like a link batch —
+    * sitemaps are just the crawl's second discovery channel (robots.txt
+    * `Sitemap:` lines point here; `<sitemapindex>` nesting yields sitemap
+    * urls, which the NEXT wave fetches and parses with the same operator).
+    */
+  def fromSitemaps(sitemaps: DataFrame, urlCol: String = "url",
+      bodyCol: String = "body", maxLocsPerSitemap: Int = 8192): DataFrame = {
+    require(maxLocsPerSitemap >= 1 && maxLocsPerSitemap <= 65536,
+      s"maxLocsPerSitemap out of range: $maxLocsPerSitemap")
+    sitemaps
+      .select(col(urlCol).as("__sm"),
+        posexplode(Sitemap.locs(col(bodyCol))).as(Seq("pos", "url")))
+      .where(col("pos") < maxLocsPerSitemap)
+      .select(col("url"),
+        (pmod(xxhash64(col("__sm")), lit(1L << 40)) * maxLocsPerSitemap + col("pos"))
+          .as("seed_idx"))
+  }
+
   /** Fetch-status vocabulary — INT codes so the metrics table stays
     * SQL/oracle-friendly. The reference ABORTS the whole run on the first
     * fetch failure (`web_scraper_pipeline.py:64-65`); a 10^10-row job

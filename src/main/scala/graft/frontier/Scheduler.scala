@@ -141,6 +141,18 @@ object Scheduler {
     (lit(cap.toLong) - least(coalesce(priority.cast("long"), lit(0L)), lit(cap.toLong))) *
       lit(1L << 40) + seedIdx.cast("long")
 
+  /** Per-host crawl budget: keep only each host's first `maxPerHost` urls
+    * (in schedule order) and defer the rest — the standard wave-shaping
+    * move against mega-hosts (a 10^8-url host would otherwise monopolize a
+    * wave's fetch capacity for months of politeness slots). Returns
+    * (kept, deferred); feed `deferred` back into the next wave's frontier.
+    * Uses the already-computed skew-proof `host_pos`, so the cap is a
+    * filter, not another window.
+    */
+  def capPerHost(scheduled: DataFrame, maxPerHost: Long): (DataFrame, DataFrame) =
+    (scheduled.where(col("host_pos") <= maxPerHost),
+      scheduled.where(col("host_pos") > maxPerHost))
+
   /** Per-host adaptive politeness gaps from observed fetch statuses (the
     * wave-K metrics table feeding wave K+1's schedule): hosts answering
     * with errors get backed off. gap = base + ceil(scale × err_rate) where

@@ -106,6 +106,35 @@ class SchedulerSpec extends AnyFunSuite {
     assert(gaps == Map("err.test" -> 4L, "ok.test" -> 1L))
   }
 
+  test("per-host budget cap partitions the schedule at host_pos") {
+    val sched = Scheduler.schedule(skewedFrontier(500), gapSeconds = 3)
+    val (kept, deferred) = Scheduler.capPerHost(sched, 50L)
+    assert(kept.count() + deferred.count() == 500)
+    assert(kept.groupBy("host_rev").count()
+      .agg(max("count")).as[Long].collect()(0) <= 50L)
+    // only the mega-host (300 urls) overflows a 50-url budget
+    assert(deferred.select("host_rev").distinct().as[String].collect().toSeq ==
+      Seq("test.mega"))
+    assert(deferred.count() == 250)
+  }
+
+  test("sitemap discovery channel: locs → frontier rows, positional priority") {
+    val sm = Seq(
+      ("http://a.test/sitemap.xml",
+        "<urlset><url><loc>http://a.test/p/1</loc></url>" +
+          "<url><loc> http://a.test/p/2 </loc></url></urlset>"),
+      ("http://b.test/sitemap.xml",
+        "<sitemapindex><sitemap><loc>http://b.test/sm1.xml</loc></sitemap></sitemapindex>")
+    ).toDF("url", "body")
+    val rows = graft.frontier.Discover.fromSitemaps(sm)
+      .as[(String, Long)].collect().toSeq
+    assert(rows.map(_._1).toSet == Set(
+      "http://a.test/p/1", "http://a.test/p/2", "http://b.test/sm1.xml"))
+    // same-sitemap entries keep document order in the seed priority
+    val bySeed = rows.toMap
+    assert(bySeed("http://a.test/p/2") == bySeed("http://a.test/p/1") + 1)
+  }
+
   test("sitemap locs: trim, non-loc skip, document order, index nesting") {
     val xml =
       """<?xml version="1.0"?><sitemapindex>
