@@ -36,7 +36,15 @@ object Components {
     *                 O(log n) rounds)
     */
   def connectedComponents(pairs: DataFrame, idACol: String = "id_a",
-      idBCol: String = "id_b", maxIters: Int = 25): DataFrame = {
+      idBCol: String = "id_b", maxIters: Int = 25): DataFrame =
+    connectedComponentsWithRounds(pairs, idACol, idBCol, maxIters)._1
+
+  /** [[connectedComponents]] plus the number of star rounds it took — the
+    * observable for the O(log n) claim (a chain of length n must converge
+    * in ~log₂ n rounds, not n).
+    */
+  def connectedComponentsWithRounds(pairs: DataFrame, idACol: String = "id_a",
+      idBCol: String = "id_b", maxIters: Int = 25): (DataFrame, Int) = {
     // materialize the input edge list ONCE: the first round's star passes
     // and the signature each re-evaluate their input 2-3×, and `pairs` is
     // typically an expensive upstream (LSH candidate generation + verify) —
@@ -62,9 +70,10 @@ object Components {
         s"connectedComponents: no convergence after $maxIters star rounds")
     // converged edge set = stars (child -> component-min root); roots
     // appear only on the parent side, so they label themselves
-    e.select(col("u").as("id"), col("v").as("cluster_id"))
+    val labels = e.select(col("u").as("id"), col("v").as("cluster_id"))
       .union(e.select(col("v").as("id"), col("v").as("cluster_id")))
       .groupBy("id").agg(min("cluster_id").as("cluster_id"))
+    (labels, it)
   }
 
   /** Large-star: every node u connects its LARGER neighbors to

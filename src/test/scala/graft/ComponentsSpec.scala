@@ -40,6 +40,16 @@ class ComponentsSpec extends AnyFunSuite {
     assert(clusters(Seq((4L, 4L), (4L, 6L))) == Map(4L -> 4L, 6L -> 4L))
   }
 
+  test("a 1000-node chain converges in O(log n) rounds, not O(n)") {
+    val (labels, rounds) = Components.connectedComponentsWithRounds(
+      (1L until 1000L).map(i => (i, i + 1)).toDF("id_a", "id_b"))
+    assert(labels.select("cluster_id").distinct().as[Long].collect().toSeq == Seq(1L))
+    assert(labels.count() == 1000)
+    // naive min-label propagation would need ~1000 rounds here; alternating
+    // star needs ~log₂(1000) ≈ 10 (+1 to observe the fixed point)
+    assert(rounds <= 15, s"took $rounds rounds")
+  }
+
   test("matches brute-force closure on a random graph") {
     val rnd = new scala.util.Random(7)
     val pairs = (0 until 120).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
