@@ -187,6 +187,66 @@ object Ann {
       .select(col("q_id"), col("rank"), col("nn_id"), col("cosine"))
   }
 
+  /** Persist an IVF index: the corpus written PARTITIONED BY its cell id
+    * (one directory per cell) plus the centroid table as a JSON sidecar —
+    * the durable form of [[ivfTopK]]'s "write it bucketed by ivf_cell"
+    * note. At 100 TB the index is built once and probed many times;
+    * [[ivfTopKIndexed]] then reads ONLY the probed cells' files (static
+    * partition pruning on a collected cell list that is ≤ nlist ints —
+    * bounded by construction, never by data volume).
+    */
+  def ivfWriteIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      root: String, nlist: Int = 16, iters: Int = 8): Unit = {
+    val spark = corpus.sparkSession
+    val centroids = kmeansCentroids(corpus, idCol, vecCol, nlist, iters)
+    val cents = new IvfCentroids(spark.sparkContext.broadcast(centroids))
+    val cellOf = Bridge.column(
+      graft.functions.IvfCells(cents, Bridge.expression(col("vec")), 1))
+    corpus
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("ivf_cell", element_at(cellOf, 1))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("ivf_cell").parquet(s"$root/cells")
+    val json = centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, "_centroids.json"), json)
+  }
+
+  /** Probe a persisted IVF index: queries → their nProbe nearest cells →
+    * a cell-pruned scan of `root/cells` → exact scoring → per-query top-k.
+    * Identical results to [[ivfTopK]] at the same (nlist, iters) because
+    * the sidecar pins the exact centroids the index was built with.
+    */
+  def ivfTopKIndexed(queries: DataFrame, root: String,
+      qidCol: String, vecCol: String, k: Int, nProbe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    val centroids = parseCentroids(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(root, "_centroids.json")))
+    val cents = new IvfCentroids(spark.sparkContext.broadcast(centroids))
+    def cellsOf(vec: Column, probes: Int): Column =
+      Bridge.column(graft.functions.IvfCells(cents, Bridge.expression(vec), probes))
+    val q = queries.select(col(qidCol).as("q_id"), col(vecCol).as("qv_raw"),
+      explode(cellsOf(col(vecCol), nProbe)).as("ivf_cell"))
+    // probed cell ids: ≤ nlist ints no matter the query count — safe to
+    // collect, and the isin becomes a PARTITION filter on the cells scan
+    val probed = q.select("ivf_cell").distinct().collect().map(_.getInt(0)).toSeq
+    val c = spark.read.parquet(s"$root/cells")
+      .where(col("ivf_cell").isin(probed: _*))
+      .select(col("ivf_cell"), col("id").as("nn_id"), col("vec").as("cv_raw"))
+    val scored = q.join(c, "ivf_cell")
+      .withColumn("cosine", cosineCol(asDouble(col("qv_raw")), asDouble(col("cv_raw"))))
+      .select(col("q_id"), col("nn_id"), col("cosine"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("nn_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("nn_id"), col("cosine"))
+  }
+
+  private def parseCentroids(json: String): Array[Array[Float]] =
+    json.trim.stripPrefix("[[").stripSuffix("]]").split("\\],\\[")
+      .map(_.split(",").map(_.trim.toFloat))
+
   /** LSH-bucketed approximate top-k: candidates from `tables` SRP tables,
     * scored exactly, ranked per query. Recall grows with tables and falls
     * with bits (bucket granularity).

@@ -180,6 +180,35 @@ class AnnSpec extends AnyFunSuite {
     assert(cells.size > 1)
   }
 
+  test("persisted IVF index: identical results to in-memory, cell-pruned scan") {
+    val v = vectors(400, 32)
+    val q = v.where(col("vec_id") < 10)
+    val root = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    Ann.ivfWriteIndex(v, "vec_id", "embedding", root, nlist = 16)
+    // same centroids (persisted sidecar) → byte-identical ranking
+    val mem = Ann.ivfTopK(v, q, "vec_id", "vec_id", "embedding", k = 5,
+      nlist = 16, nProbe = 4)
+      .select("q_id", "rank", "nn_id").as[(Long, Int, Long)].collect().toSet
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      val records = new java.util.concurrent.atomic.AtomicLong(0)
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null) records.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+    }
+    val idx = Ann.ivfTopKIndexed(q, root, "vec_id", "embedding", k = 5, nProbe = 4)
+      .select("q_id", "rank", "nn_id").as[(Long, Int, Long)].collect().toSet
+    assert(idx == mem)
+    // pruning: 2 queries probing 1 cell each touch ≤2 of 16 cell dirs — the
+    // index scan must read a FRACTION of the 400 stored rows, not all of them
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Ann.ivfTopKIndexed(v.where(col("vec_id") < 2), root,
+        "vec_id", "embedding", k = 3, nProbe = 1).collect()
+      org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(listener.records.get < 300,
+      s"cell pruning did not bite: ${listener.records.get} records read")
+  }
+
   test("LSH topk achieves reasonable recall vs brute force") {
     val v = vectors(400, 32)
     val q = v.where(col("vec_id") < 20)
