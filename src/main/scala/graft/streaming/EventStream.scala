@@ -107,6 +107,38 @@ object EventStream {
       }
   }
 
+  /** [[streamingSeenFilter]] with per-key state TTL — REFRESH-crawl
+    * semantics: a url is re-emitted once its suppression entry has idled
+    * past `ttl` (processing-time timeout), so the stream re-fetches pages
+    * on a rolling refresh horizon instead of suppressing forever. The TTL
+    * is also the state-size bound the forever-filter lacks: live state ≈
+    * urls seen within one TTL window, not the crawl's whole history —
+    * the knob that keeps a 10^10-url stream's state finite (pair with the
+    * RocksDB provider for the disk-backed form).
+    */
+  def streamingSeenFilterTtl(urls: Dataset[DiscoveredUrl],
+      ttl: String = "1 hour"): Dataset[DiscoveredUrl] = {
+    import urls.sparkSession.implicits._
+    urls
+      .groupByKey(_.url_hash)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (_: Long, batch: Iterator[DiscoveredUrl], state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) {
+            // eviction callback: batch is empty; drop the entry so the next
+            // occurrence of this hash re-emits (the refresh)
+            state.remove()
+            Iterator.empty
+          } else if (state.exists) {
+            state.setTimeoutDuration(ttl) // re-arm: TTL measures idleness
+            Iterator.empty
+          } else {
+            state.update(true)
+            state.setTimeoutDuration(ttl)
+            Iterator.single(batch.minBy(_.url))
+          }
+      }
+  }
+
   /** Drive a streaming aggregation over the (batch) events parquet through a
     * real streaming query into a memory sink; returns the final table.
     * Deterministic: one trigger consumes everything.

@@ -48,6 +48,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.length == 3) // each hash exactly once, ever
   }
 
+  test("TTL seen-filter: suppression expires → refresh re-emits, state stays bounded") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import EventStream.DiscoveredUrl
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[DiscoveredUrl]
+    val q = EventStream.streamingSeenFilterTtl(input.toDS(), ttl = "1 millisecond")
+      .writeStream.format("memory").queryName("t_seen_ttl").outputMode("append").start()
+    // processAllAvailable can block FOREVER under ProcessingTimeTimeout
+    // (the engine keeps scheduling timeout batches), so synchronize on the
+    // SINK's row count instead
+    def awaitRows(n: Long): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (spark.table("t_seen_ttl").count() < n) {
+        assert(System.nanoTime() < deadline, s"sink never reached $n rows")
+        Thread.sleep(100)
+      }
+    }
+    try {
+      input.addData(DiscoveredUrl(1, "http://a/1"), DiscoveredUrl(2, "http://b/1"))
+      awaitRows(2)
+      // idle past the TTL: the engine's own timeout batches evict both
+      // entries; the refresh re-offer is then unseen again and re-emits
+      Thread.sleep(1500)
+      input.addData(DiscoveredUrl(1, "http://a/1"))
+      awaitRows(3)
+    } finally q.stop()
+    val got = spark.table("t_seen_ttl").as[DiscoveredUrl].collect()
+    assert(got.count(_.url_hash == 1L) == 2, got.mkString(","))  // first + refresh
+    assert(got.count(_.url_hash == 2L) == 1)
+  }
+
   test("streaming frontier == batch WaveLoop on the same discovery graph") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.frontier.WaveLoop
