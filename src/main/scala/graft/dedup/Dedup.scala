@@ -133,15 +133,21 @@ object Dedup {
     * block → join on (block_idx, block_value), verify exact distance.
     */
   def simHashNearDups(docs: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3, maxBlock: Int = 0): DataFrame = {
     val nBlocks = maxDist + 1
     val width = 64 / nBlocks
     val sigs = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
-    val blocks = sigs.select(col("id"), col("sig"),
+    // maxBlock caps block-bucket occupancy — the simhash mirror of the
+    // minhash band cap: a block value shared by m near-identical docs
+    // (template boilerplate collapses whole 16-bit blocks) emits m²/2 join
+    // rows on its own. Recall for capped members survives via their other
+    // blocks. `<= 0` disables.
+    val blocks = capHotBuckets(sigs.select(col("id"), col("sig"),
       posexplode(transform(
         sequence(lit(0), lit(nBlocks - 1)),
         b => call_function("shiftrightunsigned", col("sig"), b * width)
-          .bitwiseAND(lit((1L << width) - 1)))).as(Seq("block_idx", "block_val")))
+          .bitwiseAND(lit((1L << width) - 1)))).as(Seq("block_idx", "block_val"))),
+      Seq("block_idx", "block_val"), maxBlock)
     val l = blocks.as("l")
     val r = blocks.as("r")
     l.join(r,

@@ -155,6 +155,25 @@ object Robots {
     * wins. Unknown keys (Sitemap, Host, …) and comments are ignored; empty
     * Allow/Disallow values constrain nothing, per the RFC.
     */
+  /** `Sitemap:` directives — group-independent (the sitemaps.org extension
+    * RFC 9309 §2.2.4 carries outside user-agent groups), so every agent
+    * sees all of them. Values keep their case (urls are case-sensitive
+    * past the authority); document order, deduped. Feed the fetched bodies
+    * to [[Discover.fromSitemaps]] to seed the frontier.
+    */
+  def sitemapUrls(txt: String): Seq[String] = {
+    val out = scala.collection.mutable.LinkedHashSet.empty[String]
+    for (raw <- txt.linesIterator) {
+      val line = raw.takeWhile(_ != '#').trim
+      val ci = line.indexOf(':')
+      if (ci > 0 && line.substring(0, ci).trim.equalsIgnoreCase("sitemap")) {
+        val value = line.substring(ci + 1).trim
+        if (value.nonEmpty) out += value
+      }
+    }
+    out.toSeq
+  }
+
   def parse(txt: String, agent: String = "graft"): HostRules = {
     final class G {
       val agents = scala.collection.mutable.ListBuffer.empty[String]

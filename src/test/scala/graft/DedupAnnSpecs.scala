@@ -137,6 +137,28 @@ class DedupSpec extends AnyFunSuite {
   }
 }
 
+class SimhashCapSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("simhash block cap suppresses a mega-clique without touching ordinary pairs") {
+    val base = (0 until 40).map { i =>
+      (i.toLong, s"document number $i with some moderately varied content words $i here")
+    }
+    val hot = (0 until 40).map(i => (5000L + i, "identical boilerplate payload for every template page"))
+    val mixed = (base ++ hot).toDF("id", "text")
+    def hotPairs(df: org.apache.spark.sql.DataFrame) =
+      df.where(col("id_a") >= 5000L && col("id_b") >= 5000L).count()
+    def basePairs(df: org.apache.spark.sql.DataFrame) =
+      df.where(col("id_a") < 5000L && col("id_b") < 5000L).count()
+    val uncapped = Dedup.simHashNearDups(mixed, "id", "text", maxDist = 3)
+    val capped = Dedup.simHashNearDups(mixed, "id", "text", maxDist = 3, maxBlock = 10)
+    assert(hotPairs(uncapped) == 40L * 39 / 2)   // the m² clique
+    assert(hotPairs(capped) == 0L)               // suppressed pre-join
+    assert(basePairs(capped) == basePairs(uncapped)) // ordinary pairs intact
+  }
+}
+
 class AnnSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._

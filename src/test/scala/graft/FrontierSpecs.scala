@@ -282,6 +282,25 @@ class RobotsSpec extends AnyFunSuite {
     assert(Robots.gapSecondsOf("User-agent: *\nDisallow:\n", "graft", 7L) == 7L)
   }
 
+  test("Sitemap: directives are group-independent, case-preserved, deduped") {
+    val txt =
+      """User-agent: other
+        |Disallow: /
+        |Sitemap: https://A.test/SiteMap1.xml
+        |
+        |User-agent: *
+        |Allow: /docs
+        |sitemap: https://a.test/sitemap2.xml  # trailing comment
+        |Sitemap: https://A.test/SiteMap1.xml
+        |Sitemap:
+        |""".stripMargin
+    assert(Robots.sitemapUrls(txt) ==
+      Seq("https://A.test/SiteMap1.xml", "https://a.test/sitemap2.xml"))
+    // and the group parser still ignores them (no rule pollution)
+    val r = Robots.parse(txt)
+    assert(r.allow == Seq("/docs") && r.disallow.isEmpty)
+  }
+
   test("FullRules gate + per-host gap columns agree with the driver-side model") {
     val full = Robots.parseAll(Map(
       "a.test" -> "User-agent: *\nDisallow: /private\nCrawl-delay: 2\n",
