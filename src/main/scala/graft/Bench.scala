@@ -364,7 +364,12 @@ object ScalingBench {
     // once produced a physically impossible 1.30) and is kept only as a
     // labeled diagnostic.
     val pairedRatios = samples.map { case (l, h) => (l.sec / h.sec) / 4.0 }.sorted
-    val pairedMedian = pairedRatios(pairedRatios.length / 2)
+    // true median: for even counts average the two middles — taking the
+    // upper-middle alone re-introduces the upward bias (throttled-lo paired
+    // with a calm hi) the median replaced the max to remove
+    val pairedMedian =
+      if (pairedRatios.length % 2 == 1) pairedRatios(pairedRatios.length / 2)
+      else (pairedRatios(pairedRatios.length / 2 - 1) + pairedRatios(pairedRatios.length / 2)) / 2.0
     println(s"""{"metric":"scaling_efficiency","value":$eff,"unit":"ratio",""" +
       s""""paired_efficiency_median":$pairedMedian,""" +
       s""""paired_efficiency_max_diagnostic":${pairedRatios.max},""" +

@@ -83,9 +83,8 @@ object Dedup {
     l.join(r,
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
           col("l.id") < col("r.id"))
-      // pair dedup as an aggregate, not distinct(): the partial (map-side)
-      // agg collapses same-bucket repeats before the exchange, and the
-      // shared-band count rides along for free as a confidence signal
+      // pair dedup as a groupBy (≡ distinct): the partial (map-side) agg
+      // collapses same-bucket repeats before the exchange
       .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
       .select("id_a", "id_b")

@@ -134,13 +134,30 @@ final class Ledger(
 
   /** Write wave K's bloom state = merge(state K-1, bloom over delta K).
     * Cost: one pass over the DELTA plus `buckets` sketch rows — never the
-    * full ledger (LedgerSpec pins the records-read bound).
+    * full ledger (LedgerSpec pins the records-read bound) — EXCEPT when
+    * healing a coverage gap (below), which additionally reads exactly the
+    * uncovered slice.
+    *
+    * Gap healing: a bank labeled wave K is trusted COMPLETELY by
+    * [[filterUnseen]] (its `w >= upToWave` branch skips the uncovered-slice
+    * anti-join), so if the previous bank lags (caller appended waves
+    * without writeBlooms, or a bloom write crashed), the keys of the
+    * uncovered waves MUST be folded in here — labeling a bank with a wave
+    * it doesn't cover would turn into bloom false negatives = silent lost
+    * dedup. In the normal loop the gap is empty and this reads nothing.
     */
   def writeBlooms(delta: DataFrame, wave: Int): Unit = {
-    val deltaBlooms = delta
+    ensure() // gap healing reads the table; make sure it exists
+    val prevOpt = latestBloomWave(wave - 1)
+    val covered = prevOpt.getOrElse(-1)
+    val keys =
+      if (covered >= wave - 1) delta.select("url_hash")
+      else delta.select("url_hash").unionByName(
+        committedFrame(wave - 1).where(col("wave") > covered).select("url_hash"))
+    val deltaBlooms = keys
       .groupBy(bucketOf(col("url_hash")).as("bucket"))
       .agg(bloom_agg(col("url_hash"), math.max(expectedPerBucket, 1024L), fpp).as("bloom"))
-    val merged = latestBloomWave(wave - 1) match {
+    val merged = prevOpt match {
       case None => deltaBlooms
       case Some(prev) =>
         spark.read.parquet(bloomDir(prev)).unionByName(deltaBlooms)

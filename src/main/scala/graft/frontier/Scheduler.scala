@@ -138,7 +138,12 @@ object Scheduler {
     */
   def priorityOrderKey(priority: Column, seedIdx: Column,
       cap: Int = (1 << 20) - 1): Column =
-    (lit(cap.toLong) - least(coalesce(priority.cast("long"), lit(0L)), lit(cap.toLong))) *
+    // clamp BOTH sides: a negative priority (score-delta callers) would
+    // otherwise blow (cap − p) past 2^23 and wrap the ×2^40 multiply
+    // negative — the lowest-priority row jumping the whole queue
+    (lit(cap.toLong) - least(
+      greatest(coalesce(priority.cast("long"), lit(0L)), lit(0L)),
+      lit(cap.toLong))) *
       lit(1L << 40) + seedIdx.cast("long")
 
   /** Per-host crawl budget: keep only each host's first `maxPerHost` urls
@@ -165,7 +170,12 @@ object Scheduler {
     metrics
       .groupBy(col(hostCol).as("host"))
       .agg(
-        sum(when(col(statusCol) >= 400, 1L).otherwise(0L)).as("_err"),
+        // robots-denied (451) rows were never fetch ATTEMPTS — the crawler
+        // chose not to ask. Counting them as server errors would back off a
+        // host that merely disallows many paths (and, combined with the
+        // greatest(robots, adaptive) rule, slow its ALLOWED paths forever).
+        sum(when(col(statusCol) >= 400 &&
+          col(statusCol) =!= Discover.StatusRobotsDenied, 1L).otherwise(0L)).as("_err"),
         count(lit(1)).as("_n"))
       .select(col("host"),
         (lit(base) + ceil(lit(scale) * col("_err").cast("double") / col("_n")).cast("long"))

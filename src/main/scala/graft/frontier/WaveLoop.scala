@@ -109,18 +109,24 @@ object WaveLoop {
       // re-evaluates its input twice, so its input must stay scan-cheap;
       // the two stages commute (seen-status is constant per url_hash group)
       val keyed = Seen.withUrlKeys(frontier)
-      val gated = fullRules match {
-        case Some(fr) => Robots.filterAllowedFull(keyed, fr)
+      // ONE allow-predicate (one FullRules broadcast) shared by the gate and
+      // the denied audit branch — building it twice re-broadcast the rule
+      // map every wave and re-ran the matcher over the frontier a second
+      // time at metrics time
+      val allowedPred = fullRules.map(fr => Robots.allowedColFull(spark, fr,
+        col("host"), graft.functions.url_path(col("canonical_url"))))
+      val gated = allowedPred match {
+        case Some(p) => keyed.where(p)
         case None => Robots.filterAllowed(keyed, robots)
       }
       // denied rows are audit surface, not garbage: with metrics on they are
-      // written as status-451 rows next to the wave's fetch metrics below
-      val deniedRows = fullRules match {
-        case Some(fr) if pages.nonEmpty =>
-          Some(keyed.where(!Robots.allowedColFull(spark, fr, col("host"),
-            graft.functions.url_path(col("canonical_url")))))
-        case _ => None
-      }
+      // written as status-451 rows next to the wave's fetch metrics below.
+      // In-wave DEDUPED like the fetched side (two parents discovering the
+      // same disallowed url is one denied url, not two); still re-reported
+      // in LATER waves if rediscovered — denied urls deliberately stay out
+      // of the seen ledger so a robots change lets them crawl.
+      val deniedRows = allowedPred.filter(_ => pages.nonEmpty)
+        .map(p => Seen.dropInWaveDuplicates(keyed.where(!p)))
       // partitioned bloom pre-filter (north rule): per-bucket sketches over
       // the ledger, probes routed by pmod(url_hash, buckets); positives
       // verified exactly by the anti-join inside. Ledger mode reads the
@@ -215,7 +221,10 @@ object WaveLoop {
         withDenied.write.mode(SaveMode.Overwrite).parquet(s"$root/metrics/wave=$wave")
         val m = spark.read.parquet(s"$root/metrics/wave=$wave")
           .agg(sum(when(col("status") === 200, 1L).otherwise(0L)).as("fetched"),
-            sum(when(col("status") =!= 200, 1L).otherwise(0L)).as("missed"),
+            // disjoint taxonomy: denied rows were never fetch attempts, so
+            // they must not ALSO count as missed (double-reporting)
+            sum(when(col("status") =!= 200 &&
+              col("status") =!= Discover.StatusRobotsDenied, 1L).otherwise(0L)).as("missed"),
             sum(when(col("status") === Discover.StatusRobotsDenied, 1L).otherwise(0L)).as("denied"),
             coalesce(sum(col("n_chars")), lit(0L)).as("parse_chars"),
             coalesce(sum(col("n_chunks")), lit(0L)).as("parse_chunks"))

@@ -168,7 +168,12 @@ object Png {
       var off = 0
       while (off < expected && !inf.finished()) {
         val n = inf.inflate(out, off, expected - off)
+        // a zlib stream demanding a preset dictionary (FDICT) makes inflate
+        // return 0 with neither finished nor needsInput — without this check
+        // the loop spins forever on a crafted IDAT instead of rejecting
+        require(!inf.needsDictionary, "unsupported IDAT: preset dictionary (FDICT)")
         require(n > 0 || inf.finished() || !inf.needsInput, "truncated IDAT stream")
+        require(n > 0 || inf.finished(), "IDAT stream stalled (no progress)")
         off += n
       }
       require(off == expected, s"IDAT inflated to $off bytes, expected $expected")

@@ -89,21 +89,27 @@ class SchedulerSpec extends AnyFunSuite {
       .orderBy("host_pos").select("seed_idx").as[Long].collect().toSeq
     assert(got == Seq(4L, 1L, 3L, 2L))
     // cap: a priority beyond the cap saturates rather than wrapping negative
-    val k = Seq(Tuple2(0L, Long.MaxValue)).toDF("seed_idx", "priority")
-      .select(Scheduler.priorityOrderKey(col("priority"), col("seed_idx")).as("k"))
-      .as[Long].collect()(0)
-    assert(k == 0L)
+    val ks = Seq((0L, Long.MaxValue), (7L, -5L)).toDF("seed_idx", "priority")
+      .select(col("seed_idx"),
+        Scheduler.priorityOrderKey(col("priority"), col("seed_idx")).as("k"))
+      .as[(Long, Long)].collect().toMap
+    assert(ks(0L) == 0L) // above-cap saturates to the front
+    // negative clamps to 0 (lowest priority), never wraps the multiply
+    assert(ks(7L) == ((1L << 20) - 1) * (1L << 40) + 7L && ks(7L) > 0L)
   }
 
   test("adaptive gaps: error-rate backoff, error-free host keeps the base gap") {
     val metrics = Seq(
       ("err.test", 200), ("err.test", 404), ("err.test", 451), ("err.test", 404),
-      ("ok.test", 200), ("ok.test", 200)
+      ("ok.test", 200), ("ok.test", 200),
+      ("denied.test", 451), ("denied.test", 451), ("denied.test", 200)
     ).toDF("host", "status")
     val gaps = Scheduler.adaptiveGaps(metrics, base = 1L, scale = 3)
       .as[(String, Long)].collect().toMap
-    // err.test: 3/4 errors → 1 + ceil(2.25) = 4; ok.test: 1 + ceil(0) = 1
-    assert(gaps == Map("err.test" -> 4L, "ok.test" -> 1L))
+    // err.test: 451 is NOT a fetch error → 2/4 errors → 1 + ceil(1.5) = 3;
+    // denied.test: all-denied host is NOT backed off (the crawler chose not
+    // to ask — robots compliance is not server misbehavior)
+    assert(gaps == Map("err.test" -> 3L, "ok.test" -> 1L, "denied.test" -> 1L))
   }
 
   test("per-host budget cap partitions the schedule at host_pos") {

@@ -162,6 +162,27 @@ class LedgerSpec extends AnyFunSuite {
       "keys from the bloom-uncovered wave leaked through")
   }
 
+  test("bloom write after a coverage gap heals the gap (no silent lost dedup)") {
+    // wave 0 with blooms; wave 1 appended WITHOUT blooms (crash); wave 2
+    // appended WITH blooms. The wave-2 bank is labeled w=2, which
+    // filterUnseen(…, 2) trusts completely (w >= upToWave skips the
+    // uncovered-slice anti-join) — so writeBlooms(2) MUST fold the
+    // uncovered wave-1 keys into the bank, else they probe bloom-negative
+    // and re-crawl.
+    val root = java.nio.file.Files.createTempDirectory("ledgergap").toString
+    val l = new Ledger(spark, root, buckets = 4)
+    val w0 = keyed(0 until 300).select("url_hash", "canonical_url")
+    val w1 = keyed(300 until 600).select("url_hash", "canonical_url")
+    val w2 = keyed(600 until 900).select("url_hash", "canonical_url")
+    l.append(w0, 0); l.writeBlooms(w0, 0)
+    l.append(w1, 1) // no writeBlooms — the gap
+    l.append(w2, 2); l.writeBlooms(w2, 2)
+    val unseen = l.filterUnseen(keyed(0 until 1200), 2)
+      .select("seed_idx").as[Long].collect().toSet
+    assert(unseen == (900L until 1200L).toSet,
+      "keys from the bloom-gap wave leaked through a bank labeled past them")
+  }
+
   test("bloom GC keeps only the current bank and one predecessor") {
     val root = java.nio.file.Files.createTempDirectory("ledgergc").toString
     val l = new Ledger(spark, root, buckets = 4)
