@@ -296,6 +296,22 @@ class MultimodalSpec extends AnyFunSuite {
     // Adam7 must be REJECTED, never mis-decoded
     val interlaced = good.clone(); interlaced(28) = 1
     intercept[IllegalArgumentException](Png.decode(interlaced))
+    // FDICT zlib header inside a CRC-valid IDAT must REJECT, not hang:
+    // 0x78 0x20 is a checksum-valid zlib header with the preset-dictionary
+    // bit set ((0x7820 % 31) == 0, bit 5 of FLG on)
+    val fdict = good.clone()
+    val idat = {
+      val pat = "IDAT".getBytes
+      (0 until fdict.length - 4).find(i => pat.indices.forall(j => fdict(i + j) == pat(j))).get
+    }
+    val len = java.nio.ByteBuffer.wrap(fdict, idat - 4, 4).getInt
+    fdict(idat + 4) = 0x78.toByte
+    fdict(idat + 5) = 0x20.toByte
+    val crc = new java.util.zip.CRC32
+    crc.update(fdict, idat, 4 + len)
+    java.nio.ByteBuffer.wrap(fdict, idat + 4 + len, 4).putInt(crc.getValue.toInt)
+    val e = intercept[IllegalArgumentException](Png.decode(fdict))
+    assert(e.getMessage.contains("preset dictionary"), e.getMessage)
   }
 
   test("pngFeatures: real decode through mapPartitions matches direct pixels") {
