@@ -276,14 +276,18 @@ object SparkEntry {
     }),
 
     "q36_audio_features" -> ((s, dir) => {
-      // audio path through the same mapPartitions decode plumbing as images
-      // (arithmetic fake payload → rms is oracle-recomputable)
+      // REAL WAV decode: the bytes are standards-conformant RIFF/WAVE PCM16
+      // streams (graft.multimodal.Wav). Planted sample j of asset i is
+      // ((i*11 + j*3) mod 256 − 128) × 256 — the ×256 makes the normalized
+      // value exactly v/128, so the DuckDB oracle recomputes the rms from
+      // the same arithmetic without knowing the codec.
       import s.implicits._
       val ids = docs(s, dir).select(col("doc_id")).as[Long]
       val assets = ids.map { i =>
+        val samples = Array.tabulate(64)(j =>
+          (((i * 11 + j * 3) % 256 - 128) * 256).toShort)
         graft.multimodal.Multimodal.Asset(i, "audio",
-          graft.multimodal.Multimodal.FakeCodec.encodeAudioHeader(
-            i, 8000 + (i % 3).toInt * 4000, 64),
+          graft.multimodal.Wav.encode(8000 + (i % 3).toInt * 4000, 1, samples),
           s"http://aud.test/$i")
       }
       graft.multimodal.Multimodal.audioFeatures(assets).toDF()
@@ -295,14 +299,23 @@ object SparkEntry {
     }),
 
     "q37_video_frames" -> ((s, dir) => {
-      // video leg: decode-once / row-per-sampled-frame flatMap shape
+      // REAL video decode: each asset is a gVID container of 24 genuine PNG
+      // frames; the sampler seeks the index and inflates only frames
+      // 0/6/12/18. Frame f of asset i is a constant-luma image of value
+      // (i*13 + f*5) mod 256 — constant so the mean is oracle-recomputable,
+      // while still passing through a real per-frame inflate + unfilter
+      // (Sub-filtered rows are non-trivial even for constant pixels).
       import s.implicits._
       val ids = docs(s, dir).select(col("doc_id")).as[Long]
       val assets = ids.map { i =>
+        val w = 32 + (i % 4).toInt * 16
+        val h = 24 + (i % 3).toInt * 12
+        val frames = (0 until 24).map { f =>
+          val v = ((i * 13 + f * 5) % 256).toByte
+          graft.multimodal.Png.encode(w, h, 1, Array.fill(w * h)(v))
+        }
         graft.multimodal.Multimodal.Asset(i, "video",
-          graft.multimodal.Multimodal.FakeCodec.encodeVideoHeader(
-            i, 320 + (i % 4).toInt * 160, 240 + (i % 3).toInt * 120, 24),
-          s"http://vid.test/$i")
+          graft.multimodal.Vid.encode(w, h, frames), s"http://vid.test/$i")
       }
       graft.multimodal.Multimodal.videoFrames(assets, everyK = 6).toDF()
         .select(col("asset_id"), col("frame_idx"),
@@ -354,13 +367,35 @@ object SparkEntry {
     }),
 
     "q20_simhash_pairs" -> ((s, dir) => {
-      graft.dedup.Dedup.simHashNearDups(nearDupCorpus(s, dir), "id", "text", maxDist = 8)
+      // ORACLE-GATED variant (the q17 axis-sign pattern): the block-rotation
+      // join runs on an ARITHMETIC 64-bit signature both engines compute —
+      // planted groups of 4 docs differ only in their low 2 bits, and the
+      // pigeonhole block scheme is EXACT for hamming ≤ maxDist, so DuckDB
+      // recomputes the full result as "all pairs within maxDist" without
+      // knowing about blocks. The production murmur kernel (simhash64) is
+      // spec-pinned against this same join in DedupAnnSpecs.
+      val sigs = docs(s, dir)
+        .withColumn("b", expr("(doc_id DIV 4) * 1099511628211 % 1099511627776"))
+        .select(col("doc_id").as("id"),
+          expr("(shiftleft(b, 20) | b) ^ (doc_id % 4)").as("sig"))
+      graft.dedup.Dedup.simHashNearDupsFromSigs(sigs, maxDist = 3)
         .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
         .orderBy("id_a", "id_b")
     }),
 
     "q21_fingerprint_overlap" -> ((s, dir) => {
-      graft.dedup.Dedup.fingerprintOverlap(nearDupCorpus(s, dir), "id", "text", minShared = 3)
+      // ORACLE-GATED variant: arithmetic print sets — 5-doc groups share a
+      // planted print run, and one UNIVERSAL print exceeds the doc-freq cap
+      // (df = all docs > 50) and must be dropped, so the cap's effect is
+      // inside the green gate, not just a skew spec. Production winnowing
+      // kernel (fingerprints expr) stays spec-pinned in DedupAnnSpecs.
+      val d = docs(s, dir)
+      val planted = d.select(col("doc_id").as("id"),
+          explode(sequence(lit(0L), lit(3L) + col("doc_id") % 2)).as("j"))
+        .select(col("id"), expr("(id DIV 5) * 100 + j").as("print"))
+      val universal = d.select(col("doc_id").as("id"), lit(999999999L).as("print"))
+      graft.dedup.Dedup.fingerprintOverlapFromPrints(
+          planted.unionByName(universal), minShared = 2, maxDocFreq = 50)
         .orderBy("id_a", "id_b")
     }),
 
@@ -643,6 +678,25 @@ object SparkEntry {
         .where(col("cluster_id").isNull || col("cluster_id") === col("id"))
         .select(col("id"), length(col("text")).cast("long").as("n_chars"))
         .orderBy("id")
+    }),
+
+    "q48_refresh_schedule" -> ((s, dir) => {
+      // batch refresh-crawl: ledger rows (with a second append for every
+      // third url — the max-wave last-fetch semantics must pick the later
+      // stamp) → stale set at currentWave=10 with TTL 4, age-priority
+      // packed order keys. Pure integer arithmetic end to end, so the
+      // DuckDB oracle recomputes keys exactly.
+      def urlOf = concat(lit("http://h"), (col("doc_id") % 20).cast("string"),
+        lit(".test/d/"), col("doc_id").cast("string"))
+      val first = docs(s, dir).select(col("doc_id").as("url_hash"),
+        urlOf.as("canonical_url"), (col("doc_id") % 9).cast("int").as("wave"))
+      val refetched = docs(s, dir).where(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("url_hash"), urlOf.as("canonical_url"),
+          (col("doc_id") % 5).cast("int").as("wave"))
+      graft.frontier.Ledger
+        .staleFrontierFrom(first.unionByName(refetched), currentWave = 10, maxAgeWaves = 4)
+        .select(col("url"), col("seed_idx"), col("age").cast("long").as("age"))
+        .orderBy("url")
     }),
 
     "q47_host_budget" -> ((s, dir) => {
@@ -934,6 +988,34 @@ object SparkEntry {
         |SELECT id_a, id_b, round(inter / uni, 6) AS jacc6
         |FROM p WHERE inter / uni >= 0.7 ORDER BY id_a, id_b""".stripMargin,
 
+    "q20_simhash_pairs" ->
+      """WITH s AS (SELECT doc_id AS id,
+        |  xor((b << 20) | b, doc_id % 4) AS sig FROM (
+        |    SELECT doc_id,
+        |      ((doc_id // 4) * 1099511628211) % 1099511627776 AS b
+        |    FROM documents))
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+        |FROM s a JOIN s b ON a.id < b.id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q21_fingerprint_overlap" ->
+      """WITH pr AS (
+        |  SELECT doc_id AS id, (doc_id // 5) * 100 + j AS print
+        |  FROM documents, unnest(range(0, 5)) AS t(j)
+        |  WHERE j <= 3 + doc_id % 2
+        |  UNION ALL
+        |  SELECT doc_id AS id, 999999999 AS print FROM documents),
+        |kept AS (
+        |  SELECT * FROM pr WHERE print NOT IN (
+        |    SELECT print FROM pr GROUP BY print HAVING count(*) > 50))
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(count(*) AS BIGINT) AS shared_prints
+        |FROM kept a JOIN kept b ON a.print = b.print AND a.id < b.id
+        |GROUP BY a.id, b.id HAVING count(*) >= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "q22_events_first" ->
       """WITH r AS (SELECT user_id, event_id, ts,
         |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events)
@@ -991,8 +1073,8 @@ object SparkEntry {
 
     "q37_video_frames" ->
       """SELECT doc_id AS asset_id, CAST(f AS INTEGER) AS frame_idx,
-        |  320 + (doc_id % 4) * 160 AS width,
-        |  240 + (doc_id % 3) * 120 AS height,
+        |  32 + (doc_id % 4) * 16 AS width,
+        |  24 + (doc_id % 3) * 12 AS height,
         |  (doc_id * 13 + f * 5) % 256 AS luma
         |FROM documents, unnest([0, 6, 12, 18]) AS t(f)
         |ORDER BY asset_id, frame_idx""".stripMargin,
@@ -1158,6 +1240,18 @@ object SparkEntry {
         |          x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE) / len(bg), 6)
         |    AS top_bigram_frac
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "q48_refresh_schedule" ->
+      """WITH led AS (
+        |  SELECT doc_id, doc_id % 9 AS wave FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, doc_id % 5 AS wave FROM documents WHERE doc_id % 3 = 0),
+        |last AS (SELECT doc_id, max(wave) AS last_wave FROM led GROUP BY doc_id)
+        |SELECT 'http://h' || (doc_id % 20) || '.test/d/' || doc_id AS url,
+        |  CAST((1048575 - least(10 - last_wave, 1048575)) * 1099511627776
+        |       + doc_id AS BIGINT) AS seed_idx,
+        |  CAST(10 - last_wave AS BIGINT) AS age
+        |FROM last WHERE 10 - last_wave >= 4 ORDER BY url""".stripMargin,
 
     "q47_host_budget" ->
       """WITH f AS (

@@ -208,8 +208,15 @@ object Ann {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("ivf_cell").parquet(s"$root/cells")
     val json = centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(root, "_centroids.json"), json)
+    // sidecar through the same Hadoop FileSystem as the cells parquet: a
+    // java.nio write would land on the DRIVER-LOCAL disk when root is
+    // hdfs://… or s3a://… — exactly the "built once, probed many times"
+    // setting where the index outlives the driver machine
+    val path = new org.apache.hadoop.fs.Path(root, "_centroids.json")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(path, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** Probe a persisted IVF index: queries → their nProbe nearest cells →
@@ -220,8 +227,14 @@ object Ann {
   def ivfTopKIndexed(queries: DataFrame, root: String,
       qidCol: String, vecCol: String, k: Int, nProbe: Int = 4): DataFrame = {
     val spark = queries.sparkSession
+    val sidecar = new org.apache.hadoop.fs.Path(root, "_centroids.json")
+    val fs = sidecar.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(sidecar)
+    val jsonBytes =
+      try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+      finally in.close()
     val centroids = parseCentroids(
-      java.nio.file.Files.readString(java.nio.file.Paths.get(root, "_centroids.json")))
+      new String(jsonBytes, java.nio.charset.StandardCharsets.UTF_8))
     val cents = new IvfCentroids(spark.sparkContext.broadcast(centroids))
     def cellsOf(vec: Column, probes: Int): Column =
       Bridge.column(graft.functions.IvfCells(cents, Bridge.expression(vec), probes))

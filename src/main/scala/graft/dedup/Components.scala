@@ -61,73 +61,78 @@ object Components {
     // shrinks every round (measured 17.3 s → 3.4 s on a 34k-edge input by
     // narrowing 128 → 1). This is exactly what AQE partition coalescing
     // does; explicit here because sessions tuned for wide CPU-bound scans
-    // often disable coalescing globally. Restored in finally; like any
-    // session-conf adjustment it assumes no concurrent planning in this
-    // session during the loop (document-level caveat, not a correctness
-    // one — a concurrent query would just plan at the narrowed width).
-    val widthKey = "spark.sql.shuffle.partitions"
-    val prev = scala.util.Try(spark.conf.get(widthKey).toInt).toOption
+    // often disable coalescing globally. HERMETIC form: the width is
+    // applied with explicit key-repartitions inside the star rounds (which
+    // EnsureRequirements then reuses for the groupBy/join exchanges) — a
+    // session-conf mutation here would silently narrow any query planned
+    // concurrently in the same session.
+    val sessionWidth = scala.util.Try(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt).getOrElse(32)
     val nEdges = e.count()
-    prev.foreach { p =>
-      val width = math.max(1L, math.min(p.toLong, nEdges / 250000L + 1L))
-      spark.conf.set(widthKey, width.toString)
+    val width = math.max(1L, math.min(sessionWidth.toLong, nEdges / 250000L + 1L)).toInt
+    var converged = false
+    var sig = signature(e)
+    var it = 0
+    while (!converged && it < maxIters) {
+      val next = smallStar(largeStar(e, width), width).localCheckpoint(true)
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      sig = nextSig
+      e = next
+      it += 1
     }
-    try {
-      var converged = false
-      var sig = signature(e)
-      var it = 0
-      while (!converged && it < maxIters) {
-        val next = smallStar(largeStar(e)).localCheckpoint(true)
-        val nextSig = signature(next)
-        converged = nextSig == sig
-        sig = nextSig
-        e = next
-        it += 1
-      }
-      if (!converged)
-        throw new IllegalStateException(
-          s"connectedComponents: no convergence after $maxIters star rounds")
-      // converged edge set = stars (child -> component-min root); roots
-      // appear only on the parent side, so they label themselves
-      val labels = e.select(col("u").as("id"), col("v").as("cluster_id"))
-        .union(e.select(col("v").as("id"), col("v").as("cluster_id")))
-        .groupBy("id").agg(min("cluster_id").as("cluster_id"))
-        .localCheckpoint(true) // pin the result before the width is restored
-      (labels, it)
-    } finally prev.foreach(p => spark.conf.set(widthKey, p.toString))
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents: no convergence after $maxIters star rounds")
+    // converged edge set = stars (child -> component-min root); roots
+    // appear only on the parent side, so they label themselves
+    val labels = e.select(col("u").as("id"), col("v").as("cluster_id"))
+      .union(e.select(col("v").as("id"), col("v").as("cluster_id")))
+      .repartition(width, col("id"))
+      .groupBy("id").agg(min("cluster_id").as("cluster_id"))
+    (labels, it)
   }
 
   /** Large-star: every node u connects its LARGER neighbors to
     * m = min(neighbors(u) ∪ {u}). Operates on the symmetrized edge set;
     * output edges all point child→smaller-parent.
+    *
+    * `width` sizes every exchange in the round: the symmetrized set is
+    * key-repartitioned once, the groupBy and the join reuse that
+    * distribution (no extra shuffle — HashPartitioning(u, width) satisfies
+    * both), and the output distinct gets its own (u, v) repartition.
     */
-  private def largeStar(e: DataFrame): DataFrame = {
+  private def largeStar(e: DataFrame, width: Int): DataFrame = {
     // no distinct on the symmetrized set: duplicate orientations don't move
     // the min-aggregate and the output distinct folds their emissions — one
     // fewer exchange per round
     val sym = e.select("u", "v")
       .union(e.select(col("v").as("u"), col("u").as("v")))
+      .repartition(width, col("u"))
     val mins = sym.groupBy("u").agg(min("v").as("mn"))
       .select(col("u"), least(col("mn"), col("u")).as("m"))
     sym.join(mins, "u")
       .where(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
       .where(col("u") =!= col("v"))
+      .repartition(width, col("u"), col("v"))
       .distinct()
   }
 
   /** Small-star: every node u re-points its SMALLER neighbors (its current
     * parents) at m = min of them. Input edges must point child→smaller
-    * (large-star's postcondition).
+    * (large-star's postcondition). Width discipline as in [[largeStar]].
     */
-  private def smallStar(e: DataFrame): DataFrame = {
-    val mins = e.groupBy("u").agg(min("v").as("m"))
-    val repointed = e.join(mins, "u")
+  private def smallStar(e: DataFrame, width: Int): DataFrame = {
+    val keyed = e.repartition(width, col("u"))
+    val mins = keyed.groupBy("u").agg(min("v").as("m"))
+    val repointed = keyed.join(mins, "u")
       .where(col("v") =!= col("m"))
       .select(col("v").as("u"), col("m").as("v"))
     repointed
       .union(mins.select(col("u"), col("m").as("v")))
       .where(col("u") =!= col("v"))
+      .repartition(width, col("u"), col("v"))
       .distinct()
   }
 

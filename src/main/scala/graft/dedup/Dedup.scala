@@ -68,10 +68,27 @@ object Dedup {
     */
   def minHashCandidates(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
-      maxBucket: Int = 0): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    val sigs = docs.select(col(idCol).as("id"),
+      maxBucket: Int = 0): DataFrame =
+    minHashCandidatesFromSigs(
+      minHashSigs(docs, idCol, textCol, shingleK, bands * rowsPerBand),
+      bands, rowsPerBand, maxBucket)
+
+  /** MinHash signature frame `(id, sig ARRAY<INT>)`. Split out so callers
+    * that need the signatures AGAIN after candidate generation (estimated-
+    * Jaccard scoring in [[minHashNearDups]]) compute them ONCE —
+    * `minhash_sig` is the most expensive text kernel in the repo
+    * (numHashes × shingles work per row) and used to run twice per doc.
+    */
+  def minHashSigs(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numHashes: Int = 32): DataFrame =
+    docs.select(col(idCol).as("id"),
       minhash_sig(col(textCol), shingleK, numHashes).as("sig"))
+
+  /** [[minHashCandidates]] over a precomputed [[minHashSigs]] frame —
+    * `sigs` must carry (id, sig) with `sig.length == bands × rowsPerBand`.
+    */
+  def minHashCandidatesFromSigs(sigs: DataFrame,
+      bands: Int = 8, rowsPerBand: Int = 4, maxBucket: Int = 0): DataFrame = {
     // band b = hash of sig[b*r .. (b+1)*r) — explode to (bucket, id)
     val banded = sigs.select(col("id"),
       posexplode(transform(
@@ -113,9 +130,15 @@ object Dedup {
       shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
       threshold: Double = 0.7): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sigs = docs.select(col(idCol).as("id"),
-      minhash_sig(col(textCol), shingleK, numHashes).as("sig"))
-    val cands = minHashCandidates(docs, idCol, textCol, shingleK, bands, rowsPerBand)
+    // ONE minhash_sig pass per doc, staged: the frame feeds three consumers
+    // (banding + the two est-Jaccard joins) on DIFFERENT shuffle keys, so
+    // without materialization Catalyst re-evaluates the kernel per consumer
+    // (no common-subtree elimination across exchanges). The staged rows are
+    // narrow — id + numHashes ints ≈ 140 B — a cheap trade against 2×
+    // recompute of the heaviest text kernel.
+    val sigs = minHashSigs(docs, idCol, textCol, shingleK, numHashes)
+      .localCheckpoint(true)
+    val cands = minHashCandidatesFromSigs(sigs, bands, rowsPerBand)
     cands
       .join(sigs.withColumnRenamed("id", "id_a").withColumnRenamed("sig", "sig_a"), "id_a")
       .join(sigs.withColumnRenamed("id", "id_b").withColumnRenamed("sig", "sig_b"), "id_b")
@@ -132,10 +155,22 @@ object Dedup {
     * block → join on (block_idx, block_value), verify exact distance.
     */
   def simHashNearDups(docs: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3, maxBlock: Int = 0): DataFrame =
+    simHashNearDupsFromSigs(
+      docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig")),
+      maxDist, maxBlock)
+
+  /** [[simHashNearDups]] over a precomputed `(id, sig BIGINT)` frame — any
+    * 64-bit similarity-preserving signature plugs into the same
+    * block-rotation join (and an ARITHMETIC sig makes the operator
+    * oracle-checkable end to end: the block scheme is EXACT for
+    * hamming ≤ maxDist by pigeonhole, so the result set is simply "all
+    * pairs within maxDist", which any engine can recompute from the sigs).
+    */
+  def simHashNearDupsFromSigs(sigs: DataFrame,
       maxDist: Int = 3, maxBlock: Int = 0): DataFrame = {
     val nBlocks = maxDist + 1
     val width = 64 / nBlocks
-    val sigs = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
     // maxBlock caps block-bucket occupancy — the simhash mirror of the
     // minhash band cap: a block value shared by m near-identical docs
     // (template boilerplate collapses whole 16-bit blocks) emits m²/2 join
@@ -239,13 +274,24 @@ object Dedup {
     * disables the cap.
     */
   def fingerprintOverlap(docs: DataFrame, idCol: String, textCol: String,
+      minShared: Int = 2, maxDocFreq: Int = 1000): DataFrame =
+    fingerprintOverlapFromPrints(
+      docs.select(col(idCol).as("id"),
+        explode(array_distinct(fp(col(textCol)))).as("print")),
+      minShared, maxDocFreq)
+
+  /** [[fingerprintOverlap]] over a precomputed `(id, print BIGINT)` frame.
+    * `prints` must hold ONE row per (doc, print) — the production path
+    * guarantees it with array_distinct; the doc-frequency cap counts rows,
+    * so duplicates would inflate df and over-cap. An arithmetic print set
+    * makes the operator oracle-checkable end to end (cap included).
+    */
+  def fingerprintOverlapFromPrints(prints: DataFrame,
       minShared: Int = 2, maxDocFreq: Int = 1000): DataFrame = {
-    val prints = docs.select(col(idCol).as("id"),
-      explode(array_distinct(fp(col(textCol)))).as("print"))
     val kept =
       if (maxDocFreq <= 0) prints
       else {
-        // array_distinct above ⇒ one row per (doc, print) ⇒ count = doc freq
+        // one row per (doc, print) ⇒ count = doc freq
         val hot = prints.groupBy(col("print"))
           .agg(count(lit(1)).as("df"))
           .where(col("df") > maxDocFreq)

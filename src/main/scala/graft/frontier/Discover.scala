@@ -15,15 +15,20 @@ object Discover {
     * canonical_url → `extract_links(html)` → RFC 3986 resolve against the
     * fetched URL → candidate next-wave frontier (url, seed_idx).
     *
-    * seed_idx policy: `pmod(xxhash64(parent_url), 2^40) × maxLinksPerPage +
-    * link_position` — a deterministic priority, NOT an id: the scheduler
-    * only needs a stable total order per wave and the dedup keeps the min
-    * per URL. Hashing the parent (instead of compounding the parent's own
-    * seed_idx) keeps the key bounded at ~2^50 FOREVER — a multiplicative
-    * parent_seed × K scheme overflows Long after ~5 waves and silently
-    * corrupts crawl order. BFS layering comes from the waves themselves;
-    * within a wave the order is (parent-hash, position-on-page), the usual
-    * arbitrary-but-deterministic frontier priority.
+    * seed_idx policy: `pmod(xxhash64(parent_url), 2^40 ∕ M) × M +
+    * link_position` (M = next power of two ≥ maxLinksPerPage) — a
+    * deterministic priority, NOT an id: the scheduler only needs a stable
+    * total order per wave and the dedup keeps the min per URL. Hashing the
+    * parent (instead of compounding the parent's own seed_idx) keeps the
+    * key bounded FOREVER — a multiplicative parent_seed × K scheme
+    * overflows Long after ~5 waves and silently corrupts crawl order. The
+    * product stays < 2^40, the documented seed domain of
+    * [[Scheduler.priorityOrderKey]]: a wider seed would silently bleed its
+    * high bits into the packed PRIORITY field when the two compose (the
+    * intended frontier-prioritization use). BFS layering comes from the
+    * waves themselves; within a wave the order is (parent-hash,
+    * position-on-page), the usual arbitrary-but-deterministic frontier
+    * priority.
     *
     * Scale shape: inner join on canonical_url (bucket-aligned when pages is
     * a [[graft.sources.PageTable]]), html never survives past the explode,
@@ -50,9 +55,9 @@ object Discover {
 
   def fromPages(pages: DataFrame, maxLinksPerPage: Int = 1024,
       buckets: Int = 64): DataFrame => DataFrame = {
-    // 2^40 hash range × 2^13 positions < 2^63: the priority can never wrap
     require(maxLinksPerPage >= 1 && maxLinksPerPage <= 8192,
       s"maxLinksPerPage out of range: $maxLinksPerPage")
+    val m = Discover.nextPow2(maxLinksPerPage)
     scheduled => {
       val p = pruneToWave(pages, scheduled, "canonical_url", buckets)
         .select(col("url").as("canonical_url"), col("html"))
@@ -62,11 +67,19 @@ object Discover {
           posexplode(extract_links(col("html").cast("string"))).as(Seq("pos", "href")))
         .where(col("pos") < maxLinksPerPage)
         .select(resolve_url(col("base"), col("href")).as("url"),
-          (pmod(xxhash64(col("base")), lit(1L << 40)) * maxLinksPerPage + col("pos"))
+          (pmod(xxhash64(col("base")), lit((1L << 40) / m)) * m + col("pos"))
             .as("seed_idx"))
         .where(col("url").isNotNull)
     }
   }
+
+  /** Smallest power of two ≥ n (n ≥ 1) — the position stride in the
+    * seed_idx packing, power-of-two so `seed_idx mod stride` is exactly the
+    * link position and the hash×stride product stays inside the 2^40 seed
+    * domain for any allowed maxLinks.
+    */
+  private[frontier] def nextPow2(n: Int): Long =
+    if (n <= 1) 1L else java.lang.Long.highestOneBit((n - 1).toLong) << 1
 
   /** Sitemap-channel discovery: fetched sitemap BODIES → frontier rows,
     * same (url, seed_idx) contract and the same hash-based priority policy
@@ -80,12 +93,14 @@ object Discover {
       bodyCol: String = "body", maxLocsPerSitemap: Int = 8192): DataFrame = {
     require(maxLocsPerSitemap >= 1 && maxLocsPerSitemap <= 65536,
       s"maxLocsPerSitemap out of range: $maxLocsPerSitemap")
+    val m = nextPow2(maxLocsPerSitemap)
     sitemaps
       .select(col(urlCol).as("__sm"),
         posexplode(Sitemap.locs(col(bodyCol))).as(Seq("pos", "url")))
       .where(col("pos") < maxLocsPerSitemap)
+      // same < 2^40 bound as fromPages — see the seed_idx policy note there
       .select(col("url"),
-        (pmod(xxhash64(col("__sm")), lit(1L << 40)) * maxLocsPerSitemap + col("pos"))
+        (pmod(xxhash64(col("__sm")), lit((1L << 40) / m)) * m + col("pos"))
           .as("seed_idx"))
   }
 

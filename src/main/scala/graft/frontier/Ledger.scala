@@ -163,7 +163,13 @@ final class Ledger(
         spark.read.parquet(bloomDir(prev)).unionByName(deltaBlooms)
           .groupBy("bucket").agg(bloom_merge_agg(col("bloom")).as("bloom"))
     }
-    merged.coalesce(1).write.mode(SaveMode.Overwrite).parquet(bloomDir(wave))
+    // one FILE per bucket (dir partitioned by bucket): the merge itself is
+    // parallel, and a coalesce(1) here would funnel the whole bank — tens
+    // of GB at 10^10 keys — through ONE serializing task every wave. The
+    // partition layout also lets a selective reader load only its buckets;
+    // filterUnseen's broadcast path still reads the full bank in one scan.
+    merged.repartition(col("bucket"))
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(bloomDir(wave))
     // GC: each bank is FULL state (tens of GB at 10^10 keys), so stale wave
     // dirs accumulate unboundedly on a long crawl. Keep one predecessor for
     // crash-resume (a crash before this wave's manifest re-runs against it),
@@ -235,11 +241,23 @@ final class Ledger(
     }
   }
 
-  /** Rewrite the ledger as version+1: one file per bucket, min-wave per url
-    * (membership-equivalent: `wave <= W` filters see a url iff its FIRST
-    * committed appearance is <= W). Old table dropped, files deleted.
+  /** Rewrite the ledger as version+1: one file per bucket, MAX-wave per url
+    * (the last committed appearance — this is what [[staleFrontier]]'s age
+    * arithmetic needs: a refresh re-append at wave K must survive
+    * compaction as wave K, or the page would read as stale again
+    * immediately). Membership- and fencing-equivalent for the wave loop's
+    * forward-only access pattern: [[filterUnseen]] is always called with
+    * `upToWave` ≥ every committed row's wave, so `wave <= upToWave` sees
+    * the url either way.
+    *
+    * `upToWave` bounds which rows are safe to fold: rows of LATER waves
+    * (an uncommitted append when compacting outside the loop's own hook)
+    * pass through untouched — folding an uncommitted wave into a url's max
+    * would un-fence it on crash-resume (the re-run's `wave <= K−1` filter
+    * must keep excluding it). The loop's [[maybeCompact]] passes the
+    * just-committed wave, where the pass-through arm is empty.
     */
-  def compact(): Unit = {
+  def compact(upToWave: Int = Int.MaxValue): Unit = {
     ensure()
     val v = currentVersion
     val next = v + 1
@@ -256,9 +274,11 @@ final class Ledger(
          |USING PARQUET
          |CLUSTERED BY (url_hash) SORTED BY (url_hash) INTO $buckets BUCKETS
          |LOCATION '${tableLocation(next)}'""".stripMargin)
-    spark.table(tableName(v))
+    val all = spark.table(tableName(v))
+    val folded = all.where(col("wave") <= upToWave)
       .groupBy(col("url_hash"), col("canonical_url"))
-      .agg(min(col("wave")).as("wave"))
+      .agg(max(col("wave")).as("wave"))
+    folded.unionByName(all.where(col("wave") > upToWave))
       .select(col("url_hash"), col("canonical_url"), col("wave").cast("int").as("wave"))
       .repartition(buckets, col("url_hash"))
       .write.mode(SaveMode.Append).format("parquet")
@@ -271,10 +291,51 @@ final class Ledger(
 
   /** Wave-loop hook: compact every `compactEvery` committed waves. */
   def maybeCompact(wave: Int): Unit =
-    if (compactEvery > 0 && wave > 0 && wave % compactEvery == 0) compact()
+    if (compactEvery > 0 && wave > 0 && wave % compactEvery == 0) compact(wave)
+
+  /** Batch refresh-crawl frontier: committed urls whose LAST fetch is at
+    * least `maxAgeWaves` waves old, as (url, seed_idx) frontier rows ready
+    * to re-enter the wave loop — the batch twin of the streaming TTL
+    * seen-filter. seed_idx = [[Scheduler.priorityOrderKey]](age, url_hash
+    * folded to the 2^40 seed domain): ordering is oldest-first among
+    * refreshes, and every packed refresh key sorts AFTER the plain
+    * (< 2^40) discovery seed_idx domain — within a host, new content
+    * fetches before re-fetches, by construction rather than by luck.
+    *
+    * Re-crawling a scheduled refresh row re-appends it at the new wave
+    * (the loop's normal seen-delta write), which re-stamps its last-fetch
+    * age — one re-crawl per TTL window, exactly ([[compact]] keeps
+    * max-wave so the stamp survives compaction).
+    */
+  def staleFrontier(currentWave: Int, maxAgeWaves: Int): DataFrame = {
+    require(maxAgeWaves >= 1, s"maxAgeWaves must be >= 1: $maxAgeWaves")
+    ensure()
+    Ledger.staleFrontierFrom(committedFrame(currentWave), currentWave, maxAgeWaves)
+  }
 }
 
 object Ledger {
+
+  /** [[Ledger.staleFrontier]]'s kernel over any (url_hash, canonical_url,
+    * wave) frame — split out so the staleness policy is testable (and
+    * oracle-checkable: the age arithmetic is pure SQL) without standing up
+    * ledger state. One groupBy of 16-byte keys + a projection; the
+    * ORDER-KEY arithmetic is in the row, the caller's scheduler does the
+    * actual prioritization.
+    */
+  def staleFrontierFrom(committed: DataFrame, currentWave: Int,
+      maxAgeWaves: Int): DataFrame =
+    committed
+      .groupBy(col("url_hash"), col("canonical_url"))
+      .agg(max(col("wave")).as("last_wave"))
+      .withColumn("age", lit(currentWave) - col("last_wave"))
+      .where(col("age") >= maxAgeWaves)
+      .select(
+        col("canonical_url").as("url"),
+        Scheduler.priorityOrderKey(col("age"), pmod(col("url_hash"), lit(1L << 40)))
+          .as("seed_idx"),
+        col("age"))
+
   /** Recursive delete for local state roots (benchmarks, tests). */
   def deleteTree(path: String): Unit = deleteRecursively(Paths.get(path))
 

@@ -128,9 +128,16 @@ object Scheduler {
   /** Integral order key encoding "higher priority first, then discovery
     * order" for the salted ranking machinery (which needs ONE non-negative
     * integral key to form its ordered segments): key =
-    * (cap − min(priority, cap)) × 2^40 + seedIdx. Fits a signed long for
-    * cap ≤ 2^20−1 and seedIdx < 2^40 (10^12 urls — beyond any crawl's
-    * per-wave id space). Null priority ⇒ 0 (lowest).
+    * (cap − min(priority, cap)) × 2^40 + pmod(seedIdx, 2^40). Fits a
+    * signed long for cap ≤ 2^20−1; seedIdx's documented domain is
+    * [0, 2^40) (10^12 urls — beyond any crawl's per-wave id space, and the
+    * bound both [[Discover.fromPages]] and [[Discover.fromSitemaps]]
+    * honor). A seedIdx OUTSIDE that domain is folded with pmod rather than
+    * trusted: un-folded, its high bits would add into the packed PRIORITY
+    * field — a priority-5 row silently ranking behind a priority-0 row —
+    * which is strictly worse than the fold's only cost (discovery-order
+    * tiebreak becomes seedIdx mod 2^40 for out-of-domain producers).
+    * Null priority ⇒ 0 (lowest).
     *
     * Use for frontier prioritization: priority = link in-degree (OPIC-ish
     * cash), host authority, refresh score, … — one groupBy-count plus a
@@ -144,7 +151,7 @@ object Scheduler {
     (lit(cap.toLong) - least(
       greatest(coalesce(priority.cast("long"), lit(0L)), lit(0L)),
       lit(cap.toLong))) *
-      lit(1L << 40) + seedIdx.cast("long")
+      lit(1L << 40) + pmod(seedIdx.cast("long"), lit(1L << 40))
 
   /** Per-host crawl budget: keep only each host's first `maxPerHost` urls
     * (in schedule order) and defer the rest — the standard wave-shaping

@@ -70,6 +70,18 @@ object WaveLoop {
     *                    are not silently dropped: when metrics are on they
     *                    land in `metrics/wave=K` with status 451. Takes
     *                    precedence over the prefix-model `robots` param.
+    * @param refreshAfter when Some(n) (requires `ledger`), every wave also
+    *                    re-schedules committed urls whose LAST fetch is ≥ n
+    *                    waves old ([[Ledger.staleFrontier]]): age-priority
+    *                    order keys put refreshes after the wave's fresh
+    *                    discoveries per host, oldest first. Refresh rows
+    *                    BYPASS the seen-filter (they are in the ledger by
+    *                    definition — that is what makes them refreshes) but
+    *                    still pass the robots gate and the in-wave dedup;
+    *                    scheduling one re-appends it, re-stamping its age,
+    *                    so each page re-crawls exactly once per TTL window.
+    *                    The loop keeps running on refresh work even when
+    *                    discovery is exhausted (up to `maxWaves`).
     * @param adaptiveBackoff when Some((base, scale)), wave K's schedule uses
     *                    per-host gaps derived from wave K−1's COMMITTED fetch
     *                    metrics ([[Scheduler.adaptiveGaps]]): gap_h = base +
@@ -92,7 +104,11 @@ object WaveLoop {
       ledger: Option[Ledger] = None,
       fullRules: Option[Robots.FullRules] = None,
       metricsParseStats: Boolean = true,
-      adaptiveBackoff: Option[(Long, Int)] = None): Seq[WaveResult] = {
+      adaptiveBackoff: Option[(Long, Int)] = None,
+      refreshAfter: Option[Int] = None): Seq[WaveResult] = {
+
+    require(refreshAfter.forall(_ => ledger.nonEmpty),
+      "refreshAfter needs a ledger (last-fetch age lives in the ledger's wave column)")
 
     Files.createDirectories(Paths.get(root))
     val already = committedWaves(root)
@@ -104,7 +120,17 @@ object WaveLoop {
       if (startWave == 0) seeds
       else spark.read.parquet(s"$root/next/wave=${startWave - 1}")
 
-    while (wave < maxWaves && !frontier.isEmpty) {
+    var exhausted = false
+    while (wave < maxWaves && !exhausted) {
+      // refresh channel: committed urls due for a re-fetch this wave. The
+      // staleness scan is one groupBy over the bucketed ledger — checkpoint
+      // it so the emptiness probe and the union below run it once.
+      val refreshRows = (for { n <- refreshAfter; l <- ledger if wave > 0 }
+        yield l.staleFrontier(wave - 1, n).select("url", "seed_idx").localCheckpoint(true))
+        .filter(!_.isEmpty)
+      if (frontier.isEmpty && refreshRows.isEmpty) {
+        exhausted = true
+      } else {
       // seen-filter BEFORE the dedup shuffle: filterUnseen's bloom split
       // re-evaluates its input twice, so its input must stay scan-cheap;
       // the two stages commute (seen-status is constant per url_hash group)
@@ -119,6 +145,12 @@ object WaveLoop {
         case Some(p) => keyed.where(p)
         case None => Robots.filterAllowed(keyed, robots)
       }
+      // refresh rows get their own keyed frame: they must NOT pass through
+      // filterUnseen (being in the ledger is what makes them refreshes) but
+      // robots still binds — a rule change since first crawl must deny the
+      // re-fetch
+      val refreshKeyed = refreshRows.map(r =>
+        Seen.withUrlKeys(r).select(keyed.columns.map(col): _*))
       // denied rows are audit surface, not garbage: with metrics on they are
       // written as status-451 rows next to the wave's fetch metrics below.
       // In-wave DEDUPED like the fetched side (two parents discovering the
@@ -126,7 +158,13 @@ object WaveLoop {
       // in LATER waves if rediscovered — denied urls deliberately stay out
       // of the seen ledger so a robots change lets them crawl.
       val deniedRows = allowedPred.filter(_ => pages.nonEmpty)
-        .map(p => Seen.dropInWaveDuplicates(keyed.where(!p)))
+        .map { p =>
+          val d = refreshKeyed match {
+            case Some(rk) => keyed.where(!p).unionByName(rk.where(!p))
+            case None => keyed.where(!p)
+          }
+          Seen.dropInWaveDuplicates(d)
+        }
       // partitioned bloom pre-filter (north rule): per-bucket sketches over
       // the ledger, probes routed by pmod(url_hash, buckets); positives
       // verified exactly by the anti-join inside. Ledger mode reads the
@@ -136,7 +174,20 @@ object WaveLoop {
         case Some(l) => l.filterUnseen(gated, wave - 1)
         case None => Seen.filterUnseenBucketed(gated, readSeen(spark, root))
       }
-      val inWave = Seen.dropInWaveDuplicates(unseen)
+      // refresh rows join AFTER the seen filter (disjoint from it by
+      // construction: filterUnseen removes exactly the committed urls that
+      // staleFrontier emits) and BEFORE the in-wave dedup, so a url can
+      // never be scheduled twice in one wave through the two channels
+      val withRefresh = refreshKeyed match {
+        case Some(rk) =>
+          val rkGated = allowedPred match {
+            case Some(p) => rk.where(p)
+            case None => Robots.filterAllowed(rk, robots)
+          }
+          unseen.select(keyed.columns.map(col): _*).unionByName(rkGated)
+        case None => unseen
+      }
+      val inWave = Seen.dropInWaveDuplicates(withRefresh)
       // seed range from the raw wave input (cheap pruned scan) so the salted
       // scheduler never re-executes the dedup/anti-join upstream for stats
       val mm = frontier.agg(min(col("seed_idx")).as("lo"), max(col("seed_idx")).as("hi")).collect()(0)
@@ -242,6 +293,7 @@ object WaveLoop {
       ledger.foreach(_.maybeCompact(wave))
       frontier = spark.read.parquet(s"$root/next/wave=$wave")
       wave += 1
+      } // else (non-exhausted wave body)
     }
     results.toSeq
   }

@@ -7,15 +7,17 @@ import org.apache.spark.sql.functions._
   * metadata (the Common-Crawl/WARC framing the north-rule table already
   * uses for html).
   *
-  * The IMAGE leg decodes REAL bytes: [[Png]] is a standards-conformant
-  * pure-JVM PNG codec (zlib inflate + scanline unfilter), see
-  * [[Multimodal.pngFeatures]]. Audio/video codec work (MP3/H.264 et al.)
-  * needs native libraries that are not in this container, so THOSE decode
-  * kernels remain a DETERMINISTIC FAKE (clearly marked below); everything
-  * Spark-owned — the schema, the per-partition batch loop, the
-  * resource-init-once pattern, the partitioning so one task never holds
-  * more than a batch of payloads in memory — is real and tested for all
-  * three legs. Swapping `FakeCodec` for a JNI codec changes no plan shape.
+  * ALL THREE legs decode REAL bytes now (the round-2 "declared fake" codec
+  * is gone): images are standards-conformant PNG streams through [[Png]]
+  * (zlib inflate + scanline unfilter), audio is RIFF/WAVE 16-bit PCM
+  * through [[Wav]] (real chunk walking + sample decode), video is a
+  * [[Vid]] container of real PNG frames with an index the sampler seeks
+  * (each sampled frame is a genuine per-frame inflate). Rich formats
+  * (JPEG/MP3/H.264) would need native libraries this container lacks; the
+  * codecs here REJECT those rather than mis-read them, so swapping in a
+  * JNI codec widens capability without changing any Spark plan shape —
+  * the schema, the init-once `mapPartitions` batch loop, and the
+  * decode-once/flatMap frame sampling are the operators' contract.
   */
 object Multimodal {
 
@@ -36,8 +38,10 @@ object Multimodal {
   final case class AudioFeatures(
       asset_id: Long,
       sample_rate: Int,
-      n_samples: Long,
-      rms: Double)
+      channels: Int,
+      n_samples: Long, // frames (samples per channel)
+      rms: Double,
+      status: Int) // Discover.StatusOk | StatusParseError — see audioFeatures
 
   /** One sampled video frame (the explode shape: asset → frame rows). */
   final case class VideoFrame(
@@ -47,117 +51,24 @@ object Multimodal {
       height: Int,
       mean_luma: Double)
 
-  /** ======== STUBBED CODEC (deterministic fake, NOT a real decoder) =======
-    * A real build links an image/audio library here. The fake reads a
-    * 16-byte header we also generate, so tests exercise the full path:
-    * bytes → header parse → "decode" → feature computation.
+  /** Deterministic asset fixture — REAL 3-channel PNG payloads (pixel j of
+    * asset i is (i·7 + j) mod 256 across the interleaved RGB stream).
     */
-  object FakeCodec {
-    /** header: [magic 0xAB, modality, w:2, h:2, ch:1, rate:4, pad...] */
-    def encodeImageHeader(assetId: Long, w: Int, h: Int, ch: Int): Array[Byte] = {
-      val b = java.nio.ByteBuffer.allocate(16 + 64)
-      b.put(0xAB.toByte); b.put(1.toByte)
-      b.putShort(w.toShort); b.putShort(h.toShort); b.put(ch.toByte)
-      b.putInt(0); b.put(new Array[Byte](5))
-      // deterministic fake pixel payload: px[i] = (id·7 + i) mod 256 —
-      // arithmetic (not PRNG) so the DuckDB oracle can recompute mean_luma
-      val px = Array.tabulate(64)(i => ((assetId * 7 + i) % 256).toByte)
-      b.put(px)
-      b.array()
-    }
-
-    def decodeImage(bytes: Array[Byte]): (Int, Int, Int, Double) = {
-      require(bytes.length >= 16 && bytes(0) == 0xAB.toByte, "bad magic")
-      val b = java.nio.ByteBuffer.wrap(bytes)
-      b.get(); b.get()
-      val w = b.getShort.toInt; val h = b.getShort.toInt; val ch = b.get().toInt
-      var luma = 0.0
-      var i = 16
-      while (i < bytes.length) { luma += (bytes(i) & 0xff); i += 1 }
-      (w, h, ch, if (bytes.length > 16) luma / (bytes.length - 16) else 0.0)
-    }
-
-    /** header: [magic 0xAB, modality=2, pad:5, rate:4, pad:5]; payload:
-      * signed 8-bit samples, sample i = (id·11 + i·3) mod 256 − 128
-      * (arithmetic, so the oracle can recompute rms).
-      */
-    def encodeAudioHeader(assetId: Long, sampleRate: Int, nSamples: Int): Array[Byte] = {
-      val b = java.nio.ByteBuffer.allocate(16 + nSamples)
-      b.put(0xAB.toByte); b.put(2.toByte)
-      b.putShort(0); b.putShort(0); b.put(0.toByte)
-      b.putInt(sampleRate); b.put(new Array[Byte](5))
-      val px = Array.tabulate(nSamples)(i => ((assetId * 11 + i * 3) % 256 - 128).toByte)
-      b.put(px)
-      b.array()
-    }
-
-    /** header: [magic 0xAB, modality=3, w:2, h:2, pad:1, nFrames:4, pad:5];
-      * payload: one luma byte per frame, frame f = (id·13 + f·5) mod 256
-      * (arithmetic ⇒ oracle-recomputable).
-      */
-    def encodeVideoHeader(assetId: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
-      val b = java.nio.ByteBuffer.allocate(16 + nFrames)
-      b.put(0xAB.toByte); b.put(3.toByte)
-      b.putShort(w.toShort); b.putShort(h.toShort); b.put(0.toByte)
-      b.putInt(nFrames); b.put(new Array[Byte](5))
-      val px = Array.tabulate(nFrames)(f => ((assetId * 13 + f * 5) % 256).toByte)
-      b.put(px)
-      b.array()
-    }
-
-    /** Sample every `everyK`-th frame: (width, height, Seq(frame_idx, luma)).
-      * The real codec would seek keyframes; the CONTRACT exercised here is
-      * the Spark-side shape — decode once per asset, emit a row per sampled
-      * frame, never materialize all frames.
-      */
-    def sampleVideoFrames(bytes: Array[Byte], everyK: Int): (Int, Int, Vector[(Int, Int)]) = {
-      require(everyK >= 1, s"everyK must be >= 1: $everyK") // 0 would loop forever
-      require(bytes.length >= 16 && bytes(0) == 0xAB.toByte && bytes(1) == 3.toByte, "bad magic")
-      val b = java.nio.ByteBuffer.wrap(bytes)
-      b.position(2)
-      val w = b.getShort.toInt; val h = b.getShort.toInt; b.get()
-      val nFrames = b.getInt
-      val out = Vector.newBuilder[(Int, Int)]
-      var f = 0
-      while (f < nFrames && 16 + f < bytes.length) {
-        out += ((f, bytes(16 + f) & 0xff))
-        f += everyK
-      }
-      (w, h, out.result())
-    }
-
-    /** (sampleRate, nSamples, rms of samples normalized to [-1, 1)). */
-    def decodeAudio(bytes: Array[Byte]): (Int, Long, Double) = {
-      require(bytes.length >= 16 && bytes(0) == 0xAB.toByte && bytes(1) == 2.toByte, "bad magic")
-      val b = java.nio.ByteBuffer.wrap(bytes)
-      b.position(7)
-      val rate = b.getInt
-      val n = bytes.length - 16
-      var acc = 0.0
-      var i = 16
-      while (i < bytes.length) {
-        val s = bytes(i) / 128.0
-        acc += s * s
-        i += 1
-      }
-      (rate, n.toLong, if (n > 0) math.sqrt(acc / n) else 0.0)
-    }
-  }
-  // ======== END STUB =======================================================
-
-  /** Deterministic asset fixture. */
   def syntheticAssets(spark: SparkSession, n: Int): Dataset[Asset] = {
     import spark.implicits._
     spark.range(n.toLong).map { i =>
       val w = 64 + (i % 8).toInt * 32
       val h = 48 + (i % 5).toInt * 32
-      Asset(i, "image", FakeCodec.encodeImageHeader(i, w, h, 3), s"http://src${i % 20}.test/img/$i")
+      val px = Array.tabulate(w * h * 3)(j => ((i * 7 + j) % 256).toByte)
+      Asset(i, "image", Png.encode(w, h, 3, px), s"http://src${i % 20}.test/img/$i")
     }
   }
 
-  /** Decode + feature-extract over binary payloads.
+  /** Decode + feature-extract over binary payloads — REAL [[Png]] decode
+    * (`mean_luma` = mean of channel 0). See [[pngFeatures]] for the richer
+    * feature set with per-row status; this is the minimal-schema variant.
     *
-    * `mapPartitions` (not a per-row UDF) is deliberate: a real codec has
+    * `mapPartitions` (not a per-row UDF) is deliberate: codecs have
     * per-task init cost (native context, model weights) — the iterator
     * pattern pays it once per partition, processes rows streaming (never
     * materializing a partition of images), and is the Scala twin of
@@ -168,40 +79,86 @@ object Multimodal {
     assets.filter(_.modality == "image").mapPartitions { it =>
       // >>> per-partition codec init would go here (once, not per row) <<<
       it.map { a =>
-        val (w, h, ch, luma) = FakeCodec.decodeImage(a.bytes)
-        ImageFeatures(a.asset_id, w, h, ch, luma)
+        val (w, h, ch, px) = Png.decode(a.bytes)
+        var sum = 0.0
+        var i = 0
+        val n = w * h
+        while (i < n) { sum += px(i * ch) & 0xff; i += 1 }
+        ImageFeatures(a.asset_id, w, h, ch, if (n > 0) sum / n else 0.0)
       }
     }
   }
 
-  /** Audio twin of [[imageFeatures]] — same mapPartitions shape (init-once
-    * per task, streaming iterator); video would follow the same pattern
-    * with a frame-sampling step and stays stubbed until a codec exists.
+  /** Audio twin of [[imageFeatures]]: REAL RIFF/WAVE PCM decode through
+    * [[Wav]] — same mapPartitions shape (init-once per task, streaming
+    * iterator). `rms` is over all channels' samples normalized to
+    * [-1, 1); `n_samples` counts FRAMES. Per-row error containment as in
+    * [[pngFeatures]]: a malformed/unsupported stream yields a status-422
+    * row, never a task failure.
     */
   def audioFeatures(assets: Dataset[Asset]): Dataset[AudioFeatures] = {
     import assets.sparkSession.implicits._
     assets.filter(_.modality == "audio").mapPartitions { it =>
       // >>> per-partition codec init would go here (once, not per row) <<<
       it.map { a =>
-        val (rate, n, rms) = FakeCodec.decodeAudio(a.bytes)
-        AudioFeatures(a.asset_id, rate, n, rms)
+        try {
+          val (rate, ch, samples) = Wav.decode(a.bytes)
+          var acc = 0.0
+          var i = 0
+          while (i < samples.length) {
+            val s = samples(i) / 32768.0
+            acc += s * s
+            i += 1
+          }
+          AudioFeatures(a.asset_id, rate, ch, samples.length.toLong / ch,
+            if (samples.length > 0) math.sqrt(acc / samples.length) else 0.0,
+            graft.frontier.Discover.StatusOk)
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            AudioFeatures(a.asset_id, 0, 0, 0L, 0.0,
+              graft.frontier.Discover.StatusParseError)
+        }
       }
     }
   }
 
-  /** Video leg: decode once per asset, FLATMAP a row per sampled frame —
-    * the iterator never holds more than one asset's frames, which is the
-    * whole point of the shape at 100 TB (a per-row UDF returning an array
-    * would materialize every frame of every video in one buffer).
+  /** Video leg: REAL decode through [[Vid]] — the container's index is
+    * SOUGHT, so only every `everyK`-th frame's PNG stream is inflated (the
+    * skipped frames' bytes are never touched, the keyframe-seek contract).
+    * Decode once per sampled frame, FLATMAP a row per frame — the iterator
+    * never holds more than one frame's pixels, which is the whole point of
+    * the shape at 100 TB (a per-row UDF returning an array would
+    * materialize every frame of every video in one buffer).
+    *
+    * Containment: a malformed container/frame yields ZERO rows for that
+    * asset (frame rows carry per-frame features, not a status; audit
+    * missing assets by anti-joining output asset_ids against the input).
     */
   def videoFrames(assets: Dataset[Asset], everyK: Int = 6): Dataset[VideoFrame] = {
+    require(everyK >= 1, s"everyK must be >= 1: $everyK") // 0 would loop forever
     import assets.sparkSession.implicits._
     assets.filter(_.modality == "video").mapPartitions { it =>
       // >>> per-partition codec init would go here (once, not per row) <<<
       it.flatMap { a =>
-        val (w, h, frames) = FakeCodec.sampleVideoFrames(a.bytes, everyK)
-        frames.iterator.map { case (f, luma) =>
-          VideoFrame(a.asset_id, f, w, h, luma.toDouble)
+        // per-frame try, not one try around the whole iterator: flatMap
+        // consumes lazily, so a block-level catch would never see a decode
+        // failure thrown during downstream consumption
+        val header =
+          try Some(Vid.meta(a.bytes))
+          catch { case scala.util.control.NonFatal(_) => None }
+        header.iterator.flatMap { case (w, h, n) =>
+          (0 until n by everyK).iterator.flatMap { f =>
+            try {
+              val (ch, px) = Vid.decodeFrame(a.bytes, f)
+              var sum = 0.0
+              var i = 0
+              val np = w * h
+              while (i < np) { sum += px(i * ch) & 0xff; i += 1 }
+              Some(VideoFrame(a.asset_id, f, w, h, if (np > 0) sum / np else 0.0))
+            } catch {
+              case scala.util.control.NonFatal(_) => None
+            }
+          }
         }
       }
     }
@@ -222,37 +179,49 @@ object Multimodal {
       height: Int,
       channels: Int,
       mean_luma: Double,
-      mean_luma8: Double)
+      mean_luma8: Double,
+      status: Int) // Discover.StatusOk | StatusParseError — see pngFeatures
 
   /** REAL image decode — [[Png]] is a genuine zlib-inflate + scanline
-    * unfilter, not the FakeCodec header trick: the bytes are standards-
-    * conformant PNG streams. Features: `mean_luma` = full-image mean of the
-    * first channel; `mean_luma8` = mean of the top-left 8×8 block, a value
-    * that depends on the row STRIDE — a decoder that mis-unfilters or
-    * mis-strides cannot reproduce it. Same init-once `mapPartitions`
-    * streaming shape as the fake path (swapping codecs changes no plan).
+    * unfilter, not a header trick: the bytes are standards-conformant PNG
+    * streams. Features: `mean_luma` = full-image mean of the first channel;
+    * `mean_luma8` = mean of the top-left 8×8 block, a value that depends on
+    * the row STRIDE — a decoder that mis-unfilters or mis-strides cannot
+    * reproduce it. Init-once `mapPartitions` streaming shape.
+    *
+    * Per-row error containment: crawl-harvested assets are UNTRUSTED — one
+    * corrupt/unsupported PNG in a 10^10-asset partition must yield a
+    * status-422 row (the frontier leg's taxonomy), not a task failure that
+    * kills the whole job after N retries.
     */
   def pngFeatures(assets: Dataset[Asset]): Dataset[PngFeatures] = {
     import assets.sparkSession.implicits._
     assets.filter(_.modality == "image").mapPartitions { it =>
       // >>> per-partition codec init would go here (once, not per row) <<<
       it.map { a =>
-        val (w, h, ch, px) = Png.decode(a.bytes)
-        var sum = 0.0
-        var i = 0
-        val n = w.toLong * h
-        while (i < n) { sum += px(i.toInt * ch) & 0xff; i += 1 }
-        var sum8 = 0.0
-        val w8 = math.min(8, w); val h8 = math.min(8, h)
-        var y = 0
-        while (y < h8) {
-          var x = 0
-          while (x < w8) { sum8 += px((y * w + x) * ch) & 0xff; x += 1 }
-          y += 1
+        try {
+          val (w, h, ch, px) = Png.decode(a.bytes)
+          var sum = 0.0
+          var i = 0
+          val n = w.toLong * h
+          while (i < n) { sum += px(i.toInt * ch) & 0xff; i += 1 }
+          var sum8 = 0.0
+          val w8 = math.min(8, w); val h8 = math.min(8, h)
+          var y = 0
+          while (y < h8) {
+            var x = 0
+            while (x < w8) { sum8 += px((y * w + x) * ch) & 0xff; x += 1 }
+            y += 1
+          }
+          PngFeatures(a.asset_id, w, h, ch,
+            if (n > 0) sum / n else 0.0,
+            if (w8 * h8 > 0) sum8 / (w8 * h8) else 0.0,
+            graft.frontier.Discover.StatusOk)
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            PngFeatures(a.asset_id, 0, 0, 0, 0.0, 0.0,
+              graft.frontier.Discover.StatusParseError)
         }
-        PngFeatures(a.asset_id, w, h, ch,
-          if (n > 0) sum / n else 0.0,
-          if (w8 * h8 > 0) sum8 / (w8 * h8) else 0.0)
       }
     }
   }

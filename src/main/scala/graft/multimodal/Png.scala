@@ -17,6 +17,12 @@ object Png {
 
   private val Signature = Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
 
+  /** Decode allocation ceiling (raw filtered-scanline bytes, 256 MiB ≈ a
+    * 9000×9000 RGB image). A per-asset bound, not a format limit: one
+    * crawl-harvested asset must never be able to OOM an executor.
+    */
+  val MaxPixelBytes: Long = 256L << 20
+
   /** Encode row-major `pixels` (length = width×height×channels, channels 1
     * or 3) as a PNG. `filterType` picks the per-scanline filter (default
     * Sub, so decoding MUST actually unfilter — an identity-payload encoding
@@ -97,8 +103,16 @@ object Png {
       pos += 12 + len
     }
     require(width > 0 && height > 0 && channels > 0, "missing IHDR")
+    // size math in LONG before any allocation: a crafted IHDR (e.g.
+    // width=2^21 × height=2^10 × 3 channels) overflows Int to a
+    // negative/small size, and even non-overflowing huge dims would
+    // allocate multi-GB buffers before the IDAT is validated. Payloads are
+    // untrusted crawl content — reject, never trust dimensions.
+    val rawLen = (width.toLong * channels + 1L) * height
+    require(rawLen <= MaxPixelBytes,
+      s"PNG dimensions too large: ${width}x${height}x$channels")
     val stride = width * channels
-    val raw = inflate(idat.toByteArray, (stride + 1) * height)
+    val raw = inflate(idat.toByteArray, rawLen.toInt)
     val px = new Array[Byte](stride * height)
     val bpp = channels
     var y = 0

@@ -65,6 +65,35 @@ object PageTable {
 
   def commit(spark: SparkSession, root: String, pages: DataFrame,
       buckets: Int = 64): Int = {
+    val snap = nextSnap(root, pages, buckets)
+    writeData(pages, snapDir(root, snap), buckets)
+    writeMarker(root, snap, buckets, Seq(s"snap=$snap"))
+    snap
+  }
+
+  /** APPEND commit — the other half of the Iceberg-swap promise: snapshot
+    * k = snapshot k−1's data files PLUS the delta's, with NOTHING
+    * rewritten. The marker is the manifest list: it names the directories
+    * composing the snapshot, so an append is one delta write + one marker
+    * (metadata-only reuse of every earlier file), and [[readAsOf]] of any
+    * older version keeps reading exactly the files it always did.
+    *
+    * Row-level append semantics (like Iceberg's AppendFiles): a url
+    * re-appended in a later delta appears twice in the latest snapshot —
+    * deduplicate/upsert is the READER's policy (e.g. max-warc_ts per url),
+    * not silently the table's.
+    */
+  def append(spark: SparkSession, root: String, delta: DataFrame,
+      buckets: Int = 64): Int = {
+    val snaps = committedSnapshots(root)
+    if (snaps.isEmpty) return commit(spark, root, delta, buckets)
+    val snap = nextSnap(root, delta, buckets)
+    writeData(delta, s"$root/delta=$snap", buckets)
+    writeMarker(root, snap, buckets, dirsOf(root, snaps.last) :+ s"delta=$snap")
+    snap
+  }
+
+  private def nextSnap(root: String, pages: DataFrame, buckets: Int): Int = {
     require(pages.columns.toSet == schema.fieldNames.toSet,
       s"schema mismatch: ${pages.columns.mkString(",")} vs ${schema.fieldNames.mkString(",")}")
     val snaps = committedSnapshots(root)
@@ -75,16 +104,34 @@ object PageTable {
           s"with $buckets would make derived-bucket pruning wrong — the bucket count " +
           "is part of the on-disk format")
     }
-    val snap = snaps.lastOption.getOrElse(-1) + 1
-    val typed = pages.select(schema.fieldNames.map(col): _*)
-    typed
+    snaps.lastOption.getOrElse(-1) + 1
+  }
+
+  private def writeData(pages: DataFrame, dir: String, buckets: Int): Unit =
+    pages.select(schema.fieldNames.map(col): _*)
       .withColumn("bucket", pmod(hash(col("url")), lit(buckets)))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("bucket")
-      .parquet(snapDir(root, snap))
+      .parquet(dir)
+
+  private def writeMarker(root: String, snap: Int, buckets: Int,
+      dirs: Seq[String]): Unit = {
     Files.createDirectories(Paths.get(root))
-    Files.writeString(marker(root, snap), s"""{"snapshot":$snap,"buckets":$buckets}""")
-    snap
+    Files.writeString(marker(root, snap),
+      s"""{"snapshot":$snap,"buckets":$buckets,""" +
+        s""""dirs":[${dirs.map(d => s""""$d"""").mkString(",")}]}""")
+  }
+
+  /** Directories composing a committed snapshot (its manifest list).
+    * Markers from before the append feature carry no `dirs` — they were
+    * only ever written as full snapshots.
+    */
+  private def dirsOf(root: String, snap: Int): Seq[String] = {
+    val txt = Files.readString(marker(root, snap))
+    "\"dirs\"\\s*:\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(txt)
+      .map(_.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        .filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq(s"snap=$snap"))
   }
 
   /** Bucket count a snapshot was committed with (from its commit marker).
@@ -108,9 +155,23 @@ object PageTable {
     val snap = snapshot.getOrElse(snaps.last)
     require(snaps.contains(snap), s"snapshot $snap not committed")
     val md = new MetadataBuilder().putLong(BucketCountKey, bucketCount(root, snap)).build()
-    val df = spark.read.parquet(snapDir(root, snap))
+    // one scan per manifest dir, unioned: a single multi-path read trips
+    // Spark's partition discovery (snap=K vs delta=K dir names conflict);
+    // partition filters (`bucket`) still push through the union into each
+    // scan, so pruning is unaffected
+    val df = dirsOf(root, snap).map(d => spark.read.parquet(s"$root/$d"))
+      .reduce(_.unionByName(_))
     df.withColumn("bucket", col("bucket").as("bucket", md))
   }
+
+  /** Time travel by name: the table exactly as of committed `version` —
+    * resolved through that version's marker (manifest list), so the read
+    * is immune to any LATER append/commit activity, including appends that
+    * reuse this version's files. `readAsOf(k)` after `append`s returns
+    * precisely the rows the table held when marker k was written.
+    */
+  def readAsOf(spark: SparkSession, root: String, version: Int): DataFrame =
+    read(spark, root, Some(version))
 
   /** Bucket count recorded in a frame's `bucket` column metadata (present on
     * frames from [[read]]); callers fall back to their parameter when the

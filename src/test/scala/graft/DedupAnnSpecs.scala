@@ -249,23 +249,31 @@ class AnnSpec extends AnyFunSuite {
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
-  test("audio + video decode plumbing: roundtrips through mapPartitions/flatMap") {
-    import graft.multimodal.Multimodal
-    import Multimodal.FakeCodec
+  test("audio + video decode plumbing: REAL codecs through mapPartitions/flatMap") {
+    import graft.multimodal.{Multimodal, Png, Vid, Wav}
     val s = spark
     import s.implicits._
-    val audio = (0L until 20L).map(i =>
-      Multimodal.Asset(i, "audio", FakeCodec.encodeAudioHeader(i, 16000, 32), s"a$i"))
+    val audio = (0L until 20L).map { i =>
+      val samples = Array.tabulate(32)(j => (((i * 11 + j * 3) % 256 - 128) * 256).toShort)
+      Multimodal.Asset(i, "audio", Wav.encode(16000, 1, samples), s"a$i")
+    }
     val af = Multimodal.audioFeatures(spark.createDataset(audio)).collect()
     assert(af.length == 20)
     for (f <- af) {
-      assert(f.sample_rate == 16000 && f.n_samples == 32)
-      assert(f.rms >= 0.0 && f.rms <= 1.0)
-      val (_, _, rms) = FakeCodec.decodeAudio(audio(f.asset_id.toInt).bytes)
-      assert(f.rms == rms)
+      assert(f.sample_rate == 16000 && f.channels == 1 && f.n_samples == 32)
+      assert(f.status == 200)
+      // rms recomputed from the planted arithmetic, independent of the codec
+      val expected = math.sqrt((0 until 32)
+        .map(j => math.pow(((f.asset_id * 11 + j * 3) % 256 - 128) / 128.0, 2)).sum / 32)
+      assert(math.abs(f.rms - expected) < 1e-12)
     }
-    val video = (0L until 10L).map(i =>
-      Multimodal.Asset(i, "video", FakeCodec.encodeVideoHeader(i, 320, 240, 24), s"v$i"))
+    val video = (0L until 10L).map { i =>
+      val frames = (0 until 24).map { f =>
+        val v = ((i * 13 + f * 5) % 256).toByte
+        Png.encode(320, 240, 1, Array.fill(320 * 240)(v))
+      }
+      Multimodal.Asset(i, "video", Vid.encode(320, 240, frames), s"v$i")
+    }
     val frames = Multimodal.videoFrames(spark.createDataset(video), everyK = 6).collect()
     // 4 sampled frames (0,6,12,18) per asset, luma = (id*13 + f*5) % 256
     assert(frames.length == 40)
@@ -274,6 +282,93 @@ class MultimodalSpec extends AnyFunSuite {
       assert(fr.mean_luma == ((fr.asset_id * 13 + fr.frame_idx * 5) % 256).toDouble)
       assert(fr.width == 320 && fr.height == 240)
     }
+  }
+
+  test("WAV codec: round-trip, chunk skipping, and reject-don't-misread") {
+    import graft.multimodal.Wav
+    // round-trip across rates/channel counts/lengths incl. odd sample values
+    for ((rate, ch, n) <- Seq((8000, 1, 0), (44100, 2, 64), (16000, 1, 33), (48000, 2, 2))) {
+      val samples = Array.tabulate(n * ch)(j => ((j * 2731 + 17) % 65536 - 32768).toShort)
+      val (r2, c2, s2) = Wav.decode(Wav.encode(rate, ch, samples))
+      assert(r2 == rate && c2 == ch && s2.toSeq == samples.toSeq)
+    }
+    // an unknown odd-length chunk before fmt/data is skipped with its pad byte
+    val base = Wav.encode(8000, 1, Array[Short](100, -200, 300))
+    val withList = {
+      val b = java.nio.ByteBuffer.allocate(base.length + 8 + 3 + 1)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(base, 0, 12) // RIFF....WAVE
+      b.put("LIST".getBytes("US-ASCII")).putInt(3).put(Array[Byte](1, 2, 3, 0))
+      b.put(base, 12, base.length - 12)
+      val out = b.array()
+      // patch the RIFF size for the inserted chunk
+      val riffLen = out.length - 8
+      out(4) = riffLen.toByte; out(5) = (riffLen >> 8).toByte
+      out(6) = (riffLen >> 16).toByte; out(7) = (riffLen >> 24).toByte
+      out
+    }
+    assert(Wav.decode(withList)._3.toSeq == Seq[Short](100, -200, 300))
+    // rejection: not RIFF, non-PCM format, wrong depth, truncated data
+    intercept[IllegalArgumentException](Wav.decode("garbage!!garbage".getBytes))
+    val nonPcm = base.clone(); nonPcm(20) = 3 // audioFormat = IEEE float
+    intercept[IllegalArgumentException](Wav.decode(nonPcm))
+    val wrongDepth = base.clone(); wrongDepth(34) = 8
+    intercept[IllegalArgumentException](Wav.decode(wrongDepth))
+    val truncated = java.util.Arrays.copyOf(base, base.length - 2)
+    intercept[IllegalArgumentException](Wav.decode(truncated))
+  }
+
+  test("gVID container: index seek, frame validation, reject-don't-misread") {
+    import graft.multimodal.{Png, Vid}
+    val frames = (0 until 5).map(f =>
+      Png.encode(8, 6, 1, Array.tabulate(48)(j => ((f * 40 + j) % 256).toByte)))
+    val v = Vid.encode(8, 6, frames)
+    assert(Vid.meta(v) == ((8, 6, 5)))
+    for (f <- 0 until 5) {
+      val (ch, px) = Vid.decodeFrame(v, f)
+      assert(ch == 1 && px.toSeq == (0 until 48).map(j => ((f * 40 + j) % 256).toByte))
+    }
+    intercept[IllegalArgumentException](Vid.decodeFrame(v, 5))
+    intercept[IllegalArgumentException](Vid.meta("not a container".getBytes))
+    // a frame whose decoded dims disagree with the header must reject
+    val bad = Vid.encode(9, 6, frames) // header says 9 wide, frames are 8
+    intercept[IllegalArgumentException](Vid.decodeFrame(bad, 0))
+  }
+
+  test("png/audio containment: corrupt assets yield 422 rows, not task failures") {
+    import graft.multimodal.{Multimodal, Png, Wav}
+    val s = spark
+    import s.implicits._
+    val good = Png.encode(4, 4, 1, Array.tabulate(16)(_.toByte))
+    val imgs = Seq(
+      Multimodal.Asset(0L, "image", good, "u0"),
+      Multimodal.Asset(1L, "image", "not a png".getBytes, "u1"))
+    val got = Multimodal.pngFeatures(spark.createDataset(imgs))
+      .collect().map(f => f.asset_id -> f.status).toMap
+    assert(got == Map(0L -> 200, 1L -> 422))
+    val auds = Seq(
+      Multimodal.Asset(0L, "audio", Wav.encode(8000, 1, Array[Short](1, 2)), "a0"),
+      Multimodal.Asset(1L, "audio", "RIFFgarbageWAVEgarbage".getBytes, "a1"))
+    val gotA = Multimodal.audioFeatures(spark.createDataset(auds))
+      .collect().map(f => f.asset_id -> f.status).toMap
+    assert(gotA == Map(0L -> 200, 1L -> 422))
+  }
+
+  test("PNG decode: crafted IHDR dimensions reject before allocation") {
+    import graft.multimodal.Png
+    val good = Png.encode(4, 4, 1, Array.tabulate(16)(_.toByte))
+    // patch IHDR width/height to 2^21 × 2^10: (stride+1)*height overflows
+    // Int for 3 channels and would allocate GBs even where it doesn't —
+    // must reject on the dimension cap, not OOM or mis-allocate
+    val crafted = good.clone()
+    def putInt(off: Int, v: Int): Unit = {
+      crafted(off) = (v >> 24).toByte; crafted(off + 1) = (v >> 16).toByte
+      crafted(off + 2) = (v >> 8).toByte; crafted(off + 3) = v.toByte
+    }
+    putInt(16, 1 << 21) // width (IHDR data starts at offset 16)
+    putInt(20, 1 << 10) // height
+    val e = intercept[IllegalArgumentException](Png.decode(crafted))
+    assert(e.getMessage.contains("dimensions too large"))
   }
 
   test("PNG codec: encode/decode round-trip across all filters and channels") {

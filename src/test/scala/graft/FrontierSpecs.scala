@@ -486,6 +486,34 @@ class WaveLoopSpec extends AnyFunSuite {
     assert(w1.filter(_._1 == "test.f").forall { case (_, slot, pos) => slot == pos - 1 })
   }
 
+  test("refresh: every page re-crawls exactly once per TTL window, stamps survive compaction") {
+    val root = java.nio.file.Files.createTempDirectory("wavesR").toString
+    // compactEvery=3 on purpose: a compaction runs mid-crawl, and the
+    // re-fetch stamps must survive it (max-wave compaction) or pages would
+    // read as stale again immediately
+    val l = new graft.frontier.Ledger(spark, root + "/seenstate", buckets = 4,
+      expectedPerBucket = 4096, compactEvery = 3)
+    // discovery dies after wave 2 (the idx<200 bound): waves 3-5 run on
+    // refresh work alone — the loop must keep advancing on it
+    val res = WaveLoop.run(spark, root, seeds, discover, maxWaves = 6,
+      ledger = Some(l), refreshAfter = Some(2))
+    assert(res.length == 6, s"expected 6 waves, got ${res.map(_.wave)}")
+    val order = WaveLoop.crawlOrder(spark, root)
+      .select("canonical_url", "wave").as[(String, Int)].collect().toSeq
+    val byUrl = order.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    // TTL=2 ⇒ a url fetched at wave w is stale when building wave w+3
+    // (age = (W−1)−w ≥ 2) — exactly one re-crawl each within 6 waves
+    for ((url, waves) <- byUrl) {
+      assert(waves.length == 2, s"$url crawled at waves $waves, want exactly 2")
+      assert(waves(1) == waves(0) + 3, s"$url re-crawled at ${waves(1)}, want ${waves(0) + 3}")
+    }
+    // refresh order keys live ABOVE the discovery seed domain: within a
+    // host, fresh content schedules before re-fetches
+    val w3 = spark.read.parquet(s"$root/schedule/wave=3")
+    assert(w3.where(col("seed_idx") < (1L << 40)).count() == 0,
+      "wave 3 is refresh-only; its keys must be priority-packed")
+  }
+
   test("resume: crash between data write and manifest → identical final state") {
     val rootA = java.nio.file.Files.createTempDirectory("wavesA").toString
     val rootB = java.nio.file.Files.createTempDirectory("wavesB").toString

@@ -26,6 +26,37 @@ class PageTableSpec extends AnyFunSuite {
     assert(PageTable.read(spark, root).count() == 50)
   }
 
+  test("append + readAsOf: manifest-chain time travel, nothing rewritten") {
+    val root = java.nio.file.Files.createTempDirectory("pagetableA").toString
+    val v1 = PageTable.commit(spark, root, pagesDf(50))
+    // capture v1's data files: the append must not touch them
+    def files(dir: String) = {
+      val st = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try st.filter(p => p.toString.endsWith(".parquet"))
+        .map[String](_.toString).toArray.map(_.toString).toSet
+      finally st.close()
+    }
+    val v1Files = files(root)
+    val delta = pagesDf(80).where(col("url").contains("/d/7")) // a proper subset
+    val nDelta = delta.count()
+    assert(nDelta > 0)
+    val v2 = PageTable.append(spark, root, delta)
+    assert(v1 == 0 && v2 == 1)
+    // latest = v1 rows + delta rows (row-level append semantics)
+    assert(PageTable.read(spark, root).count() == 50 + nDelta)
+    // readAsOf(v1) returns v1's rows exactly
+    val asOf = PageTable.readAsOf(spark, root, v1)
+    assert(asOf.count() == 50)
+    assert(asOf.select("url").as[String].collect().sorted.toSeq ==
+      pagesDf(50).select("url").as[String].collect().sorted.toSeq)
+    // metadata-only append: every v1 file is still there, untouched
+    assert(files(root).intersect(v1Files) == v1Files)
+    // fetch accepts a versioned frame: pruning + join run against the
+    // as-of snapshot, blind to the later append
+    val frontier = pagesDf(50).select("url").limit(10)
+    assert(PageTable.fetch(frontier, asOf, withHtml = false).count() == 10)
+  }
+
   test("schema is enforced on write") {
     val root = java.nio.file.Files.createTempDirectory("pagetable2").toString
     val bad = Seq(("http://x/1", "hello")).toDF("url", "body")
