@@ -680,6 +680,18 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "q49_token_packing" -> ((s, dir) => {
+      // concat-and-split shard assignment (LM-pretraining packing): docs in
+      // doc_id order, 512-token bins, each doc's bin coordinates from ONE
+      // skew-proof exact prefix sum (no global unpartitioned window)
+      val t = docs(s, dir).select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("tokens"))
+      graft.pipeline.Pack.packByTokenBudget(t, "doc_id", "tokens", budget = 512L)
+        .select(col("doc_id"), col("tokens"), col("bin_start"),
+          col("offset_in_bin"), col("bins_spanned"))
+        .orderBy("doc_id")
+    }),
+
     "q48_refresh_schedule" -> ((s, dir) => {
       // batch refresh-crawl: ledger rows (with a second append for every
       // third url — the max-wave last-fetch semantics must pick the later
@@ -1240,6 +1252,22 @@ object SparkEntry {
         |          x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE) / len(bg), 6)
         |    AS top_bigram_frac
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "q49_token_packing" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, tokens,
+        |    coalesce(sum(tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS e
+        |  FROM t)
+        |SELECT doc_id, tokens,
+        |  CAST(e // 512 AS BIGINT) AS bin_start,
+        |  CAST(e % 512 AS BIGINT) AS offset_in_bin,
+        |  CAST(CASE WHEN tokens > 0
+        |       THEN (e + tokens - 1) // 512 - e // 512 + 1 ELSE 1 END
+        |    AS BIGINT) AS bins_spanned
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "q48_refresh_schedule" ->
       """WITH led AS (

@@ -17,7 +17,10 @@ import scala.util.Random
   * mixed order, a nested-li (bs4 duplication quirk,
   * `/root/reference/web_scraper_pipeline.py:88`), whitespace traps (tabs,
   * space runs, internal newlines, whitespace-only nodes), inline tags
-  * splitting text nodes, div-only regions, comments, and non-ASCII tokens.
+  * splitting text nodes, div-only regions, comments (including tag-shaped
+  * comment bodies), non-ASCII tokens, named/numeric entities mid-text,
+  * quoted '>' inside attribute values, CDATA sections, and raw-text
+  * script/style content full of tag-shaped and quote-shaped traps.
   */
 object PageGen {
 
@@ -82,6 +85,45 @@ object PageGen {
     s"<$tag><p>$inner</p><h2>$inner</h2>junk $inner</$tag>"
   }
 
+  /** (rawEntity, decodedChar) pairs the generator plants mid-text. */
+  private val Entities = Vector(
+    ("&mdash;", "—"), ("&hellip;", "…"), ("&copy;", "©"), ("&eacute;", "é"),
+    ("&frac12;", "½"), ("&laquo;", "«"), ("&raquo;", "»"), ("&euro;", "€"),
+    ("&#8212;", "—"), ("&#x2026;", "…"), ("&amp;", "&"), ("&deg;", "°"))
+
+  /** A paragraph whose single text node carries entity references; returns
+    * (html, expectedDecodedText).
+    */
+  private def entityElement(rnd: Random): (String, String) = {
+    val (e1, d1) = Entities(rnd.nextInt(Entities.length))
+    val (e2, d2) = Entities(rnd.nextInt(Entities.length))
+    val a = words(rnd, 2).mkString(" ")
+    val b = words(rnd, 2).mkString(" ")
+    val c = words(rnd, 1).mkString
+    (s"<p>$a $e1 $b $e2 $c</p>", s"$a $d1 $b $d2 $c")
+  }
+
+  /** A paragraph with '>'-bearing quoted attributes (on the element AND on
+    * an inline child); the attribute junk must be invisible in the text.
+    */
+  private def attrQuirkElement(rnd: Random): (String, String) = {
+    val t1 = words(rnd, 3).mkString(" ")
+    val t2 = words(rnd, 2).mkString(" ")
+    (s"""<p title="a>b" data-k='1>2'>$t1<a href="/x?q=v>w" class="c>d">$t2</a></p>""",
+      s"$t1 $t2")
+  }
+
+  /** Tokenizer traps that must produce NO text: a CDATA section with
+    * tag-shaped content and a raw-text script whose attributes and body are
+    * full of '>' and quote characters.
+    */
+  private def tokenizerTrap(rnd: Random): String =
+    rnd.nextInt(3) match {
+      case 0 => "<![CDATA[ 1 > 0 and <p>not text</p> ]]>"
+      case 1 => """<script type="text/javascript" data-q=">">var a = '<p>no</p>'; if (1 > 0) { b = "x"; }</script>"""
+      case _ => "<style>a > b { content: \"<li>nope</li>\"; }</style>"
+    }
+
   /** Generate one page. Deterministic in (seed, docId). */
   def page(docId: Long, host: String, seed: Long = 42L, lang: String = "en"): Page = {
     val rnd = new Random(seed * 1000003L + docId)
@@ -107,7 +149,19 @@ object PageGen {
           // div-only block: text not extracted (div not whitelisted)
           frags += s"<div>${words(rnd, 6).mkString(" ")}</div>"
         case 5 =>
-          frags += s"<!-- comment ${words(rnd, 2).mkString(" ")} -->"
+          // half the comments carry tag-shaped bodies — a tokenizer that
+          // parses inside comments would hallucinate elements here
+          frags += (if (rnd.nextBoolean())
+            s"<!-- comment ${words(rnd, 2).mkString(" ")} -->"
+          else s"""<!-- <p>${words(rnd, 2).mkString(" ")}</p> & "quotes" > -->""")
+        case 6 =>
+          val (h, e) = entityElement(rnd)
+          frags += h; if (e.nonEmpty) expected += e
+        case 7 =>
+          val (h, e) = attrQuirkElement(rnd)
+          frags += h; if (e.nonEmpty) expected += e
+        case 8 =>
+          frags += tokenizerTrap(rnd)
         case _ =>
           val (h, e) = whitelistedElement(rnd, "p")
           frags += h; if (e.nonEmpty) expected += e

@@ -42,6 +42,27 @@ object HtmlText {
     Set("br", "hr", "img", "meta", "link", "input", "area", "base", "col",
       "embed", "source", "track", "wbr")
 
+  /** Common named entities beyond the XML five + nbsp (the web-text set a
+    * Common-Crawl extractor meets constantly; values = Python
+    * `html.unescape` for the same names — parity with the reference's bs4
+    * output). Numeric forms (`&#8212;` / `&#x2014;`) were already decoded.
+    */
+  private val NamedEntities: Map[String, Char] = Map(
+    "mdash" -> '—', "ndash" -> '–', "hellip" -> '…',
+    "lsquo" -> '‘', "rsquo" -> '’',
+    "ldquo" -> '“', "rdquo" -> '”',
+    "copy" -> '©', "reg" -> '®', "trade" -> '™',
+    "deg" -> '°', "middot" -> '·', "bull" -> '•',
+    "laquo" -> '«', "raquo" -> '»',
+    "times" -> '×', "divide" -> '÷', "plusmn" -> '±',
+    "frac12" -> '½', "frac14" -> '¼', "sup2" -> '²',
+    "sup3" -> '³', "micro" -> 'µ', "para" -> '¶',
+    "sect" -> '§', "dagger" -> '†', "euro" -> '€',
+    "pound" -> '£', "yen" -> '¥', "cent" -> '¢',
+    "szlig" -> 'ß', "eacute" -> 'é', "egrave" -> 'è',
+    "agrave" -> 'à', "uuml" -> 'ü', "ouml" -> 'ö',
+    "auml" -> 'ä', "ntilde" -> 'ñ', "ccedil" -> 'ç')
+
   private def decodeEntities(s: String): String = {
     if (s.indexOf('&') < 0) return s
     val sb = new java.lang.StringBuilder(s.length)
@@ -58,6 +79,8 @@ object HtmlText {
             case "quot" => sb.append('"'); i = semi + 1
             case "apos" => sb.append('\''); i = semi + 1
             case "nbsp" => sb.append(' '); i = semi + 1
+            case ent if NamedEntities.contains(ent) =>
+              sb.append(NamedEntities(ent)); i = semi + 1
             case ent if ent.startsWith("#") =>
               val code =
                 try {
@@ -73,6 +96,53 @@ object HtmlText {
       } else { sb.append(c); i += 1 }
     }
     sb.toString
+  }
+
+  /** Index of the tag-closing '>' at or after `from`, skipping quoted
+    * attribute values — a '>' inside `title="a>b"` does not end the tag
+    * (the HTML5 tokenizer's attribute-value states). −1 if none.
+    */
+  private def tagEnd(html: String, from: Int): Int = {
+    var i = from
+    val n = html.length
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '"' || c == '\'') {
+        val end = html.indexOf(c, i + 1)
+        if (end < 0) return -1
+        i = end + 1
+      } else if (c == '>') return i
+      else i += 1
+    }
+    -1
+  }
+
+  /** Raw-text elements: their content is TEXT to the tokenizer (HTML5
+    * script/style data states), so `<p>` or a stray quote inside a JS
+    * string must not be tokenized as markup — the element ends only at its
+    * literal close tag.
+    */
+  private val RawTextTags: Set[String] = Set("script", "style", "noscript")
+
+  /** Index JUST PAST the matching `</name …>` close tag at or after `from`;
+    * −1 if the document ends first (caller treats the rest as the element).
+    */
+  private def closeOf(html: String, from: Int, name: String): Int = {
+    var i = from
+    val n = html.length
+    while (i < n) {
+      val lt = html.indexOf("</", i)
+      if (lt < 0) return -1
+      if (html.regionMatches(true, lt + 2, name, 0, name.length)) {
+        val after = lt + 2 + name.length
+        if (after < n && (html.charAt(after) == '>' || Character.isWhitespace(html.charAt(after)))) {
+          val gt = html.indexOf('>', after)
+          return if (gt < 0) -1 else gt + 1
+        }
+      }
+      i = lt + 2
+    }
+    -1
   }
 
   /** One whitelisted element mid-collection. */
@@ -127,16 +197,21 @@ object HtmlText {
       else {
         if (lt > i) emitText(html.substring(i, lt))
         if (lt + 1 < n && html.charAt(lt + 1) == '!') {
-          // comment or doctype
+          // comment, CDATA section, or doctype
           if (html.startsWith("<!--", lt)) {
             val end = html.indexOf("-->", lt + 4)
+            i = if (end < 0) n else end + 3
+          } else if (html.startsWith("<![CDATA[", lt)) {
+            // skipped wholesale to ']]>' — its content may contain '>' and
+            // tag-shaped text that must not be tokenized (FIXTURES.md §2)
+            val end = html.indexOf("]]>", lt + 9)
             i = if (end < 0) n else end + 3
           } else {
             val end = html.indexOf('>', lt)
             i = if (end < 0) n else end + 1
           }
         } else {
-          val gt = html.indexOf('>', lt)
+          val gt = tagEnd(html, lt + 1)
           if (gt < 0) { i = n }
           else {
             val inner = html.substring(lt + 1, gt)
@@ -145,6 +220,7 @@ object HtmlText {
             val body = inner.stripPrefix("/").stripSuffix("/")
             val sp = body.indexWhere(ch => ch == ' ' || ch == '\t' || ch == '\n' || ch == '\r')
             val name = (if (sp < 0) body else body.substring(0, sp)).toLowerCase(java.util.Locale.ROOT)
+            var nextI = gt + 1
             if (name.isEmpty) { /* stray '<>' — ignore */ }
             else if (closing) {
               if (StripTags.contains(name)) {
@@ -152,6 +228,13 @@ object HtmlText {
               } else if (stripDepth == 0) closeTag(name)
             } else if (selfClosed || VoidTags.contains(name)) {
               // <br/> acts as a text-node separator in bs4 (no string content)
+            } else if (RawTextTags.contains(name)) {
+              // raw-text strip element: content is DATA, not markup — jump
+              // straight past the literal close tag so a '<p>' or stray
+              // quote inside JS/CSS can neither leak text nor desync the
+              // tokenizer (all three are also StripTags: nothing is kept)
+              val end = closeOf(html, gt + 1, name)
+              nextI = if (end < 0) n else end
             } else if (StripTags.contains(name)) {
               stripDepth += 1
             } else if (stripDepth == 0) {
@@ -165,7 +248,7 @@ object HtmlText {
               // (title etc. are not whitelisted so their text only leaks into
               // an enclosing whitelisted element — matches bs4)
             }
-            i = gt + 1
+            i = nextI
           }
         }
       }
@@ -194,9 +277,14 @@ object HtmlText {
     while (i < n) {
       val lt = html.indexOf('<', i)
       if (lt < 0) i = n
-      else if (lt + 2 < n && (html.charAt(lt + 1) == 'a' || html.charAt(lt + 1) == 'A')
+      else if (html.startsWith("<!--", lt)) {
+        // a commented-out <a href> is not a link (bs4 parses comments as
+        // Comment nodes, find_all('a') never sees them)
+        val end = html.indexOf("-->", lt + 4)
+        i = if (end < 0) n else end + 3
+      } else if (lt + 2 < n && (html.charAt(lt + 1) == 'a' || html.charAt(lt + 1) == 'A')
           && Character.isWhitespace(html.charAt(lt + 2))) {
-        val gt = html.indexOf('>', lt)
+        val gt = tagEnd(html, lt + 1) // quote-aware: href values may hold '>'
         if (gt < 0) i = n
         else {
           val href = findHref(html, lt + 2, gt)
@@ -204,8 +292,22 @@ object HtmlText {
           i = gt + 1
         }
       } else {
-        val gt = html.indexOf('>', lt)
-        i = if (gt < 0) n else gt + 1
+        val gt = tagEnd(html, lt + 1)
+        if (gt < 0) i = n
+        else {
+          // raw-text elements: an '<a href>' inside JS/CSS source is data,
+          // not a link — jump past the literal close tag (same rule the
+          // extractor applies)
+          val inner = html.substring(lt + 1, gt)
+          val body = inner.stripPrefix("/").stripSuffix("/")
+          val sp = body.indexWhere(ch => ch == ' ' || ch == '\t' || ch == '\n' || ch == '\r')
+          val name = (if (sp < 0) body else body.substring(0, sp))
+            .toLowerCase(java.util.Locale.ROOT)
+          if (!inner.startsWith("/") && !inner.endsWith("/") && RawTextTags.contains(name)) {
+            val end = closeOf(html, gt + 1, name)
+            i = if (end < 0) n else end
+          } else i = gt + 1
+        }
       }
     }
     out.result()

@@ -56,6 +56,33 @@ class HtmlTextSpec extends AnyFunSuite {
     assert(HtmlText.extract("") == "")
   }
 
+  test("named entities, CDATA, quoted '>' attributes, raw-text elements") {
+    assert(HtmlText.extract("<p>a &mdash; b &hellip; &copy; &eacute;</p>") == "a — b … © é")
+    assert(HtmlText.extract("<p>n &#8212; h &#x2026; end</p>") == "n — h … end")
+    // unknown entity passes through verbatim (bs4/lxml behavior)
+    assert(HtmlText.extract("<p>a &unknown; b</p>") == "a &unknown; b")
+    // CDATA skipped wholesale, even with '>' and tag-shaped content inside
+    assert(HtmlText.extract("<p>x</p><![CDATA[ 1 > 0 <p>no</p> ]]><p>y</p>") == "x\ny")
+    // quoted '>' in attributes must not end the tag
+    assert(HtmlText.extract("""<p title="a>b">t1<a href="/q?x>y">t2</a></p>""") == "t1 t2")
+    // raw-text script/style: body is data, not markup — including fake
+    // close-tag-looking strings and unbalanced quotes
+    assert(HtmlText.extract(
+      """<script data-q=">">var a='<p>no</p>'; if(1>0){}</script><p>keep</p>""") == "keep")
+    assert(HtmlText.extract(
+      "<style>a > b { content: \"<li>nope</li>\"; }</style><p>k</p>") == "k")
+  }
+
+  test("extractLinks: comments and raw-text bodies hide links; quoted '>' survives") {
+    assert(HtmlText.extractLinks("<!-- <a href=\"/hidden\">x</a> --><a href=\"/real\">y</a>")
+      == Vector("/real"))
+    assert(HtmlText.extractLinks(
+      "<script>var s = '<a href=\"/js\">x</a>';</script><a href=\"/ok\">y</a>")
+      == Vector("/ok"))
+    assert(HtmlText.extractLinks("""<a href="/q?a>b" class="c>d">t</a>""")
+      == Vector("/q?a>b"))
+  }
+
   test("preprocess: collapse spaces/tabs, blank lines, python strip") {
     assert(HtmlText.preprocess(" \t a  b\tc \n\n\n d \n") == "a b c \n d")
     assert(HtmlText.preprocess("x") == "x")
