@@ -680,6 +680,22 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "q50_indegree_priority" -> ((s, dir) => {
+      // link-graph authority priority: planted edges point 3× per doc at
+      // the low-id urls (dst = (doc_id*7 + j*13) mod 97) → in-degree count
+      // + left join + packed order key, all integer arithmetic
+      val fr = docs(s, dir).select(
+        concat(lit("u://"), col("doc_id").cast("string")).as("url"),
+        col("doc_id").as("seed_idx"))
+      val edges = docs(s, dir)
+        .select(col("doc_id"), explode(sequence(lit(0L), lit(2L))).as("j"))
+        .select(concat(lit("u://"),
+          ((col("doc_id") * 7 + col("j") * 13) % 97).cast("string")).as("url"))
+      Scheduler.inDegreePriority(fr, edges)
+        .select(col("url"), col("in_degree"), col("order_key"))
+        .orderBy("url")
+    }),
+
     "q49_token_packing" -> ((s, dir) => {
       // concat-and-split shard assignment (LM-pretraining packing): docs in
       // doc_id order, 512-token bins, each doc's bin coordinates from ONE
@@ -1252,6 +1268,16 @@ object SparkEntry {
         |          x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE) / len(bg), 6)
         |    AS top_bigram_frac
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "q50_indegree_priority" ->
+      """WITH fr AS (SELECT 'u://' || doc_id AS url, doc_id AS seed_idx FROM documents),
+        |e AS (SELECT 'u://' || ((doc_id * 7 + j * 13) % 97) AS url
+        |      FROM documents, unnest([0, 1, 2]) AS t(j)),
+        |d AS (SELECT url, CAST(count(*) AS BIGINT) AS in_degree FROM e GROUP BY url)
+        |SELECT fr.url, coalesce(d.in_degree, 0) AS in_degree,
+        |  CAST((1048575 - least(coalesce(d.in_degree, 0), 1048575)) * 1099511627776
+        |       + fr.seed_idx % 1099511627776 AS BIGINT) AS order_key
+        |FROM fr LEFT JOIN d USING (url) ORDER BY fr.url""".stripMargin,
 
     "q49_token_packing" ->
       """WITH t AS (SELECT doc_id,

@@ -153,6 +153,30 @@ object Scheduler {
       lit(cap.toLong))) *
       lit(1L << 40) + pmod(seedIdx.cast("long"), lit(1L << 40))
 
+  /** OPIC-ish frontier prioritization from the discovered link graph: a
+    * candidate's priority = its IN-DEGREE across the wave's extracted
+    * edges (how many parents point at it — the simplest useful authority
+    * signal; true OPIC cash-flow iteration plugs into the same shape).
+    * Exactly the dataflow [[priorityOrderKey]]'s doc promises: one
+    * map-side-combinable groupBy-count over (dst) plus one key-only join —
+    * the in-degree frame carries 8+8 bytes per DISTINCT url, never the
+    * frontier's payload. Unreferenced urls (seeds, sitemap entries) get
+    * in-degree 0 via the left join and keep pure discovery order.
+    *
+    * Output: `frontier` + (`in_degree`, `order_key`); schedule with
+    * `Scheduler.schedule(…, orderCol = "order_key")`.
+    */
+  def inDegreePriority(frontier: DataFrame, edges: DataFrame,
+      urlCol: String = "url", dstCol: String = "url",
+      cap: Int = (1 << 20) - 1): DataFrame = {
+    val indeg = edges.groupBy(col(dstCol).as(urlCol))
+      .agg(count(lit(1)).as("in_degree"))
+    frontier.join(indeg, Seq(urlCol), "left")
+      .withColumn("in_degree", coalesce(col("in_degree"), lit(0L)))
+      .withColumn("order_key",
+        priorityOrderKey(col("in_degree"), col("seed_idx"), cap))
+  }
+
   /** Per-host crawl budget: keep only each host's first `maxPerHost` urls
     * (in schedule order) and defer the rest — the standard wave-shaping
     * move against mega-hosts (a 10^8-url host would otherwise monopolize a

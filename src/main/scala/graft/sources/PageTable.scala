@@ -173,6 +173,27 @@ object PageTable {
   def readAsOf(spark: SparkSession, root: String, version: Int): DataFrame =
     read(spark, root, Some(version))
 
+  /** Incremental scan (Iceberg's "changes between snapshots"): ONLY the
+    * rows `version` added over the previous committed version — the
+    * manifest-list DIFF, so an incremental consumer (bloom maintenance,
+    * downstream re-extraction, refresh detection) reads the delta files
+    * and nothing else. For an [[append]] version that is the delta dir;
+    * for a full [[commit]] the whole new snapshot IS the change set; for
+    * the first version it equals [[readAsOf]].
+    */
+  def changesOf(spark: SparkSession, root: String, version: Int): DataFrame = {
+    val snaps = committedSnapshots(root)
+    require(snaps.contains(version), s"snapshot $version not committed")
+    val newDirs = snaps.filter(_ < version).lastOption match {
+      case None => dirsOf(root, version)
+      case Some(prev) => dirsOf(root, version).diff(dirsOf(root, prev))
+    }
+    val md = new MetadataBuilder().putLong(BucketCountKey, bucketCount(root, version)).build()
+    require(newDirs.nonEmpty, s"snapshot $version adds no directories") // cannot happen: every commit/append writes one
+    newDirs.map(d => spark.read.parquet(s"$root/$d")).reduce(_.unionByName(_))
+      .withColumn("bucket", col("bucket").as("bucket", md))
+  }
+
   /** Bucket count recorded in a frame's `bucket` column metadata (present on
     * frames from [[read]]); callers fall back to their parameter when the
     * frame was assembled by hand.

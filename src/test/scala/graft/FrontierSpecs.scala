@@ -77,6 +77,21 @@ class SchedulerSpec extends AnyFunSuite {
     assert(run(1) == run(8))
   }
 
+  test("in-degree priority: heavily-linked urls jump the per-host queue") {
+    val fr = Seq(
+      ("http://a.test/1", 1L), ("http://a.test/2", 2L),
+      ("http://a.test/3", 3L), ("http://a.test/4", 4L)
+    ).toDF("url", "seed_idx").withColumn("host_rev", lit("test.a"))
+    val edges = Seq(
+      "http://a.test/4", "http://a.test/4", "http://a.test/4",
+      "http://a.test/2").toDF("url")
+    val got = Scheduler.schedule(
+        Scheduler.inDegreePriority(fr, edges), orderCol = "order_key")
+      .orderBy("host_pos").select("seed_idx").as[Long].collect().toSeq
+    // in-degree 3 first, then 1, then the two 0-degree urls in seed order
+    assert(got == Seq(4L, 2L, 1L, 3L))
+  }
+
   test("priority order key: higher priority first within a host, seed order as tiebreak") {
     val f = Seq(
       ("http://a.test/1", "test.a", 1L, 5L), // highest priority → host_pos 1

@@ -55,6 +55,10 @@ class PageTableSpec extends AnyFunSuite {
     // as-of snapshot, blind to the later append
     val frontier = pagesDf(50).select("url").limit(10)
     assert(PageTable.fetch(frontier, asOf, withHtml = false).count() == 10)
+    // incremental scan: v2's change set is exactly the delta; v1's change
+    // set (first version) is the whole snapshot
+    assert(PageTable.changesOf(spark, root, v2).count() == nDelta)
+    assert(PageTable.changesOf(spark, root, v1).count() == 50)
   }
 
   test("schema is enforced on write") {
