@@ -680,6 +680,33 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "q51_warc_pages" -> ((s, dir) => {
+      // REAL WARC derivation of the input table: docs → conformant WARC
+      // response records (HTTP/1.1 message payloads), ~10 records per file
+      // image plus a warcinfo record the pages view must filter, parsed
+      // back by the real record walker. Oracle = the documents themselves.
+      import s.implicits._
+      val rows = docs(s, dir).select(
+        col("doc_id"),
+        concat(lit("http://"), col("source"), lit(".test/docs/"),
+          col("doc_id").cast("string")).as("url"),
+        col("text")).as[(Long, String, String)]
+      val blobs = rows.groupByKey(_._1 / 10).mapGroups { (_, it) =>
+        val recs = it.toSeq.sortBy(_._1).map { case (_, url, text) =>
+          graft.sources.Warc.writeRecord("response", url,
+            "2024-01-01T00:00:00Z", text.getBytes("UTF-8"))
+        }
+        graft.sources.Warc.writeFile(
+          graft.sources.Warc.writeRecord("warcinfo", "",
+            "2024-01-01T00:00:00Z", "software: graft\r\n".getBytes("UTF-8")) +: recs)
+      }.toDF("warc")
+      graft.sources.Warc.pages(blobs)
+        .select(col("url"),
+          length(col("html").cast("string")).cast("long").as("n_chars"),
+          date_format(col("warc_ts"), "yyyy-MM-dd HH:mm:ss").as("ts"))
+        .orderBy("url")
+    }),
+
     "q50_indegree_priority" -> ((s, dir) => {
       // link-graph authority priority: planted edges point 3× per doc at
       // the low-id urls (dst = (doc_id*7 + j*13) mod 97) → in-degree count
@@ -1268,6 +1295,12 @@ object SparkEntry {
         |          x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE) / len(bg), 6)
         |    AS top_bigram_frac
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "q51_warc_pages" ->
+      """SELECT 'http://' || source || '.test/docs/' || doc_id AS url,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  '2024-01-01 00:00:00' AS ts
+        |FROM documents ORDER BY url""".stripMargin,
 
     "q50_indegree_priority" ->
       """WITH fr AS (SELECT 'u://' || doc_id AS url, doc_id AS seed_idx FROM documents),

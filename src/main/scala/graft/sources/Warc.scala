@@ -1,0 +1,157 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Minimal REAL WARC (ISO 28500) reader/writer, pure JVM — the container
+  * format Common-Crawl pages actually arrive in, so the north-rule input
+  * table (url, warc_ts, html, …) can be DERIVED from its native wire form
+  * instead of assumed. Subset honestly scoped like [[graft.multimodal.Png]]
+  * and [[graft.multimodal.Wav]]:
+  *
+  *  - WARC/1.0 and 1.1 records, CRLF header blocks, `Content-Length`
+  *    mandatory (the spec makes it so), any header case;
+  *  - `response` records carry an HTTP/1.x message; [[Warc.httpBody]]
+  *    splits status line + headers from the body (no chunked
+  *    transfer-encoding — Common-Crawl stores identity bodies);
+  *  - non-`response` records (warcinfo, request, metadata) are parsed and
+  *    surfaced with their type — the pages view filters, the parser never
+  *    silently drops;
+  *  - malformed input REJECTS (bad magic, missing/oversized length,
+  *    truncated payload) rather than mis-reading; per-BLOB containment
+  *    belongs to the Spark operator, matching the multimodal taxonomy.
+  *
+  * Records are concatenated uncompressed here; Common Crawl's per-record
+  * gzip members would wrap [[records]] with one inflate per member (the
+  * java.util.zip plumbing [[graft.multimodal.Png]] already exercises).
+  */
+object Warc {
+
+  /** Per-record payload ceiling (64 MiB) — one hostile length field must
+    * not OOM an executor.
+    */
+  val MaxRecordBytes: Long = 64L << 20
+
+  final case class Record(
+      warcType: String,
+      targetUri: String, // "" when absent (warcinfo)
+      date: String, // WARC-Date verbatim (ISO 8601)
+      payload: Array[Byte])
+
+  /** One conformant WARC record; `response` payloads are full HTTP/1.1
+    * messages built around `body`.
+    */
+  def writeRecord(warcType: String, targetUri: String, date: String,
+      body: Array[Byte]): Array[Byte] = {
+    val payload =
+      if (warcType == "response") {
+        val head = s"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
+          s"Content-Length: ${body.length}\r\n\r\n"
+        head.getBytes("US-ASCII") ++ body
+      } else body
+    val uriLine = if (targetUri.isEmpty) "" else s"WARC-Target-URI: $targetUri\r\n"
+    val head = s"WARC/1.0\r\nWARC-Type: $warcType\r\n" + uriLine +
+      s"WARC-Date: $date\r\nWARC-Record-ID: <urn:uuid:$warcType-${targetUri.hashCode}>\r\n" +
+      s"Content-Length: ${payload.length}\r\n\r\n"
+    head.getBytes("US-ASCII") ++ payload ++ "\r\n\r\n".getBytes("US-ASCII")
+  }
+
+  /** Concatenate records into one WARC file image. */
+  def writeFile(records: Seq[Array[Byte]]): Array[Byte] =
+    records.foldLeft(Array.emptyByteArray)(_ ++ _)
+
+  /** Parse every record of a WARC file image. Strict: a malformed record
+    * throws (reject-don't-misread); wrap per blob for containment.
+    */
+  def records(bytes: Array[Byte]): Vector[Record] = {
+    val out = Vector.newBuilder[Record]
+    var pos = 0
+    val n = bytes.length
+    while (pos < n) {
+      // tolerate inter-record CRLF padding
+      while (pos < n && (bytes(pos) == '\r' || bytes(pos) == '\n')) pos += 1
+      if (pos < n) {
+        val headerEnd = indexOfCrlfCrlf(bytes, pos)
+        require(headerEnd > pos, "truncated WARC header block")
+        val header = new String(bytes, pos, headerEnd - pos, "US-ASCII")
+        val lines = header.split("\r\n")
+        require(lines.nonEmpty && (lines(0) == "WARC/1.0" || lines(0) == "WARC/1.1"),
+          s"not a WARC record at offset $pos: '${lines.headOption.getOrElse("")}'")
+        var warcType = ""; var uri = ""; var date = ""; var len = -1L
+        for (line <- lines.drop(1); colon = line.indexOf(':') if colon > 0) {
+          val k = line.substring(0, colon).trim.toLowerCase(java.util.Locale.ROOT)
+          val v = line.substring(colon + 1).trim
+          k match {
+            case "warc-type" => warcType = v
+            case "warc-target-uri" => uri = v.stripPrefix("<").stripSuffix(">")
+            case "warc-date" => date = v
+            case "content-length" =>
+              len = try v.toLong catch {
+                case _: NumberFormatException =>
+                  throw new IllegalArgumentException(s"bad Content-Length '$v'")
+              }
+            case _ => ()
+          }
+        }
+        require(len >= 0, "WARC record without Content-Length")
+        require(len <= MaxRecordBytes, s"WARC record too large: $len bytes")
+        val start = headerEnd + 4
+        require(start + len <= n, s"truncated WARC payload (need $len bytes)")
+        out += Record(warcType, uri, date,
+          java.util.Arrays.copyOfRange(bytes, start, (start + len).toInt))
+        pos = (start + len).toInt
+      }
+    }
+    out.result()
+  }
+
+  /** Body of an HTTP/1.x response payload (a `response` record's content):
+    * everything past the first CRLF CRLF. Rejects a payload that is not an
+    * HTTP response.
+    */
+  def httpBody(payload: Array[Byte]): Array[Byte] = {
+    require(payload.length >= 8 &&
+      new String(payload, 0, 7, "US-ASCII").startsWith("HTTP/1."),
+      "payload is not an HTTP/1.x response")
+    val sep = indexOfCrlfCrlf(payload, 0)
+    require(sep >= 0, "HTTP response without header terminator")
+    java.util.Arrays.copyOfRange(payload, sep + 4, payload.length)
+  }
+
+  private def indexOfCrlfCrlf(b: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i + 3 < b.length) {
+      if (b(i) == '\r' && b(i + 1) == '\n' && b(i + 2) == '\r' && b(i + 3) == '\n')
+        return i
+      i += 1
+    }
+    -1
+  }
+
+  /** WARC blobs → north-rule page rows (url, warc_ts, html): the REAL
+    * derivation of the input table from its wire format. One parse per
+    * blob (init-once mapPartitions shape); only `response` records become
+    * pages; a malformed BLOB yields zero rows (containment — audit by
+    * anti-joining blob ids), never a task failure.
+    */
+  def pages(blobs: DataFrame, binCol: String = "warc"): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    val parsed = blobs.select(col(binCol)).as[Array[Byte]].mapPartitions { it =>
+      it.flatMap { blob =>
+        val recs =
+          try records(blob)
+          catch { case scala.util.control.NonFatal(_) => Vector.empty }
+        recs.iterator
+          .filter(_.warcType == "response")
+          .flatMap { r =>
+            try Some((r.targetUri, r.date, httpBody(r.payload)))
+            catch { case scala.util.control.NonFatal(_) => None }
+          }
+      }
+    }.toDF("url", "warc_date", "html")
+    parsed.select(col("url"),
+      to_timestamp(col("warc_date"), "yyyy-MM-dd'T'HH:mm:ssX").as("warc_ts"),
+      col("html"))
+  }
+}
