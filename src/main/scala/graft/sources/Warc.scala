@@ -60,6 +60,48 @@ object Warc {
   def writeFile(records: Seq[Array[Byte]]): Array[Byte] =
     records.foldLeft(Array.emptyByteArray)(_ ++ _)
 
+  /** Inflated-size ceiling for a gzip'd file image (256 MiB) — a gzip bomb
+    * in a crawl-harvested blob must not OOM an executor.
+    */
+  val MaxFileBytes: Long = 256L << 20
+
+  /** Common Crawl's actual layout: each record its own gzip MEMBER, the
+    * members concatenated (`.warc.gz` — member boundaries are what let a
+    * reader seek to one record of a 1 GB file without inflating the rest).
+    */
+  def writeFileGz(records: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    for (r <- records) {
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      gz.write(r)
+      gz.finish() // one complete member per record
+    }
+    out.toByteArray
+  }
+
+  /** Parse a gzip'd WARC file image: inflate every member (Java's
+    * GZIPInputStream walks concatenated members natively), then run the
+    * same record walker. `maxBytes` caps the INFLATED size — reject a
+    * bomb before it allocates.
+    */
+  def recordsGz(bytes: Array[Byte], maxBytes: Long = MaxFileBytes): Vector[Record] = {
+    require(bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b,
+      "not a gzip stream")
+    val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(bytes))
+    val out = new java.io.ByteArrayOutputStream(math.min(bytes.length.toLong * 4, 1 << 20).toInt)
+    try {
+      val buf = new Array[Byte](64 << 10)
+      var n = in.read(buf)
+      while (n > 0) {
+        require(out.size().toLong + n <= maxBytes,
+          s"gzip'd WARC inflates past $maxBytes bytes")
+        out.write(buf, 0, n)
+        n = in.read(buf)
+      }
+    } finally in.close()
+    records(out.toByteArray)
+  }
+
   /** Parse every record of a WARC file image. Strict: a malformed record
     * throws (reject-don't-misread); wrap per blob for containment.
     */
@@ -130,17 +172,19 @@ object Warc {
 
   /** WARC blobs → north-rule page rows (url, warc_ts, html): the REAL
     * derivation of the input table from its wire format. One parse per
-    * blob (init-once mapPartitions shape); only `response` records become
-    * pages; a malformed BLOB yields zero rows (containment — audit by
-    * anti-joining blob ids), never a task failure.
+    * blob (init-once mapPartitions shape); plain AND gzip'd images are
+    * auto-detected per blob; only `response` records become pages; a
+    * malformed BLOB yields zero rows (containment — audit by anti-joining
+    * blob ids), never a task failure.
     */
   def pages(blobs: DataFrame, binCol: String = "warc"): DataFrame = {
     val spark = blobs.sparkSession
     import spark.implicits._
     val parsed = blobs.select(col(binCol)).as[Array[Byte]].mapPartitions { it =>
       it.flatMap { blob =>
+        val gz = blob.length >= 2 && (blob(0) & 0xff) == 0x1f && (blob(1) & 0xff) == 0x8b
         val recs =
-          try records(blob)
+          try { if (gz) recordsGz(blob) else records(blob) }
           catch { case scala.util.control.NonFatal(_) => Vector.empty }
         recs.iterator
           .filter(_.warcType == "response")

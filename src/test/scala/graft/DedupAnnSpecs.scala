@@ -231,6 +231,46 @@ class AnnSpec extends AnyFunSuite {
       s"cell pruning did not bite: ${listener.records.get} records read")
   }
 
+  test("int8 quantization: 4x narrower schema, bounded error, high top-k recall") {
+    import graft.ann.Ann
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val dim = 32
+    // clustered corpus so top-k is meaningful, varied magnitudes so the
+    // per-vector scale actually differs
+    val corpus = (0 until 400).map { i =>
+      val center = i % 8
+      val mag = 0.5f + (i % 5) * 0.7f
+      (i.toLong, Array.tabulate(dim)(d =>
+        (math.sin(center * 31 + d) + rnd.nextGaussian() * 0.05).toFloat * mag))
+    }.toDF("vec_id", "embedding")
+    val q = Ann.quantizeInt8(corpus, "embedding")
+    // schema: tinyint components (4x narrower than float), float scale kept
+    val qf = q.schema("qvec").dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+    assert(qf.elementType == org.apache.spark.sql.types.ByteType)
+    // reconstruction error bounded by qscale/2 per component
+    val errs = q.select(col("qscale"),
+        Ann.dequantizeCol(col("qvec"), col("qscale")).as("dq"), col("embedding"))
+      .as[(Float, Array[Float], Array[Float])].collect()
+    for ((scale, dq, raw) <- errs; i <- raw.indices)
+      assert(math.abs(dq(i) - raw(i)) <= scale / 2 + 1e-6,
+        s"component error ${math.abs(dq(i) - raw(i))} vs scale $scale")
+    // ranking parity: top-10 overlap vs exact brute force >= 0.9
+    val queries = corpus.where(col("vec_id") < 8)
+    val exact = Ann.bruteForceTopK(corpus, queries, "vec_id", "vec_id", "embedding", 10)
+      .select("q_id", "nn_id").as[(Long, Long)].collect().groupBy(_._1)
+    val approx = Ann.bruteForceTopKInt8(q, queries, "vec_id", "vec_id", "embedding", 10)
+      .select("q_id", "nn_id").as[(Long, Long)].collect().groupBy(_._1)
+    val overlaps = exact.keys.map { qid =>
+      val e = exact(qid).map(_._2).toSet
+      val a = approx.getOrElse(qid, Array.empty[(Long, Long)]).map(_._2).toSet
+      e.intersect(a).size.toDouble / e.size
+    }
+    val mean = overlaps.sum / overlaps.size
+    assert(mean >= 0.9, s"mean top-10 overlap $mean")
+  }
+
   test("LSH topk achieves reasonable recall vs brute force") {
     val v = vectors(400, 32)
     val q = v.where(col("vec_id") < 20)

@@ -150,6 +150,20 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("LeftAnti"), plan)
   }
 
+  test("minhash near-dups evaluate minhash_sig ZERO times in the final plan (staged once)") {
+    import spark.implicits._
+    val docs = spark.range(60).select(col("id"),
+      concat(lit("alpha beta gamma delta epsilon zeta "), (col("id") % 7).cast("string")).as("text"))
+    val result = graft.dedup.Dedup.minHashNearDups(docs, "id", "text")
+    // the signature kernel (numHashes × shingles per row, the most
+    // expensive text op in the repo) must run once per doc inside the
+    // staging job — the final plan's three consumers read the staged rows,
+    // so NO minhash_sig expression may appear in it
+    val plan = result.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("minhash_sig"), plan)
+    assert(result.count() >= 0) // and the plan actually executes
+  }
+
   test("simhash pair dedup shuffles bare (id_a, id_b, hamming), no sigs") {
     import spark.implicits._
     val docs = (0 until 40).map(i => (i.toLong, s"w$i x$i y$i z$i common words here"))

@@ -39,6 +39,29 @@ class WarcSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Warc.httpBody("not http".getBytes))
   }
 
+  test("gzip member-per-record: round-trip, auto-detect in pages(), bomb cap") {
+    val recs = Seq(
+      Warc.writeRecord("warcinfo", "", date, "x".getBytes),
+      Warc.writeRecord("response", "http://a.test/g1", date, "eins".getBytes("UTF-8")),
+      Warc.writeRecord("response", "http://a.test/g2", date, "zwei".getBytes("UTF-8")))
+    val gz = Warc.writeFileGz(recs)
+    // really gzip: magic bytes present, image differs from the plain form
+    assert((gz(0) & 0xff) == 0x1f && (gz(1) & 0xff) == 0x8b)
+    val parsed = Warc.recordsGz(gz)
+    assert(parsed.map(_.warcType) == Vector("warcinfo", "response", "response"))
+    assert(parsed.filter(_.warcType == "response")
+      .map(r => new String(Warc.httpBody(r.payload), "UTF-8")) == Vector("eins", "zwei"))
+    // a plain image is rejected by the gz path; an inflation cap rejects early
+    intercept[IllegalArgumentException](Warc.recordsGz(Warc.writeFile(recs)))
+    intercept[IllegalArgumentException](Warc.recordsGz(gz, maxBytes = 16L))
+    // pages() auto-detects per blob
+    val s = spark
+    import s.implicits._
+    val rows = Warc.pages(Seq(gz).toDF("warc")).collect()
+    assert(rows.map(_.getAs[String]("url")).sorted.toSeq
+      == Seq("http://a.test/g1", "http://a.test/g2"))
+  }
+
   test("pages(): response-only rows, parsed timestamps, corrupt-blob containment") {
     val s = spark
     import s.implicits._
