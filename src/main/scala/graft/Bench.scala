@@ -291,7 +291,11 @@ object Bench {
       "repetition_signals" -> ((s: SparkSession, d: String) =>
         SparkEntry.queries("q41_repetition")(s, d)),
       "corpus_pipeline" -> ((s: SparkSession, d: String) =>
-        SparkEntry.queries("q39_corpus_pipeline")(s, d)))
+        SparkEntry.queries("q39_corpus_pipeline")(s, d)),
+      "token_packing" -> ((s: SparkSession, d: String) =>
+        SparkEntry.queries("q49_token_packing")(s, d)),
+      "warc_pages" -> ((s: SparkSession, d: String) =>
+        SparkEntry.queries("q51_warc_pages")(s, d)))
     val extras = extraQueries.map { case (name, fn) =>
       val sec = try {
         force(fn(spark, sfDir))

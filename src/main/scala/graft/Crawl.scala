@@ -13,7 +13,13 @@ import graft.pipeline.TextPipeline
   *
   * Usage:
   *   runMain graft.Crawl --pages <pageTableRoot> --out <dir>
-  *     [--waves N] [--gap SECONDS] url1 url2 ...
+  *     [--waves N] [--gap SECONDS] [--refresh-after K] url1 url2 ...
+  *
+  * `--refresh-after K` turns on the batch refresh channel: committed urls
+  * whose last fetch is ≥ K waves old re-enter each wave's schedule (see
+  * [[graft.frontier.WaveLoop.run]]); re-crawled urls contribute their
+  * LATEST fetch to the results (the crawl-order join keeps every
+  * appearance; results dedup keeps the newest wave per url).
   *
   * "Fetch" is Common-Crawl replay against a committed
   * [[graft.sources.PageTable]] (there is no live network in a 100 TB batch
@@ -27,10 +33,11 @@ import graft.pipeline.TextPipeline
 object Crawl {
 
   final case class Args(pages: String, out: String, waves: Int, gapSeconds: Long,
-      urls: Seq[String])
+      urls: Seq[String], refreshAfter: Option[Int] = None)
 
   def parseArgs(argv: Array[String]): Args = {
     var pages = ""; var out = ""; var waves = 3; var gap = 3L
+    var refresh: Option[Int] = None
     val urls = Seq.newBuilder[String]
     var i = 0
     def value(flag: String): String = {
@@ -44,15 +51,17 @@ object Crawl {
         case "--out" => out = value("--out")
         case "--waves" => waves = value("--waves").toInt
         case "--gap" => gap = value("--gap").toLong
+        case "--refresh-after" => refresh = Some(value("--refresh-after").toInt)
         case f if f.startsWith("--") =>
           throw new IllegalArgumentException(s"error: unknown flag $f")
         case u => urls += u; i += 1
       }
     }
-    val a = Args(pages, out, waves, gap, urls.result())
+    val a = Args(pages, out, waves, gap, urls.result(), refresh)
     require(a.pages.nonEmpty, "--pages <pageTableRoot> is required")
     require(a.out.nonEmpty, "--out <dir> is required")
     require(a.urls.nonEmpty, "error: no URLs provided") // reference :227-228
+    require(a.refreshAfter.forall(_ >= 1), "--refresh-after must be >= 1")
     a
   }
 
@@ -67,11 +76,20 @@ object Crawl {
     val ledger = new Ledger(spark, s"${a.out}/frontier/seenstate")
     WaveLoop.run(spark, s"${a.out}/frontier", seeds,
       Discover.fromPages(pages), maxWaves = a.waves, gapSeconds = a.gapSeconds,
-      robots = Robots.AllowAll, pages = Some(pages), ledger = Some(ledger))
+      robots = Robots.AllowAll, pages = Some(pages), ledger = Some(ledger),
+      refreshAfter = a.refreshAfter)
     // crawl order drives the result set; fetch = replay join; text pipeline
     // is one codegen'd map per row
-    val order = WaveLoop.crawlOrder(spark, s"${a.out}/frontier")
+    val order0 = WaveLoop.crawlOrder(spark, s"${a.out}/frontier")
       .select("canonical_url", "wave", "slot", "host_rev", "seed_idx")
+    // with the refresh channel on, a url legitimately appears once per
+    // re-crawl — the results table keeps its NEWEST fetch (one row per url)
+    val order = if (a.refreshAfter.isEmpty) order0 else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("canonical_url")).orderBy(col("wave").desc, col("slot"))
+      order0.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1).drop("__rn")
+    }
     val fetched = order.join(
       pages.select(col("url").as("canonical_url"), col("html")), Seq("canonical_url"))
     TextPipeline.results(

@@ -41,6 +41,25 @@ class CrawlSpec extends AnyFunSuite {
     assert(m0.where(col("status") === 200).count() == 1)
   }
 
+  test("Crawl.run with --refresh-after: re-crawls happen, results stay one row per url") {
+    val ptRoot = java.nio.file.Files.createTempDirectory("crawlptR").toString
+    graft.sources.PageTable.commit(spark, ptRoot,
+      spark.createDataset(linkedPages(3)).toDF()) // chain dies at p2 → refresh work fills waves
+    val out = java.nio.file.Files.createTempDirectory("crawloutR").toString
+    val results = Crawl.run(spark, Crawl.Args(
+      pages = ptRoot, out = out, waves = 7, gapSeconds = 3,
+      urls = Seq("http://crawl.test/p/0"), refreshAfter = Some(2)))
+    // the loop kept running on refresh work after discovery died
+    assert(graft.frontier.WaveLoop.committedWaves(s"$out/frontier").length == 7)
+    val order = graft.frontier.WaveLoop.crawlOrder(spark, s"$out/frontier")
+      .select("canonical_url").as[String].collect()
+    assert(order.length > order.distinct.length, "some url was re-crawled")
+    // results: exactly one row per url despite the re-crawls
+    val urls = results.select("url").as[String].collect()
+    assert(urls.sorted.toSeq == urls.distinct.sorted.toSeq)
+    assert(urls.toSet == (0 until 3).map(i => s"http://crawl.test/p/$i").toSet)
+  }
+
   test("parseArgs: reference CLI contract (no URLs = error)") {
     val a = Crawl.parseArgs(Array("--pages", "/p", "--out", "/o", "--waves", "2",
       "--gap", "5", "http://a.test/", "http://b.test/"))
@@ -49,5 +68,15 @@ class CrawlSpec extends AnyFunSuite {
       Crawl.parseArgs(Array("--pages", "/p", "--out", "/o"))
     }
     assert(e.getMessage.contains("no URLs")) // reference :227-228
+    // refresh channel flag
+    val r = Crawl.parseArgs(Array("--pages", "/p", "--out", "/o",
+      "--refresh-after", "4", "http://a.test/"))
+    assert(r.refreshAfter.contains(4))
+    assert(Crawl.parseArgs(Array("--pages", "/p", "--out", "/o",
+      "http://a.test/")).refreshAfter.isEmpty)
+    intercept[IllegalArgumentException] {
+      Crawl.parseArgs(Array("--pages", "/p", "--out", "/o",
+        "--refresh-after", "0", "http://a.test/"))
+    }
   }
 }
