@@ -680,6 +680,24 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "q52_mean_pool" -> ((s, dir) => {
+      // chunk→doc embedding pooling through the vec_sum_agg imperative
+      // aggregate (one double[dim] buffer per group). Components are small
+      // INTEGERS ((doc_id + 3j) mod 7) so the group sums are exact in any
+      // accumulation order — the only way a float aggregate can be
+      // hash-compared across engines.
+      val chunkVecs = docs(s, dir).select(
+        (col("doc_id") % 40).as("k"),
+        transform(sequence(lit(0L), lit(7L)),
+          j => ((col("doc_id") + j * 3) % 7).cast("float")).as("vec"))
+      graft.ann.Ann.meanPool(chunkVecs, "k", "vec")
+        .select(col("k"),
+          round(element_at(col("doc_embedding"), 1).cast("double"), 6).as("c1"),
+          round(element_at(col("doc_embedding"), 4).cast("double"), 6).as("c4"),
+          round(element_at(col("doc_embedding"), 8).cast("double"), 6).as("c8"))
+        .orderBy("k")
+    }),
+
     "q51_warc_pages" -> ((s, dir) => {
       // REAL WARC derivation of the input table: docs → conformant WARC
       // response records (HTTP/1.1 message payloads), ~10 records per file
@@ -1295,6 +1313,23 @@ object SparkEntry {
         |          x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE) / len(bg), 6)
         |    AS top_bigram_frac
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "q52_mean_pool" ->
+      """WITH v AS (SELECT doc_id % 40 AS k,
+        |    list_transform(range(0, 8), j -> CAST((doc_id + j*3) % 7 AS DOUBLE)) AS vec
+        |  FROM documents),
+        |m AS (SELECT k,
+        |    avg(vec[1]) AS m1, avg(vec[2]) AS m2, avg(vec[3]) AS m3,
+        |    avg(vec[4]) AS m4, avg(vec[5]) AS m5, avg(vec[6]) AS m6,
+        |    avg(vec[7]) AS m7, avg(vec[8]) AS m8
+        |  FROM v GROUP BY k),
+        |n AS (SELECT *, sqrt(m1*m1 + m2*m2 + m3*m3 + m4*m4 +
+        |                     m5*m5 + m6*m6 + m7*m7 + m8*m8) AS nrm FROM m)
+        |SELECT k,
+        |  round(CAST(CAST(m1 / nrm AS REAL) AS DOUBLE), 6) AS c1,
+        |  round(CAST(CAST(m4 / nrm AS REAL) AS DOUBLE), 6) AS c4,
+        |  round(CAST(CAST(m8 / nrm AS REAL) AS DOUBLE), 6) AS c8
+        |FROM n ORDER BY k""".stripMargin,
 
     "q51_warc_pages" ->
       """SELECT 'http://' || source || '.test/docs/' || doc_id AS url,

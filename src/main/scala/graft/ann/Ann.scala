@@ -134,6 +134,28 @@ object Ann {
   def dequantizeCol(qvec: Column, scale: Column): Column =
     transform(qvec, q => (q.cast("double") * scale).cast("float"))
 
+  /** Chunk→document embedding: component-wise MEAN of each group's
+    * vectors, L2-normalized — the standard pooled-document representation
+    * for retrieval/dedup over chunked corpora. One hash aggregate via
+    * [[graft.functions.vec_sum_agg]]: the buffer is a single double[dim]
+    * per group with map-side partial merge, so nothing proportional to
+    * chunks-per-doc is ever buffered or shuffled (a collect_list pool
+    * would buffer every member vector — the mega-group trap — and an
+    * explode-to-component pool would multiply the shuffle by dim).
+    */
+  def meanPool(chunks: DataFrame, keyCol: String, vecCol: String,
+      outCol: String = "doc_embedding"): DataFrame = {
+    val summed = chunks
+      .groupBy(col(keyCol))
+      .agg(graft.functions.vec_sum_agg(col(vecCol)).as("_sum"),
+        count(col(vecCol)).as("_n")) // count matches the agg's null-skip
+    val mean = transform(col("_sum"), x => x / col("_n"))
+    val norm = sqrt(aggregate(mean, lit(0.0d), (s, x) => s + x * x))
+    summed.select(col(keyCol),
+      transform(when(norm === 0.0, mean).otherwise(transform(mean, x => x / norm)),
+        x => x.cast("float")).as(outCol))
+  }
+
   /** [[bruteForceTopK]] over an int8-quantized corpus: identical plan, the
     * corpus side streams 1-byte components instead of 4-byte floats. The
     * cosine is computed on the integer vectors (scale-invariance), so the

@@ -483,6 +483,86 @@ case class BloomAgg(
   override def prettyName: String = "bloom_agg"
 }
 
+/** Component-wise vector sum over ARRAY<FLOAT>/ARRAY<DOUBLE> — the
+  * scalable pooling aggregate: the buffer is ONE double[dim] per group and
+  * map-side partials merge by element-wise add, so nothing proportional to
+  * GROUP SIZE is ever buffered or shuffled (a collect_list-based pool
+  * buffers every member vector of a group in one aggregate row — the
+  * mega-group trap exactDuplicateMembers exists to avoid). Nulls are
+  * skipped; mixed dimensions in one group reject loudly (a silent
+  * truncate-or-pad would corrupt every pooled embedding downstream).
+  */
+case class VecSumAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Double]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = false
+
+  @transient private lazy val elemIsDouble =
+    child.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+
+  override def createAggregationBuffer(): Array[Double] = Array.emptyDoubleArray
+
+  override def update(buf: Array[Double], input: InternalRow): Array[Double] = {
+    val v = child.eval(input)
+    if (v == null) return buf
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val b =
+      if (buf.length == 0) new Array[Double](n)
+      else {
+        require(buf.length == n,
+          s"vec_sum_agg: dimension mismatch ($n vs ${buf.length}) in one group")
+        buf
+      }
+    var i = 0
+    while (i < n) {
+      b(i) += (if (elemIsDouble) a.getDouble(i) else a.getFloat(i).toDouble)
+      i += 1
+    }
+    b
+  }
+
+  override def merge(buf: Array[Double], other: Array[Double]): Array[Double] = {
+    if (other.length == 0) return buf
+    if (buf.length == 0) return other
+    require(buf.length == other.length,
+      s"vec_sum_agg: dimension mismatch (${other.length} vs ${buf.length}) across partials")
+    var i = 0
+    while (i < buf.length) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Double]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Double]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * buf.length)
+    var i = 0
+    while (i < buf.length) { bb.putDouble(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val out = new Array[Double](bytes.length / 8)
+    var i = 0
+    while (i < out.length) { out(i) = bb.getDouble(); i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VecSumAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VecSumAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): VecSumAgg =
+    copy(child = cs.head)
+  override def prettyName: String = "vec_sum_agg"
+}
+
 /** Lateral-view form of the chunker: one output row per chunk with its
   * position — `SELECT url, c.chunk_id, c.chunk FROM pages LATERAL VIEW
   * chunk_explode(text) c`. Equivalent to posexplode(chunk_text(x)) but emits

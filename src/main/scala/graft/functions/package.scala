@@ -88,6 +88,12 @@ package object functions {
   def bloom_merge_agg(blooms: Column): Column =
     col(BloomMergeAgg(expr(blooms)).toAggregateExpression())
 
+  /** Component-wise vector-sum aggregate (ARRAY<FLOAT|DOUBLE> →
+    * ARRAY<DOUBLE>); one double[dim] buffer per group, map-side partials.
+    */
+  def vec_sum_agg(vecs: Column): Column =
+    col(VecSumAgg(expr(vecs)).toAggregateExpression())
+
   /** Path component of a URL ("/" when empty/unparseable) — robots key. */
   def url_path(c: Column): Column = col(UrlPath(expr(c)))
 

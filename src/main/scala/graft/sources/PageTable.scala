@@ -207,6 +207,34 @@ object PageTable {
     }
   }
 
+  /** Table maintenance (Iceberg's expire_snapshots): drop all committed
+    * versions OLDER than the newest `keepLast`, then delete every data
+    * directory no surviving manifest references. Markers go first (a crash
+    * mid-expiry leaves unreferenced dirs — wasted space, never a broken
+    * reader); dirs referenced by ANY surviving version stay, so appends'
+    * shared files survive as long as one reader can reach them.
+    * Returns (expired versions, deleted dirs).
+    */
+  def expireSnapshots(root: String, keepLast: Int): (Seq[Int], Seq[String]) = {
+    require(keepLast >= 1, s"keepLast: $keepLast")
+    val snaps = committedSnapshots(root)
+    val (drop, keep) = snaps.splitAt(math.max(0, snaps.length - keepLast))
+    if (drop.isEmpty) return (Seq.empty, Seq.empty)
+    val keepDirs = keep.flatMap(v => dirsOf(root, v)).toSet
+    val dropDirs = drop.flatMap(v => dirsOf(root, v)).distinct.filterNot(keepDirs)
+    drop.foreach(v => Files.deleteIfExists(marker(root, v)))
+    for (d <- dropDirs) {
+      val p = Paths.get(root, d)
+      if (Files.exists(p)) {
+        val st = Files.walk(p)
+        try st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => Files.deleteIfExists(f))
+        finally st.close()
+      }
+    }
+    (drop, dropDirs)
+  }
+
   /** Fetch replay: frontier(url, …) ⋈ pages ON url — the rebuild's analogue
     * of the reference's `driver.get(url)` (`web_scraper_pipeline.py:61`):
     * at 100 TB this is a bucket-aligned join; at test scale Catalyst

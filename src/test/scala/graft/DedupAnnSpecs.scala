@@ -271,6 +271,31 @@ class AnnSpec extends AnyFunSuite {
     assert(mean >= 0.9, s"mean top-10 overlap $mean")
   }
 
+  test("meanPool: normalized component-wise mean via the vec_sum_agg buffer") {
+    import graft.ann.Ann
+    val s = spark
+    import s.implicits._
+    val chunks = Seq(
+      (1L, Array(1.0f, 0.0f, 3.0f)),
+      (1L, Array(3.0f, 0.0f, 1.0f)),
+      (2L, Array(0.0f, 5.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f))
+    ).toDF("doc", "vec").repartition(4) // partials must merge across tasks
+    val got = Ann.meanPool(chunks, "doc", "vec")
+      .as[(Long, Array[Float])].collect().toMap
+    // doc 1: mean (2,0,2) → normalized (1/√2, 0, 1/√2)
+    val r2 = (1.0 / math.sqrt(2)).toFloat
+    assert(got(1L).toSeq == Seq(r2, 0.0f, r2))
+    // doc 2: mean (0,2,0) → (0,1,0)
+    assert(got(2L).toSeq == Seq(0.0f, 1.0f, 0.0f))
+    // dimension mismatch in one group must reject, not truncate
+    val bad = Seq((1L, Array(1.0f)), (1L, Array(1.0f, 2.0f))).toDF("doc", "vec")
+    intercept[Exception] {
+      Ann.meanPool(bad, "doc", "vec").collect()
+    }
+  }
+
   test("LSH topk achieves reasonable recall vs brute force") {
     val v = vectors(400, 32)
     val q = v.where(col("vec_id") < 20)

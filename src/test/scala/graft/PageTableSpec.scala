@@ -61,6 +61,26 @@ class PageTableSpec extends AnyFunSuite {
     assert(PageTable.changesOf(spark, root, v1).count() == 50)
   }
 
+  test("expireSnapshots: old versions drop, shared append files survive") {
+    val root = java.nio.file.Files.createTempDirectory("pagetableE").toString
+    PageTable.commit(spark, root, pagesDf(20)) // v0 (full)
+    PageTable.append(spark, root, pagesDf(40).where(col("url").contains("/d/3"))) // v1
+    PageTable.commit(spark, root, pagesDf(10)) // v2 (full replace)
+    PageTable.append(spark, root, pagesDf(40).where(col("url").contains("/d/2"))) // v3
+    val v3Count = PageTable.read(spark, root).count()
+    val (expired, deleted) = PageTable.expireSnapshots(root, keepLast = 2)
+    assert(expired == Seq(0, 1))
+    // v0's snap dir and v1's delta are unreferenced by v2/v3 → deleted
+    assert(deleted.toSet == Set("snap=0", "delta=1"))
+    assert(PageTable.committedSnapshots(root) == Seq(2, 3))
+    // survivors read exactly as before: v3 = v2's files + v3's delta
+    assert(PageTable.read(spark, root).count() == v3Count)
+    assert(PageTable.readAsOf(spark, root, 2).count() == 10)
+    intercept[IllegalArgumentException](PageTable.readAsOf(spark, root, 0))
+    // idempotent: nothing left to expire at the same horizon
+    assert(PageTable.expireSnapshots(root, 2) == ((Seq.empty, Seq.empty)))
+  }
+
   test("schema is enforced on write") {
     val root = java.nio.file.Files.createTempDirectory("pagetable2").toString
     val bad = Seq(("http://x/1", "hello")).toDF("url", "body")
