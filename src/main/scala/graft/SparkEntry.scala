@@ -680,6 +680,26 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "q53_training_shards" -> ((s, dir) => {
+      // capstone composition — the training-data pipeline end to end:
+      // quality gate (token floor) → exact dedup (survivor per text) →
+      // token-budget packing → per-shard stats. Every stage is the real
+      // operator; the oracle replays the same algebra in SQL (text-equality
+      // dedup ≡ the digest dedup absent 64-bit collisions).
+      val d = docs(s, dir).select(col("doc_id"), col("text"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("tokens"))
+      val gated = d.where(col("tokens") >= 30)
+      val keep = graft.dedup.Dedup.exactDedupKeepIds(gated, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val survivors = gated.join(keep, Seq("doc_id")).select("doc_id", "tokens")
+      graft.pipeline.Pack.packByTokenBudget(survivors, "doc_id", "tokens", budget = 256L)
+        .groupBy(col("bin_start").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tokens")).as("tokens"),
+          max(col("bins_spanned")).as("max_span"))
+        .orderBy("shard")
+    }),
+
     "q52_mean_pool" -> ((s, dir) => {
       // chunk→doc embedding pooling through the vec_sum_agg imperative
       // aggregate (one double[dim] buffer per group). Components are small
@@ -1313,6 +1333,26 @@ object SparkEntry {
         |          x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE) / len(bg), 6)
         |    AS top_bigram_frac
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "q53_training_shards" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tokens
+        |  FROM documents),
+        |g AS (SELECT * FROM d WHERE tokens >= 30),
+        |k AS (SELECT doc_id, tokens,
+        |    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM g),
+        |s AS (SELECT doc_id, tokens FROM k WHERE rn = 1),
+        |c AS (SELECT doc_id, tokens,
+        |    coalesce(sum(tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS e FROM s),
+        |p AS (SELECT doc_id, tokens, e // 256 AS shard,
+        |    CASE WHEN tokens > 0 THEN (e + tokens - 1) // 256 - e // 256 + 1
+        |         ELSE 1 END AS spanned FROM c)
+        |SELECT CAST(shard AS BIGINT) AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(tokens) AS BIGINT) AS tokens,
+        |  CAST(max(spanned) AS BIGINT) AS max_span
+        |FROM p GROUP BY shard ORDER BY shard""".stripMargin,
 
     "q52_mean_pool" ->
       """WITH v AS (SELECT doc_id % 40 AS k,
