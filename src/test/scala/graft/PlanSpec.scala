@@ -164,6 +164,20 @@ class PlanSpec extends AnyFunSuite {
     assert(result.count() >= 0) // and the plan actually executes
   }
 
+  test("token packing: data windows are segment-partitioned, offsets broadcast") {
+    val df = spark.range(5000).select(col("id").as("ord"), (col("id") % 37).as("tokens"))
+    val packed = graft.pipeline.Pack.packByTokenBudget(df, "ord", "tokens", 512L, segments = 16)
+    packed.collect() // finalize AQE
+    val plan = packed.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan)
+    // the per-segment window over the DATA must be partitioned (bounded
+    // per-task work); the only permissible global window is the one over
+    // the ≤`segments`-row offsets aggregate
+    val dataWindows = plan.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(dataWindows.exists(_.contains("_seg#")),
+      s"expected a _seg-partitioned window:\n$plan")
+  }
+
   test("simhash pair dedup shuffles bare (id_a, id_b, hamming), no sigs") {
     import spark.implicits._
     val docs = (0 until 40).map(i => (i.toLong, s"w$i x$i y$i z$i common words here"))
