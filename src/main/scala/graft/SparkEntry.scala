@@ -265,12 +265,15 @@ object SparkEntry {
     }),
 
     "q16_ann_lsh" -> ((s, dir) => {
-      // LSH-bucketed ANN (scale path): rows-only check — recall is tunable,
-      // exactness is not the contract. Compared against brute force in tests.
+      // LSH-bucketed ANN through the generic bucketed kernel with the
+      // axis-sign bucketer (the q17 pattern): candidate generation AND
+      // exact-cosine ranking are both SQL-expressible, so the full
+      // approximate top-k is oracle-gated. The murmur-hyperplane default
+      // (Ann.lshTopK) stays recall-pinned in DedupAnnSpecs.
       val e = embeddings(s, dir)
-      graft.ann.Ann.lshTopK(
+      graft.ann.Ann.lshTopKBucketed(
         e, e.where(col("vec_id") < 10), "vec_id", "vec_id", "embedding",
-        k = 5, bits = 6, tables = 8)
+        k = 5, q17Buckets)
         .select(col("q_id"), col("rank").cast("long").as("rank"), col("nn_id"))
         .orderBy("q_id", "rank")
     }),
@@ -1041,6 +1044,21 @@ object SparkEntry {
         |      FROM q, v c),
         |r AS (SELECT q_id, nn_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nn_id) AS rank FROM s)
         |SELECT q_id, rank, nn_id FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "q16_ann_lsh" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve,
+         |             $q17BucketSqlList AS bks
+         |           FROM embeddings),
+         |q AS (SELECT * FROM v WHERE vec_id < 10),
+         |s AS (SELECT q.vec_id AS q_id, c.vec_id AS nn_id,
+         |        list_dot_product(q.ve, c.ve) /
+         |          (sqrt(list_dot_product(q.ve, q.ve)) * sqrt(list_dot_product(c.ve, c.ve))) AS cos
+         |      FROM q JOIN v c ON list_has_any(q.bks, c.bks)),
+         |r AS (SELECT q_id, nn_id,
+         |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nn_id) AS rank
+         |      FROM s)
+         |SELECT q_id, CAST(rank AS BIGINT) AS rank, nn_id
+         |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
     "q17_near_dup_cosine" ->
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve,

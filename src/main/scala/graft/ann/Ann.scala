@@ -351,6 +351,36 @@ object Ann {
       .join(bucketFrame(corpus, idCol, "nn_id"), Seq("t", "b"))
       .select("q_id", "nn_id")
       .distinct()
+    scoreRankCandidates(cands, corpus, queries, idCol, qidCol, vecCol, k)
+  }
+
+  /** [[lshTopK]] with CALLER-SUPPLIED bucket columns (one INT per table) —
+    * the generic kernel, mirroring [[graft.dedup.Dedup.cosineNearDupsBucketed]]:
+    * any locality-sensitive bucketing plugs in (SRP, axis-sign
+    * quantization, IVF cells), and a SQL-expressible one makes the whole
+    * approximate top-k oracle-checkable end to end (candidate generation
+    * INCLUDED — not just the scoring).
+    */
+  def lshTopKBucketed(corpus: DataFrame, queries: DataFrame,
+      idCol: String, qidCol: String, vecCol: String, k: Int,
+      buckets: Seq[Column]): DataFrame = {
+    def bucketFrame(df: DataFrame, in: String, out: String): DataFrame =
+      df.select(col(in).as(out), posexplode(array(buckets: _*)).as(Seq("t", "b")))
+    val cands = bucketFrame(queries, qidCol, "q_id")
+      .join(bucketFrame(corpus, idCol, "nn_id"), Seq("t", "b"))
+      .select("q_id", "nn_id")
+      .distinct()
+    scoreRankCandidates(cands, corpus, queries, idCol, qidCol, vecCol, k)
+  }
+
+  /** Shared LSH tail: bare (q_id, nn_id) candidates get their vectors
+    * joined back ONCE post-dedup, exact cosine, per-query rank ≤ k. The
+    * narrow pre-window select keeps dim-sized vectors out of the rank
+    * exchange.
+    */
+  private def scoreRankCandidates(cands: DataFrame, corpus: DataFrame,
+      queries: DataFrame, idCol: String, qidCol: String, vecCol: String,
+      k: Int): DataFrame = {
     val scored = cands
       .join(queries.select(col(qidCol).as("q_id"), asDouble(col(vecCol)).as("qv")), "q_id")
       .join(corpus.select(col(idCol).as("nn_id"), asDouble(col(vecCol)).as("cv")), "nn_id")
