@@ -329,12 +329,19 @@ object SparkEntry {
     }),
 
     "q35_ann_ivf" -> ((s, dir) => {
-      // IVF-cell ANN (second scale path next to SRP-LSH): rows-only check —
-      // the kmeans quantizer is not SQL-expressible; recall vs brute force
-      // is pinned in DedupAnnSpecs
+      // IVF multi-probe ANN through the generic assigned-cells kernel:
+      // cells = axis-sign of the first 4 components (locality-sensitive,
+      // SQL-expressible), probes = [own cell, lowest-bit flip] — the whole
+      // cell-partitioned probe machinery is oracle-gated. The kmeans
+      // quantizer default (Ann.ivfTopK) stays recall/determinism-pinned in
+      // DedupAnnSpecs.
       val e = embeddings(s, dir)
-      graft.ann.Ann.ivfTopK(e, e.where(col("vec_id") < 10),
-        "vec_id", "vec_id", "embedding", k = 5, nlist = 16, nProbe = 6)
+      val cell = (0 until 4).map(j =>
+        when(element_at(col("embedding"), j + 1) >= 0, lit(1 << j)).otherwise(lit(0)))
+        .reduce(_ + _)
+      graft.ann.Ann.ivfTopKAssigned(e, e.where(col("vec_id") < 10),
+        "vec_id", "vec_id", "embedding", k = 5,
+        cell, array(cell, cell.bitwiseXOR(lit(1))))
         .select(col("q_id"), col("rank").cast("long").as("rank"), col("nn_id"))
         .orderBy("q_id", "rank")
     }),
@@ -1044,6 +1051,24 @@ object SparkEntry {
         |      FROM q, v c),
         |r AS (SELECT q_id, nn_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nn_id) AS rank FROM s)
         |SELECT q_id, rank, nn_id FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "q35_ann_ivf" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve,
+        |    (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END) +
+        |    (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END) +
+        |    (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS cell
+        |  FROM embeddings),
+        |q AS (SELECT *, [cell, xor(cell, 1)] AS probes FROM v WHERE vec_id < 10),
+        |s AS (SELECT q.vec_id AS q_id, c.vec_id AS nn_id,
+        |        list_dot_product(q.ve, c.ve) /
+        |          (sqrt(list_dot_product(q.ve, q.ve)) * sqrt(list_dot_product(c.ve, c.ve))) AS cos
+        |      FROM q JOIN v c ON list_contains(q.probes, c.cell)),
+        |r AS (SELECT q_id, nn_id,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nn_id) AS rank
+        |      FROM s)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, nn_id
+        |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
     "q16_ann_lsh" ->
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve,

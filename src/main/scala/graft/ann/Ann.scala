@@ -240,10 +240,25 @@ object Ann {
       spark.sparkContext.broadcast(kmeansCentroids(corpus, idCol, vecCol, nlist, iters)))
     def cellsOf(vec: Column, probes: Int): Column =
       Bridge.column(graft.functions.IvfCells(cents, Bridge.expression(vec), probes))
+    ivfTopKAssigned(corpus, queries, idCol, qidCol, vecCol, k,
+      element_at(cellsOf(col(vecCol), 1), 1), cellsOf(col(vecCol), nProbe))
+  }
+
+  /** [[ivfTopK]] with CALLER-SUPPLIED cell assignments — the generic
+    * probing kernel (same move as [[lshTopKBucketed]]): `cellCol` places a
+    * corpus row in its cell, `probeCellsCol` (an array) lists the cells a
+    * query probes. The kmeans default delegates here; an arithmetic
+    * assignment makes the whole multi-probe machinery (cell-partitioned
+    * corpus, probe explode, cell-local scoring, per-query rank)
+    * oracle-checkable end to end.
+    */
+  def ivfTopKAssigned(corpus: DataFrame, queries: DataFrame,
+      idCol: String, qidCol: String, vecCol: String, k: Int,
+      cellCol: Column, probeCellsCol: Column): DataFrame = {
     val c = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("cv_raw"),
-      element_at(cellsOf(col(vecCol), 1), 1).as("cell"))
+      cellCol.as("cell"))
     val q = queries.select(col(qidCol).as("q_id"), col(vecCol).as("qv_raw"),
-      explode(cellsOf(col(vecCol), nProbe)).as("cell"))
+      explode(probeCellsCol).as("cell"))
     val scored = q.join(c, "cell")
       .withColumn("cosine", cosineCol(asDouble(col("qv_raw")), asDouble(col("cv_raw"))))
       .select(col("q_id"), col("nn_id"), col("cosine")) // narrow pre-window
