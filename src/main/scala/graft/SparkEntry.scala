@@ -755,6 +755,20 @@ object SparkEntry {
         .orderBy("url")
     }),
 
+    "q54_pagerank" -> ((s, dir) => {
+      // iterative link authority (3 rounds, d=0.85) over a planted graph —
+      // the full version of q50's one-step in-degree. The oracle unrolls
+      // the same three iterations as chained CTEs; scores round to 6
+      // decimals (double accumulation order differs by ulps across
+      // engines, never by 1e-6).
+      val edges = docs(s, dir)
+        .select(col("doc_id").as("src"), explode(sequence(lit(0L), lit(2L))).as("j"))
+        .select(col("src"), ((col("src") * 7 + col("j") * 13) % 211).as("dst"))
+      graft.frontier.Rank.pageRank(edges, iters = 3)
+        .select(col("node"), round(col("score"), 6).as("score"))
+        .orderBy("node")
+    }),
+
     "q50_indegree_priority" -> ((s, dir) => {
       // link-graph authority priority: planted edges point 3× per doc at
       // the low-id urls (dst = (doc_id*7 + j*13) mod 97) → in-degree count
@@ -1419,6 +1433,26 @@ object SparkEntry {
         |  CAST(length(text) AS BIGINT) AS n_chars,
         |  '2024-01-01 00:00:00' AS ts
         |FROM documents ORDER BY url""".stripMargin,
+
+    "q54_pagerank" ->
+      """WITH e AS (SELECT doc_id AS src, (doc_id*7 + j*13) % 211 AS dst
+        |           FROM documents, unnest([0, 1, 2]) AS t(j)),
+        |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        |nodes AS (SELECT src AS n FROM e UNION SELECT dst FROM e),
+        |s0 AS (SELECT n, CAST(1.0 AS DOUBLE) AS score FROM nodes),
+        |c1 AS (SELECT e.dst AS n, sum(s0.score / deg.outdeg) AS c
+        |       FROM e JOIN deg USING (src) JOIN s0 ON s0.n = e.src GROUP BY e.dst),
+        |s1 AS (SELECT nodes.n, 0.15 + 0.85 * coalesce(c1.c, 0) AS score
+        |       FROM nodes LEFT JOIN c1 USING (n)),
+        |c2 AS (SELECT e.dst AS n, sum(s1.score / deg.outdeg) AS c
+        |       FROM e JOIN deg USING (src) JOIN s1 ON s1.n = e.src GROUP BY e.dst),
+        |s2 AS (SELECT nodes.n, 0.15 + 0.85 * coalesce(c2.c, 0) AS score
+        |       FROM nodes LEFT JOIN c2 USING (n)),
+        |c3 AS (SELECT e.dst AS n, sum(s2.score / deg.outdeg) AS c
+        |       FROM e JOIN deg USING (src) JOIN s2 ON s2.n = e.src GROUP BY e.dst),
+        |s3 AS (SELECT nodes.n, 0.15 + 0.85 * coalesce(c3.c, 0) AS score
+        |       FROM nodes LEFT JOIN c3 USING (n))
+        |SELECT n AS node, round(score, 6) AS score FROM s3 ORDER BY node""".stripMargin,
 
     "q50_indegree_priority" ->
       """WITH fr AS (SELECT 'u://' || doc_id AS url, doc_id AS seed_idx FROM documents),
