@@ -144,7 +144,10 @@ object SparkEntry {
       val sched = Scheduler.schedule(f, gapSeconds = 3L, salted = true)
       sched
         .withColumn("fetch_seq",
-          row_number().over(Window.orderBy(col("slot"), col("host_rev"), col("seed_idx")))
+          // FIXTURE-ONLY total order (sf oracle scale): a global unpartitioned
+        // window is a single-task sort — never copy into a production path;
+        // the production rank is Scheduler.perHostRankSalted.
+        row_number().over(Window.orderBy(col("slot"), col("host_rev"), col("seed_idx")))
             .cast("long"))
         .select(col("fetch_seq"), col("slot"), col("host_rev"), col("canonical_url"),
           col("seed_idx"), col("host_pos"))
@@ -600,7 +603,10 @@ object SparkEntry {
         gapCol = Some(col("gap_seconds")))
       sched
         .withColumn("fetch_seq",
-          row_number().over(Window.orderBy(col("slot"), col("host_rev"), col("seed_idx")))
+          // FIXTURE-ONLY total order (sf oracle scale): a global unpartitioned
+        // window is a single-task sort — never copy into a production path;
+        // the production rank is Scheduler.perHostRankSalted.
+        row_number().over(Window.orderBy(col("slot"), col("host_rev"), col("seed_idx")))
             .cast("long"))
         .select(col("fetch_seq"), col("slot"), col("host_rev"), col("canonical_url"),
           col("seed_idx"), col("host_pos"), col("gap_seconds"))
@@ -824,7 +830,10 @@ object SparkEntry {
       val sched = Scheduler.schedule(f, gapSeconds = 3L, salted = true)
       val (kept, _) = Scheduler.capPerHost(sched, 15L)
       kept.withColumn("fetch_seq",
-          row_number().over(Window.orderBy(col("slot"), col("host_rev"), col("seed_idx")))
+          // FIXTURE-ONLY total order (sf oracle scale): a global unpartitioned
+        // window is a single-task sort — never copy into a production path;
+        // the production rank is Scheduler.perHostRankSalted.
+        row_number().over(Window.orderBy(col("slot"), col("host_rev"), col("seed_idx")))
             .cast("long"))
         .select("fetch_seq", "slot", "host_rev", "canonical_url", "seed_idx", "host_pos")
         .orderBy("fetch_seq")
@@ -888,7 +897,10 @@ object SparkEntry {
         .drop("target")
       Scheduler.schedule(f, gapSeconds = 3L, salted = true, orderCol = "order_key")
         .withColumn("fetch_seq",
-          row_number().over(Window.orderBy(col("slot"), col("host_rev"), col("order_key")))
+          // FIXTURE-ONLY total order (sf oracle scale): a global unpartitioned
+        // window is a single-task sort — never copy into a production path;
+        // the production rank is Scheduler.perHostRankSalted.
+        row_number().over(Window.orderBy(col("slot"), col("host_rev"), col("order_key")))
             .cast("long"))
         .select(col("fetch_seq"), col("slot"), col("host_rev"), col("canonical_url"),
           col("seed_idx"), col("priority"), col("host_pos"))
@@ -906,7 +918,10 @@ object SparkEntry {
       Scheduler.schedule(f.join(gaps, Seq("host")), salted = true,
           gapCol = Some(col("gap_seconds")))
         .withColumn("fetch_seq",
-          row_number().over(Window.orderBy(col("slot"), col("host_rev"), col("seed_idx")))
+          // FIXTURE-ONLY total order (sf oracle scale): a global unpartitioned
+        // window is a single-task sort — never copy into a production path;
+        // the production rank is Scheduler.perHostRankSalted.
+        row_number().over(Window.orderBy(col("slot"), col("host_rev"), col("seed_idx")))
             .cast("long"))
         .select(col("fetch_seq"), col("slot"), col("host_rev"), col("canonical_url"),
           col("seed_idx"), col("host_pos"), col("gap_seconds"))

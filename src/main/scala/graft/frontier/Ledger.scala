@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.Bridge
 import graft.functions.{bloom_agg, bloom_merge_agg, BloomBank, BloomBankProbe}
-import java.nio.file.{Files, Paths}
+import graft.core.Fs
 
 /** Persistent seen-set ledger, the 10^10-scale layout the north rule names:
   * a BUCKETED catalog table of (url_hash, canonical_url, wave) plus an
@@ -53,11 +53,15 @@ final class Ledger(
   private def tableName(version: Int): String =
     s"graft_seen_${math.abs(scala.util.hashing.MurmurHash3.stringHash(root))}_v$version"
 
-  private def versionFile = Paths.get(root, "_ledger_version")
-  private def paramsFile = Paths.get(root, "_ledger_params")
+  // engine state goes through the Hadoop FS resolved from the root's
+  // scheme (graft.core.Fs): a remote root (hdfs://, s3a://) must hold
+  // these files next to the data — java.nio.file would silently use the
+  // driver's local disk and the ledger could never resume elsewhere
+  private def versionFile = s"$root/_ledger_version"
+  private def paramsFile = s"$root/_ledger_params"
 
   def currentVersion: Int =
-    if (Files.exists(versionFile)) Files.readString(versionFile).trim.toInt else 0
+    if (Fs.exists(versionFile)) Fs.readString(versionFile).trim.toInt else 0
 
   private def tableLocation(version: Int) = s"$root/ledger_v$version"
 
@@ -70,12 +74,12 @@ final class Ledger(
     * pre-compaction table versions a crash may have leaked.
     */
   def ensure(): Unit = {
-    Files.createDirectories(Paths.get(root))
-    if (!Files.exists(versionFile)) Files.writeString(versionFile, "0")
+    Fs.mkdirs(root)
+    if (!Fs.exists(versionFile)) Fs.writeString(versionFile, "0")
     val params = s"""{"buckets":$buckets,"expectedPerBucket":$expectedPerBucket,"fpp":$fpp}"""
-    if (!Files.exists(paramsFile)) Files.writeString(paramsFile, params)
+    if (!Fs.exists(paramsFile)) Fs.writeString(paramsFile, params)
     else {
-      val stored = Files.readString(paramsFile).trim
+      val stored = Fs.readString(paramsFile).trim
       require(stored == params,
         s"ledger at $root was created with $stored; this instance has $params — " +
           "sketch parameters are part of the on-disk format and cannot change on resume")
@@ -83,7 +87,7 @@ final class Ledger(
     val v = currentVersion
     val name = tableName(v)
     // the insert path LISTS the location before writing — it must exist
-    Files.createDirectories(Paths.get(tableLocation(v)))
+    Fs.mkdirs(tableLocation(v))
     if (!spark.catalog.tableExists(name)) {
       spark.sql(
         s"""CREATE TABLE IF NOT EXISTS $name
@@ -95,7 +99,7 @@ final class Ledger(
     // sweep leaked older versions (crash between version bump and cleanup)
     for (old <- 0 until v) {
       spark.sql(s"DROP TABLE IF EXISTS ${tableName(old)}")
-      Ledger.deleteRecursively(Paths.get(tableLocation(old)))
+      Fs.deleteTree(tableLocation(old))
     }
   }
 
@@ -130,7 +134,7 @@ final class Ledger(
     * dedup, the worst failure mode a seen-set can have.
     */
   private def latestBloomWave(wave: Int): Option[Int] =
-    (wave to 0 by -1).find(w => Files.exists(Paths.get(bloomDir(w), "_SUCCESS")))
+    (wave to 0 by -1).find(w => Fs.exists(s"${bloomDir(w)}/_SUCCESS"))
 
   /** Write wave K's bloom state = merge(state K-1, bloom over delta K).
     * Cost: one pass over the DELTA plus `buckets` sketch rows — never the
@@ -174,15 +178,9 @@ final class Ledger(
     // dirs accumulate unboundedly on a long crawl. Keep one predecessor for
     // crash-resume (a crash before this wave's manifest re-runs against it),
     // drop everything older.
-    val bloomsRoot = Paths.get(root, "blooms")
-    if (Files.isDirectory(bloomsRoot)) {
-      val st = Files.list(bloomsRoot)
-      try st.forEach { p =>
-        val n = p.getFileName.toString
-        if (n.startsWith("wave=") && n.stripPrefix("wave=").toIntOption.exists(_ < wave - 1))
-          Ledger.deleteRecursively(p)
-      } finally st.close()
-    }
+    for (n <- Fs.childNames(s"$root/blooms")
+         if n.startsWith("wave=") && n.stripPrefix("wave=").toIntOption.exists(_ < wave - 1))
+      Fs.deleteTree(s"$root/blooms/$n")
   }
 
   /** Exact unseen filter against the committed ledger: bloom-bank pre-filter
@@ -205,13 +203,7 @@ final class Ledger(
         // broadcast-ceiling check from FILE METADATA: collecting first and
         // measuring after would OOM the driver at exactly the scale the
         // fallback exists for
-        val bankBytes = {
-          val dir = Paths.get(bloomDir(w))
-          val st = Files.walk(dir)
-          try st.filter(p => p.toString.endsWith(".parquet"))
-            .mapToLong(p => Files.size(p)).sum()
-          finally st.close()
-        }
+        val bankBytes = Fs.treeBytes(bloomDir(w), ".parquet")
         if (bankBytes > maxBankBytes) {
           // co-partitioned fallback: bucketed scan probes in place
           candidates.join(antiRight, Seq("url_hash"), "left_anti")
@@ -266,8 +258,8 @@ final class Ledger(
     // target table registered and/or its location non-empty — start clean
     // (the version file still points at v, so nothing committed is lost)
     spark.sql(s"DROP TABLE IF EXISTS $nextName")
-    Ledger.deleteRecursively(Paths.get(tableLocation(next)))
-    Files.createDirectories(Paths.get(tableLocation(next)))
+    Fs.deleteTree(tableLocation(next))
+    Fs.mkdirs(tableLocation(next))
     spark.sql(
       s"""CREATE TABLE $nextName
          |  (url_hash BIGINT, canonical_url STRING, wave INT)
@@ -284,9 +276,9 @@ final class Ledger(
       .write.mode(SaveMode.Append).format("parquet")
       .bucketBy(buckets, "url_hash").sortBy("url_hash")
       .saveAsTable(nextName)
-    Files.writeString(versionFile, next.toString)
+    Fs.writeString(versionFile, next.toString)
     spark.sql(s"DROP TABLE IF EXISTS ${tableName(v)}")
-    deleteRecursively(Paths.get(tableLocation(v)))
+    Fs.deleteTree(tableLocation(v))
   }
 
   /** Wave-loop hook: compact every `compactEvery` committed waves. */
@@ -336,15 +328,6 @@ object Ledger {
           .as("seed_idx"),
         col("age"))
 
-  /** Recursive delete for local state roots (benchmarks, tests). */
-  def deleteTree(path: String): Unit = deleteRecursively(Paths.get(path))
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    if (!Files.exists(p)) return
-    val st = Files.walk(p)
-    try {
-      st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => Files.deleteIfExists(f))
-    } finally st.close()
-  }
+  /** Recursive delete for state roots (benchmarks, tests). */
+  def deleteTree(path: String): Unit = graft.core.Fs.deleteTree(path)
 }

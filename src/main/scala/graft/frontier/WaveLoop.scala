@@ -2,7 +2,7 @@ package graft.frontier
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Paths, Path}
+import graft.core.Fs
 
 /** Iterative-batch frontier loop with checkpoint/resume and per-partition
   * lineage (north rule: "checkpoint-resumable frontier state with
@@ -30,20 +30,18 @@ object WaveLoop {
 
   final case class WaveResult(wave: Int, scheduled: Long, newUrls: Long)
 
-  def manifestPath(root: String, wave: Int): Path = Paths.get(root, f"_manifest_$wave%05d.json")
+  // state I/O through graft.core.Fs (Hadoop FS from the root's scheme):
+  // manifests are the crawl's commit markers and must live on the SAME
+  // store as the wave data they fence — on an hdfs://+s3a:// root a
+  // java.nio.file manifest would land on the driver's local disk and
+  // resume-from-another-machine would replay committed waves
+  def manifestPath(root: String, wave: Int): String = f"$root/_manifest_$wave%05d.json"
 
-  def committedWaves(root: String): Seq[Int] = {
-    val dir = Paths.get(root)
-    if (!Files.isDirectory(dir)) return Seq.empty
-    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
-    val st = Files.list(dir) // stream holds a directory fd — must close
-    try st.forEach { p =>
-      val n = p.getFileName.toString
-      if (n.startsWith("_manifest_") && n.endsWith(".json"))
-        out += n.stripPrefix("_manifest_").stripSuffix(".json").toInt
-    } finally st.close()
-    out.toSeq.sorted
-  }
+  def committedWaves(root: String): Seq[Int] =
+    Fs.childNames(root)
+      .filter(n => n.startsWith("_manifest_") && n.endsWith(".json"))
+      .map(_.stripPrefix("_manifest_").stripSuffix(".json").toInt)
+      .sorted
 
   /** Run (or resume) the crawl for `maxWaves` waves.
     *
@@ -110,7 +108,7 @@ object WaveLoop {
     require(refreshAfter.forall(_ => ledger.nonEmpty),
       "refreshAfter needs a ledger (last-fetch age lives in the ledger's wave column)")
 
-    Files.createDirectories(Paths.get(root))
+    Fs.mkdirs(root)
     val already = committedWaves(root)
     val startWave = if (already.isEmpty) 0 else already.max + 1
     val results = scala.collection.mutable.ArrayBuffer.empty[WaveResult]
@@ -200,7 +198,7 @@ object WaveLoop {
       // joined by host (AQE sizes the join; the gaps frame is #hosts rows)
       val prevMetrics = s"$root/metrics/wave=${wave - 1}"
       val adaptiveGaps = adaptiveBackoff.flatMap { case (base, scale) =>
-        if (wave > 0 && Files.exists(Paths.get(prevMetrics)))
+        if (wave > 0 && Fs.exists(prevMetrics))
           Some((base, Scheduler.adaptiveGaps(
             spark.read.parquet(prevMetrics)
               .select(graft.functions.host_of(col("canonical_url")).as("host"), col("status")),
@@ -287,7 +285,7 @@ object WaveLoop {
       val manifest =
         s"""{"wave":$wave,"scheduled":$nScheduled,"gap_seconds":$gapSeconds$fetchStats,
            |"lineage":$byPartition}""".stripMargin.replace("\n", "")
-      Files.writeString(manifestPath(root, wave), manifest)
+      Fs.writeString(manifestPath(root, wave), manifest)
 
       results += WaveResult(wave, nScheduled, nScheduled)
       ledger.foreach(_.maybeCompact(wave))
@@ -301,8 +299,7 @@ object WaveLoop {
   /** Union of all committed seen-ledger deltas (empty frame if none). */
   def readSeen(spark: SparkSession, root: String): DataFrame = {
     val waves = committedWaves(root)
-    val paths = waves.map(w => s"$root/seen/wave=$w")
-      .filter(p => Files.exists(Paths.get(p)))
+    val paths = waves.map(w => s"$root/seen/wave=$w").filter(Fs.exists)
     if (paths.isEmpty) {
       import org.apache.spark.sql.types._
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

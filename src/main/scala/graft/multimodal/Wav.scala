@@ -63,7 +63,9 @@ object Wav {
     while (pos + 8 <= bytes.length && data == null) {
       val ctype = ascii(bytes, pos)
       val len = readIntLE(bytes, pos + 4)
-      require(len >= 0 && pos + 8 + len <= bytes.length, s"truncated chunk $ctype")
+      // bound check in Long: a crafted len near Int.MaxValue wraps pos+8+len
+      // negative in Int and would pass spuriously (reject-don't-misread)
+      require(len >= 0 && pos + 8L + len <= bytes.length, s"truncated chunk $ctype")
       ctype match {
         case "fmt " =>
           require(len >= 16, s"fmt chunk too short: $len")

@@ -41,7 +41,10 @@ object Pack {
   def prefixSumExclusive(df: DataFrame, orderCol: String, valueCol: String,
       segments: Int = 64): DataFrame = {
     require(segments >= 1, s"segments: $segments")
-    val mm = df.agg(min(col(orderCol)).as("lo"), max(col(orderCol)).as("hi")).collect()(0)
+    // cast to long: the doc only demands "integral" — an INT order column
+    // would otherwise surface as Integer and break getAs[Long]
+    val mm = df.agg(min(col(orderCol).cast("long")).as("lo"),
+      max(col(orderCol).cast("long")).as("hi")).collect()(0)
     if (mm.isNullAt(0)) return df.withColumn("prefix_sum", lit(0L))
     val lo = mm.getAs[Long]("lo")
     val hi = mm.getAs[Long]("hi")

@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import java.nio.file.{Files, Paths}
+import graft.core.Fs
 
 /** The north-rule input table — "Iceberg table of Common-Crawl-style web
   * pages with columns (url, warc_ts, html, text, lang)" — realized as
@@ -31,24 +31,21 @@ object PageTable {
     StructField("text", StringType, nullable = true),
     StructField("lang", StringType, nullable = true)))
 
+  // commit markers go through graft.core.Fs (Hadoop FS from the root's
+  // scheme): they are what makes a snapshot visible, so they must live on
+  // the same store as the snapshot files — java.nio.file would pin the
+  // table's committed-ness to one driver's local disk
   private def snapDir(root: String, snap: Int) = s"$root/snap=$snap"
-  private def marker(root: String, snap: Int) =
-    Paths.get(root, f"_committed_$snap%05d")
+  private def marker(root: String, snap: Int) = f"$root/_committed_$snap%05d"
 
   /** Test hook: path of a snapshot's commit marker (for crash simulation). */
-  def marker_unsafe(root: String, snap: Int): java.nio.file.Path = marker(root, snap)
+  def marker_unsafe(root: String, snap: Int): String = marker(root, snap)
 
-  def committedSnapshots(root: String): Seq[Int] = {
-    val dir = Paths.get(root)
-    if (!Files.isDirectory(dir)) return Seq.empty
-    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
-    val st = Files.list(dir) // stream holds a directory fd — must close
-    try st.forEach { p =>
-      val n = p.getFileName.toString
-      if (n.startsWith("_committed_")) out += n.stripPrefix("_committed_").toInt
-    } finally st.close()
-    out.toSeq.sorted
-  }
+  def committedSnapshots(root: String): Seq[Int] =
+    Fs.childNames(root)
+      .filter(_.startsWith("_committed_"))
+      .map(_.stripPrefix("_committed_").toInt)
+      .sorted
 
   /** Append-style commit: writes a NEW snapshot containing `pages` (schema
     * enforced, bucket column added), then the commit marker. Readers of
@@ -116,8 +113,8 @@ object PageTable {
 
   private def writeMarker(root: String, snap: Int, buckets: Int,
       dirs: Seq[String]): Unit = {
-    Files.createDirectories(Paths.get(root))
-    Files.writeString(marker(root, snap),
+    Fs.mkdirs(root)
+    Fs.writeString(marker(root, snap),
       s"""{"snapshot":$snap,"buckets":$buckets,""" +
         s""""dirs":[${dirs.map(d => s""""$d"""").mkString(",")}]}""")
   }
@@ -127,7 +124,7 @@ object PageTable {
     * only ever written as full snapshots.
     */
   private def dirsOf(root: String, snap: Int): Seq[String] = {
-    val txt = Files.readString(marker(root, snap))
+    val txt = Fs.readString(marker(root, snap))
     "\"dirs\"\\s*:\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(txt)
       .map(_.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
         .filter(_.nonEmpty).toSeq)
@@ -139,7 +136,7 @@ object PageTable {
     * the default 64.
     */
   def bucketCount(root: String, snap: Int): Int = {
-    val txt = Files.readString(marker(root, snap))
+    val txt = Fs.readString(marker(root, snap))
     "\"buckets\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(txt)
       .map(_.group(1).toInt).getOrElse(64)
   }
@@ -222,16 +219,8 @@ object PageTable {
     if (drop.isEmpty) return (Seq.empty, Seq.empty)
     val keepDirs = keep.flatMap(v => dirsOf(root, v)).toSet
     val dropDirs = drop.flatMap(v => dirsOf(root, v)).distinct.filterNot(keepDirs)
-    drop.foreach(v => Files.deleteIfExists(marker(root, v)))
-    for (d <- dropDirs) {
-      val p = Paths.get(root, d)
-      if (Files.exists(p)) {
-        val st = Files.walk(p)
-        try st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(f => Files.deleteIfExists(f))
-        finally st.close()
-      }
-    }
+    drop.foreach(v => Fs.deleteIfExists(marker(root, v)))
+    dropDirs.foreach(d => Fs.deleteTree(s"$root/$d"))
     (drop, dropDirs)
   }
 

@@ -50,15 +50,25 @@ object Warc {
         head.getBytes("US-ASCII") ++ body
       } else body
     val uriLine = if (targetUri.isEmpty) "" else s"WARC-Target-URI: $targetUri\r\n"
+    // the spec requires globally unique record IDs: a name-UUID over the
+    // full (type, uri, date) identity — distinct URIs can share a hashCode,
+    // and a re-crawl of the same URI is a DIFFERENT record
+    val rid = java.util.UUID.nameUUIDFromBytes(
+      s"$warcType\n$targetUri\n$date".getBytes("UTF-8"))
     val head = s"WARC/1.0\r\nWARC-Type: $warcType\r\n" + uriLine +
-      s"WARC-Date: $date\r\nWARC-Record-ID: <urn:uuid:$warcType-${targetUri.hashCode}>\r\n" +
+      s"WARC-Date: $date\r\nWARC-Record-ID: <urn:uuid:$rid>\r\n" +
       s"Content-Length: ${payload.length}\r\n\r\n"
     head.getBytes("US-ASCII") ++ payload ++ "\r\n\r\n".getBytes("US-ASCII")
   }
 
-  /** Concatenate records into one WARC file image. */
-  def writeFile(records: Seq[Array[Byte]]): Array[Byte] =
-    records.foldLeft(Array.emptyByteArray)(_ ++ _)
+  /** Concatenate records into one WARC file image (one linear copy — the
+    * foldLeft form was O(n²) in the record count).
+    */
+  def writeFile(records: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(records.iterator.map(_.length).sum)
+    records.foreach(out.write)
+    out.toByteArray
+  }
 
   /** Inflated-size ceiling for a gzip'd file image (256 MiB) — a gzip bomb
     * in a crawl-harvested blob must not OOM an executor.
@@ -189,13 +199,21 @@ object Warc {
         recs.iterator
           .filter(_.warcType == "response")
           .flatMap { r =>
-            try Some((r.targetUri, r.date, httpBody(r.payload)))
-            catch { case scala.util.control.NonFatal(_) => None }
+            // date parse lives INSIDE the per-record try: under ANSI mode a
+            // plan-level to_timestamp would throw on WARC 1.1 fractional
+            // seconds or a '+00:00' offset and kill the task, breaking the
+            // per-blob containment contract. java.time handles the full
+            // ISO-8601 offset grammar; unparseable → null warc_ts, row kept.
+            try {
+              val ts =
+                try java.sql.Timestamp.from(
+                  java.time.OffsetDateTime.parse(r.date).toInstant)
+                catch { case scala.util.control.NonFatal(_) => null }
+              Some((r.targetUri, ts, httpBody(r.payload)))
+            } catch { case scala.util.control.NonFatal(_) => None }
           }
       }
-    }.toDF("url", "warc_date", "html")
-    parsed.select(col("url"),
-      to_timestamp(col("warc_date"), "yyyy-MM-dd'T'HH:mm:ssX").as("warc_ts"),
-      col("html"))
+    }
+    parsed.toDF("url", "warc_ts", "html")
   }
 }

@@ -386,7 +386,7 @@ class WaveLoopSpec extends AnyFunSuite {
     val urls = order.select("canonical_url").as[String].collect()
     assert(urls.length == urls.distinct.length)
     // manifest carries lineage
-    val m = java.nio.file.Files.readString(WaveLoop.manifestPath(root, 0))
+    val m = java.nio.file.Files.readString(java.nio.file.Paths.get(WaveLoop.manifestPath(root, 0)))
     assert(m.contains("\"lineage\"") && m.contains("\"scheduled\":20"))
   }
 
@@ -427,7 +427,7 @@ class WaveLoopSpec extends AnyFunSuite {
     assert(m1.where(col("status") === 200 && col("n_chars").isNull).count() == 0)
     assert(m1.where(col("status") === 404 && col("n_chars").isNotNull).count() == 0)
     // manifest totals match
-    val mf = java.nio.file.Files.readString(WaveLoop.manifestPath(root, 1))
+    val mf = java.nio.file.Files.readString(java.nio.file.Paths.get(WaveLoop.manifestPath(root, 1)))
     assert(mf.contains("\"fetched\":3") && mf.contains("\"missed\":2"), mf)
   }
 
@@ -461,7 +461,7 @@ class WaveLoopSpec extends AnyFunSuite {
     assert(deniedRows.length == 1 && deniedRows(0).getAs[String]("canonical_url").endsWith("/p/4"))
     assert(deniedRows(0).isNullAt(deniedRows(0).fieldIndex("n_chars")))
     assert(m.where(col("status") === 200).count() == 11)
-    val mf = java.nio.file.Files.readString(WaveLoop.manifestPath(root, 0))
+    val mf = java.nio.file.Files.readString(java.nio.file.Paths.get(WaveLoop.manifestPath(root, 0)))
     assert(mf.contains("\"denied\":1"), mf)
     // parseStats=false (the 100 TB setting): statuses survive, parse columns
     // are null for EVERY row — the metrics pass pays no second extract
@@ -535,7 +535,7 @@ class WaveLoopSpec extends AnyFunSuite {
     WaveLoop.run(spark, rootA, seeds, discover, maxWaves = 3)
     // simulate crash: run 2 waves, then delete wave-1 manifest (data remains)
     WaveLoop.run(spark, rootB, seeds, discover, maxWaves = 2)
-    java.nio.file.Files.delete(WaveLoop.manifestPath(rootB, 1))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(WaveLoop.manifestPath(rootB, 1)))
     // resume re-executes wave 1 (overwrite) and continues to wave 2
     WaveLoop.run(spark, rootB, seeds, discover, maxWaves = 3)
     assert(WaveLoop.committedWaves(rootB) == Seq(0, 1, 2))

@@ -220,7 +220,7 @@ class LedgerSpec extends AnyFunSuite {
     // crash: manifest of wave 1 deleted AFTER ledger append happened
     WaveLoop.run(spark, rootB, seeds, discover, maxWaves = 2,
       ledger = Some(new Ledger(spark, rootB + "/seenstate", buckets = 4)))
-    java.nio.file.Files.delete(WaveLoop.manifestPath(rootB, 1))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(WaveLoop.manifestPath(rootB, 1)))
     // resume with a FRESH Ledger instance (same root): wave 1 re-runs against
     // committed state only; the duplicate append is fenced by the wave column
     WaveLoop.run(spark, rootB, seeds, discover, maxWaves = 3,
