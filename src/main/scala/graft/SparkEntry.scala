@@ -775,6 +775,67 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    "q55_decontaminate" -> ((s, dir) => {
+      // eval-set n-gram decontamination (GPT-3 appendix C style): eval =
+      // first-15-token prefixes of every doc_id%10==3 document, so those
+      // docs contaminate PARTIALLY (prefix 8-grams hit, the rest don't);
+      // a universal 8-token boilerplate tail on every corpus doc AND the
+      // eval texts would mark the whole corpus contaminated — the
+      // doc-frequency cap (100) drops it inside the gate, which is the
+      // skew story at fixture scale. Counts + integer ppm only: exact in
+      // any engine.
+      val boiler = " zz quick brown fox jumps over lazy dog"
+      val corpus = docs(s, dir).select(col("doc_id"),
+        concat(col("text"), lit(boiler)).as("text"))
+      val evalSet = docs(s, dir).where(col("doc_id") % 10 === 3)
+        .select(concat(
+          concat_ws(" ", slice(filter(split(col("text"), "\\s+"), t => t =!= ""), 1, 15)),
+          lit(boiler)).as("eval_text"))
+      graft.dedup.Decontaminate
+        .contamination(corpus, "doc_id", "text", evalSet, "eval_text",
+          n = 8, maxDocFreq = 100)
+        .select(col("id").as("doc_id"), col("n_ngrams"), col("n_hit"), col("frac_ppm"))
+        .orderBy("doc_id")
+    }),
+
+    "q56_mixture_sample" -> ((s, dir) => {
+      // source-mixture reweighting: upsample src0/src1 2.5×, downsample
+      // src2/src3 to 0.25×, drop src4, keep the rest — deterministic
+      // hash-threshold decisions. The oracle u is an explicit LCG both
+      // engines compute bit-for-bit (the production u is uniformHash/
+      // xxhash64 — same operator, hash swapped for replayability); the
+      // fractional weights (.5/.25) are exact binary fractions so the
+      // u < frac(w) comparison has no float edge.
+      val u = pmod(col("doc_id") * 1103515245L + 12345L, lit(1000000L))
+        .cast("double") / 1000000.0d
+      graft.text.CorpusFilter.sampleBySource(
+          docs(s, dir).select(col("doc_id"), col("source")), "source",
+          Map("src0" -> 2.5, "src1" -> 2.5, "src2" -> 0.25, "src3" -> 0.25,
+            "src4" -> 0.0),
+          defaultWeight = 1.0, u = u)
+        .select(col("doc_id"), col("source"), col("copy"))
+        .orderBy("doc_id", "copy")
+    }),
+
+    "q57_pii_scrub" -> ((s, dir) => {
+      // PII redaction: emails / IPv4s / phones planted from doc_id, plus
+      // near-miss negatives (a 3-octet version string, a 5-3-4 digit group,
+      // a TLD-less address) that must survive unredacted. The pattern
+      // subset is Java-regex/RE2 compatible, so the oracle replays the
+      // exact regexp_replace chain.
+      val planted = concat(col("text"),
+        lit(" contact u"), col("doc_id").cast("string"), lit("@ex.org"),
+        lit(" ip 10.0."), (col("doc_id") % 256).cast("string"), lit(".7"),
+        lit(" call 555-"), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+        lit("-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" v1.2.3 12345-678-9012 not@an"))
+      graft.text.Pii.withRedactions(
+          docs(s, dir).select(col("doc_id"), planted.as("text")), "text")
+        .select(col("doc_id"), col("text_scrubbed"),
+          col("n_emails"), col("n_ips"), col("n_phones"))
+        .orderBy("doc_id")
+    }),
+
     "q50_indegree_priority" -> ((s, dir) => {
       // link-graph authority priority: planted edges point 3× per doc at
       // the low-id urls (dst = (doc_id*7 + j*13) mod 97) → in-degree count
@@ -1468,6 +1529,88 @@ object SparkEntry {
         |s3 AS (SELECT nodes.n, 0.15 + 0.85 * coalesce(c3.c, 0) AS score
         |       FROM nodes LEFT JOIN c3 USING (n))
         |SELECT n AS node, round(score, 6) AS score FROM s3 ORDER BY node""".stripMargin,
+
+    "q55_decontaminate" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text || ' zz quick brown fox jumps over lazy dog' AS text
+        |  FROM documents),
+        |ctok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM corpus),
+        |cg AS (
+        |  SELECT doc_id, CASE WHEN len(t) < 8 THEN CAST([] AS VARCHAR[])
+        |    ELSE list_distinct(list_transform(range(0, len(t) - 7),
+        |           i -> array_to_string(t[i+1:i+8], ' '))) END AS g
+        |  FROM ctok),
+        |etext AS (
+        |  SELECT array_to_string(
+        |      list_filter(string_split_regex(text, '\s+'), x -> x <> '')[1:15], ' ')
+        |    || ' zz quick brown fox jumps over lazy dog' AS text
+        |  FROM documents WHERE doc_id % 10 = 3),
+        |etok AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM etext),
+        |eg AS (
+        |  SELECT DISTINCT unnest(CASE WHEN len(t) < 8 THEN CAST([] AS VARCHAR[])
+        |    ELSE list_distinct(list_transform(range(0, len(t) - 7),
+        |           i -> array_to_string(t[i+1:i+8], ' '))) END) AS gram
+        |  FROM etok),
+        |cx AS (SELECT doc_id, unnest(g) AS gram FROM cg),
+        |m AS (SELECT cx.doc_id, cx.gram FROM cx JOIN eg USING (gram)),
+        |df AS (SELECT gram, count(*) AS d FROM m GROUP BY gram),
+        |kept AS (SELECT m.doc_id FROM m JOIN df USING (gram) WHERE df.d <= 100),
+        |hits AS (SELECT doc_id, count(*) AS n_hit FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, len(g) AS n_ngrams FROM cg)
+        |SELECT t.doc_id, CAST(t.n_ngrams AS BIGINT) AS n_ngrams,
+        |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+        |  CAST(CASE WHEN t.n_ngrams > 0
+        |       THEN (1000000 * coalesce(h.n_hit, 0)) // t.n_ngrams
+        |       ELSE 0 END AS BIGINT) AS frac_ppm
+        |FROM tot t LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q56_mixture_sample" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN source IN ('src0', 'src1') THEN 2.5
+        |         WHEN source IN ('src2', 'src3') THEN 0.25
+        |         WHEN source = 'src4' THEN 0.0
+        |         ELSE 1.0 END AS wt,
+        |    CAST((doc_id * 1103515245 + 12345) % 1000000 AS DOUBLE) / 1000000.0 AS u
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source,
+        |    CAST(floor(wt) + CASE WHEN u < wt - floor(wt) THEN 1 ELSE 0 END AS BIGINT)
+        |      AS copies
+        |  FROM w)
+        |SELECT doc_id, source, CAST(t.c AS BIGINT) AS copy
+        |FROM c, unnest([1, 2, 3]) AS t(c)
+        |WHERE t.c <= copies
+        |ORDER BY doc_id, copy""".stripMargin,
+
+    "q57_pii_scrub" ->
+      """WITH p AS (
+        |  SELECT doc_id, text
+        |    || ' contact u' || doc_id || '@ex.org'
+        |    || ' ip 10.0.' || (doc_id % 256) || '.7'
+        |    || ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+        |    || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |    || ' v1.2.3 12345-678-9012 not@an' AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(text,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS text_scrubbed,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS BIGINT) AS n_phones
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     "q50_indegree_priority" ->
       """WITH fr AS (SELECT 'u://' || doc_id AS url, doc_id AS seed_idx FROM documents),

@@ -67,4 +67,43 @@ object CorpusFilter {
       t: Thresholds = Thresholds()): DataFrame =
     withGate(docs, textCol, t).where(col("passed"))
       .select(docs.columns.map(col): _*)
+
+  /** Deterministic per-row uniform in [0, 1): `pmod(xxhash64(key, salt),
+    * 10^6) ∕ 10^6` — the production `u` for [[sampleBySource]]. Hash-based,
+    * not `rand()`: sampling decisions must be REPRODUCIBLE across retries,
+    * re-runs, and engines (a task retry that re-rolled rand() would emit a
+    * different corpus — silent nondeterminism in the training set).
+    */
+  def uniformHash(key: Column, salt: Long = 0L): Column =
+    pmod(xxhash64(key, lit(salt)), lit(1000000L)).cast("double") / 1000000.0d
+
+  /** Source-mixture sampling — the domain-reweighting step between quality
+    * gating and packing in a training-data pipeline (sample source A at 3×,
+    * B at 0.1×): each row is kept `floor(w)` times plus one more iff
+    * `u < frac(w)`, so E[copies] = w exactly, per source. Upsampled copies
+    * are numbered in `copy` (1..k) so downstream shuffling/packing can
+    * treat them as distinct rows.
+    *
+    * Shape: one projection + a row-local explode — no shuffle, no join, no
+    * driver participation; weights compile into a CASE column. Skew-free
+    * by construction (a 3× source emits 3 narrow rows per input row, it
+    * does not hot-key anything). `u` must be a deterministic per-row
+    * uniform — [[uniformHash]] over the row's id is the production choice;
+    * it is a parameter so callers control the hash domain (and oracles can
+    * replay the arithmetic in any engine).
+    */
+  def sampleBySource(docs: DataFrame, sourceCol: String,
+      weights: Map[String, Double], defaultWeight: Double, u: Column): DataFrame = {
+    require(defaultWeight >= 0 && weights.values.forall(_ >= 0),
+      "sampling weights must be non-negative")
+    val w = weights.foldLeft(lit(defaultWeight)) { case (acc, (k, v)) =>
+      when(col(sourceCol) === k, lit(v)).otherwise(acc)
+    }
+    docs
+      .withColumn("_copies",
+        (floor(w) + when(u < (w - floor(w)), 1.0d).otherwise(0.0d)).cast("long"))
+      .where(col("_copies") >= 1L) // filter FIRST: sequence(1, 0) counts DOWN
+      .withColumn("copy", explode(sequence(lit(1L), col("_copies"))))
+      .drop("_copies")
+  }
 }

@@ -1,0 +1,232 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.dedup.Decontaminate
+import graft.text.{CorpusFilter, Pii}
+import graft.sources.Warc
+
+class DecontaminateSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val a = "one two three four five six seven eight nine ten"
+  private val b = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+  test("planted overlap: exact counts and ppm") {
+    val corpus = Seq((1L, a), (2L, b)).toDF("id", "text")
+    val eval = Seq("three four five six seven").toDF("eval_text")
+    val out = Decontaminate.contamination(corpus, "id", "text", eval, "eval_text", n = 3)
+      .orderBy("id").collect()
+    // a: 8 trigrams, 3 hit ("three four five","four five six","five six seven")
+    assert(out(0).getAs[Long]("n_ngrams") == 8)
+    assert(out(0).getAs[Long]("n_hit") == 3)
+    assert(out(0).getAs[Long]("frac_ppm") == 375000L)
+    // b: disjoint vocabulary
+    assert(out(1).getAs[Long]("n_hit") == 0)
+    assert(out(1).getAs[Long]("frac_ppm") == 0L)
+  }
+
+  test("texts shorter than n yield zero ngrams, zero ppm (no descending sequence)") {
+    val corpus = Seq((1L, "just two")).toDF("id", "text")
+    val eval = Seq("just two").toDF("eval_text")
+    val r = Decontaminate.contamination(corpus, "id", "text", eval, "eval_text", n = 13)
+      .collect()(0)
+    assert(r.getAs[Long]("n_ngrams") == 0 && r.getAs[Long]("n_hit") == 0
+      && r.getAs[Long]("frac_ppm") == 0)
+  }
+
+  test("doc-frequency cap drops boilerplate grams (the skew/precision gate)") {
+    // a 3-token boilerplate suffix shared by ALL corpus docs and the eval
+    // set: exactly the license-header shape the cap exists for
+    val boiler = " common legal footer"
+    val corpus = Seq.tabulate(50)(i => (i.toLong, s"w${i}a w${i}b w${i}c$boiler"))
+      .toDF("id", "text")
+    val eval = Seq(s"unrelated eval query$boiler").toDF("eval_text")
+    val uncapped = Decontaminate.contamination(corpus, "id", "text", eval, "eval_text",
+      n = 3, maxDocFreq = 0)
+    // every doc contains the boiler trigram → everything looks contaminated
+    assert(uncapped.where(col("n_hit") > 0).count() == 50)
+    val capped = Decontaminate.contamination(corpus, "id", "text", eval, "eval_text",
+      n = 3, maxDocFreq = 10)
+    // df(boiler gram) = 50 > 10 → dropped inside the gate
+    assert(capped.where(col("n_hit") > 0).count() == 0)
+  }
+
+  test("killList honors minHits") {
+    val corpus = Seq((1L, a), (2L, b)).toDF("id", "text")
+    val eval = Seq("three four five six seven").toDF("eval_text")
+    assert(Decontaminate.killList(corpus, "id", "text", eval, "eval_text", n = 3)
+      .collect().map(_.getAs[Long]("id")).toSeq == Seq(1L))
+    assert(Decontaminate.killList(corpus, "id", "text", eval, "eval_text", n = 3,
+      minHits = 4L).count() == 0)
+  }
+
+  test("eval side broadcasts; no cartesian anywhere") {
+    val corpus = Seq((1L, a), (2L, b)).toDF("id", "text")
+    val eval = Seq("three four five six seven").toDF("eval_text")
+    val plan = Decontaminate.contamination(corpus, "id", "text", eval, "eval_text", n = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+}
+
+class MixtureSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def u = CorpusFilter.uniformHash(col("id"), salt = 42L)
+
+  test("integer weights are exact copy counts; zero weight drops") {
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "c")).toDF("id", "source")
+    val out = CorpusFilter.sampleBySource(docs, "source",
+      Map("a" -> 3.0, "b" -> 0.0), defaultWeight = 1.0, u = u)
+    val bySource = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySource("a") == 6) // 2 docs × exactly 3 copies
+    assert(!bySource.contains("b")) // dropped
+    assert(bySource("c") == 1)
+    // copies are numbered 1..k
+    assert(out.where(col("id") === 1L).select("copy").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("fractional weights keep E[copies] = w and are deterministic") {
+    val docs = spark.range(10000).select(col("id"), lit("s").as("source"))
+    val out = CorpusFilter.sampleBySource(docs, "source", Map("s" -> 0.25),
+      defaultWeight = 1.0, u = u)
+    val n = out.count()
+    assert(math.abs(n - 2500.0) < 150, s"kept $n of 10000 at w=0.25")
+    // deterministic: same input, same u, same decisions
+    val again = CorpusFilter.sampleBySource(docs, "source", Map("s" -> 0.25),
+      defaultWeight = 1.0, u = u)
+    assert(again.select("id").except(out.select("id")).count() == 0)
+    assert(out.select("id").except(again.select("id")).count() == 0)
+  }
+
+  test("one narrow projection: no shuffle, no join in the plan") {
+    val docs = spark.range(100).select(col("id"), lit("s").as("source"))
+    val plan = CorpusFilter.sampleBySource(docs, "source", Map("s" -> 2.5),
+      defaultWeight = 1.0, u = u).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+}
+
+class PiiSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def scrubOne(s: String): String =
+    Seq(s).toDF("t").select(Pii.scrub(col("t")).as("r")).collect()(0).getString(0)
+
+  test("each category redacts; counts match") {
+    val t = "mail a.b+c@ex-site.org or 10.0.3.7 or 555-867-5309 end"
+    assert(scrubOne(t) == "mail <EMAIL> or <IP> or <PHONE> end")
+    val r = Pii.withRedactions(Seq((1L, t)).toDF("id", "text"), "text").collect()(0)
+    assert(r.getAs[Long]("n_emails") == 1 && r.getAs[Long]("n_ips") == 1
+      && r.getAs[Long]("n_phones") == 1)
+  }
+
+  test("planted negatives survive: version strings, 5-3-4 digits, TLD-less address") {
+    for (neg <- Seq("v1.2.3", "12345-678-9012", "not@an", "1.2.3.4567", "55-867-5309"))
+      assert(scrubOne(s"keep $neg here") == s"keep $neg here", neg)
+  }
+
+  test("idempotence: scrub(scrub(x)) == scrub(x) on adversarial inputs") {
+    val inputs = Seq(
+      "a@b.co 1.2.3.4 555-123-4567",
+      "<EMAIL> already scrubbed",
+      "x@y.zz@w.vv", // overlapping candidates
+      "999.999.999.999 000-000-0000")
+    for (t <- inputs) {
+      val once = scrubOne(t)
+      assert(scrubOne(once) == once, t)
+    }
+  }
+}
+
+class WarcFilesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val date = "2024-03-01T12:30:00Z"
+
+  test("pagesFromFiles reads a directory of .warc.gz files; malformed file contained") {
+    val dir = java.nio.file.Files.createTempDirectory("warcdir")
+    def fileOf(urls: Seq[String]): Array[Byte] =
+      Warc.writeFileGz(
+        Warc.writeRecord("warcinfo", "", date, "software: graft\r\n".getBytes("UTF-8")) +:
+          urls.map(u => Warc.writeRecord("response", u, date, s"<p>$u</p>".getBytes("UTF-8"))))
+    java.nio.file.Files.write(dir.resolve("a.warc.gz"),
+      fileOf(Seq("http://a.test/1", "http://a.test/2")))
+    java.nio.file.Files.write(dir.resolve("b.warc.gz"), fileOf(Seq("http://b.test/1")))
+    java.nio.file.Files.write(dir.resolve("junk.warc.gz"), "not a warc".getBytes)
+    java.nio.file.Files.write(dir.resolve("ignored.txt"), "skip me".getBytes)
+    val pages = Warc.pagesFromFiles(spark, dir.toString)
+    val rows = pages.orderBy("url").collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("http://a.test/1", "http://a.test/2", "http://b.test/1"))
+    assert(rows.forall(r => new String(r.getAs[Array[Byte]]("html"), "UTF-8")
+      .startsWith("<p>http://")))
+    assert(rows.forall(!_.isNullAt(1))) // warc_ts parsed
+  }
+
+  test("WARC-Date variants parse inside containment: fractional seconds, offsets, garbage") {
+    import spark.implicits._
+    val recs = Seq(
+      Warc.writeRecord("response", "http://a.test/frac", "2024-01-01T00:00:00.123Z", "x".getBytes),
+      Warc.writeRecord("response", "http://a.test/off", "2024-01-01T05:30:00+05:30", "x".getBytes),
+      Warc.writeRecord("response", "http://a.test/bad", "yesterday-ish", "x".getBytes))
+    val blobs = Seq(Warc.writeFile(recs)).toDF("warc")
+    val out = Warc.pages(blobs).orderBy("url").collect()
+    assert(out.length == 3) // no task failure, no dropped rows
+    val byUrl = out.map(r => r.getString(0) -> r).toMap
+    assert(!byUrl("http://a.test/frac").isNullAt(1))
+    // +05:30 offset resolves to the same instant as midnight UTC
+    assert(byUrl("http://a.test/off").getTimestamp(1).toInstant
+      == java.time.Instant.parse("2024-01-01T00:00:00Z"))
+    assert(byUrl("http://a.test/bad").isNullAt(1)) // unparseable → null, row kept
+  }
+
+  test("record IDs are unique across distinct URIs and dates") {
+    def idOf(rec: Array[Byte]): String = {
+      val s = new String(rec, "US-ASCII")
+      "WARC-Record-ID: <([^>]+)>".r.findFirstMatchIn(s).get.group(1)
+    }
+    val ids = Seq(
+      idOf(Warc.writeRecord("response", "http://a.test/1", date, "x".getBytes)),
+      idOf(Warc.writeRecord("response", "http://a.test/2", date, "x".getBytes)),
+      idOf(Warc.writeRecord("response", "http://a.test/1", "2025-01-01T00:00:00Z", "x".getBytes)),
+      idOf(Warc.writeRecord("request", "http://a.test/1", date, "x".getBytes)))
+    assert(ids.distinct.length == ids.length, ids)
+  }
+}
+
+class WavBoundsSpec extends AnyFunSuite {
+  test("crafted chunk length near Int.MaxValue rejects cleanly (Long bound math)") {
+    val good = graft.multimodal.Wav.encode(8000, 1, Array[Short](1, 2, 3, 4))
+    // corrupt the fmt chunk length field (offset 16..19) to a huge value
+    val evil = good.clone()
+    val len = Int.MaxValue - 4
+    evil(16) = (len & 0xff).toByte
+    evil(17) = ((len >> 8) & 0xff).toByte
+    evil(18) = ((len >> 16) & 0xff).toByte
+    evil(19) = ((len >> 24) & 0xff).toByte
+    val e = intercept[IllegalArgumentException](graft.multimodal.Wav.decode(evil))
+    assert(e.getMessage.contains("truncated"), e.getMessage)
+  }
+}
+
+class PackIntColSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("INT order/value columns work (documented 'integral', not just LONG)") {
+    val df = spark.range(100).select(
+      col("id").cast("int").as("ord"), lit(7).cast("int").as("toks"))
+    val out = graft.pipeline.Pack.packByTokenBudget(df, "ord", "toks", budget = 64L)
+    assert(out.count() == 100)
+    val r = out.where(col("ord") === 10).collect()(0)
+    assert(r.getAs[Long]("bin_start") == 70L / 64L)
+  }
+}
