@@ -775,6 +775,43 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    "q58_authority_schedule" -> ((s, dir) => {
+      // the WaveLoop authority channel's arithmetic, composed end to end at
+      // fixture scale: PageRank over the planted q54 graph → rank-based
+      // priority (integer, deterministic at the q54 round(…,6) contract) →
+      // packed priorityOrderKey → the salted politeness schedule. This is
+      // the oracle twin of WaveLoop(edgesOf=…) — high-authority urls fetch
+      // first within each host, discovery order breaks ties.
+      val edges = docs(s, dir)
+        .select(col("doc_id").as("src"), explode(sequence(lit(0L), lit(2L))).as("j"))
+        .select(col("src"), ((col("src") * 7 + col("j") * 13) % 211).as("dst"))
+      val pri = graft.frontier.Rank.pageRank(edges, iters = 3)
+        .select(col("node"), round(col("score"), 6).as("score"))
+        .withColumn("priority",
+          // FIXTURE-ONLY global rank (≤ |nodes| rows): production packs
+          // floor(score×100) directly — see WaveLoop's authority join
+          row_number().over(Window.orderBy(col("score").asc, col("node").asc))
+            .cast("long"))
+        .select(col("node").as("target"), col("priority"))
+      val f = Seen.withUrlKeys(frontier(s, dir))
+        .select("canonical_url", "host_rev", "seed_idx")
+        .join(pri, col("seed_idx") === col("target"), "left")
+        .withColumn("priority", coalesce(col("priority"), lit(0L)))
+        .withColumn("order_key",
+          Scheduler.priorityOrderKey(col("priority"), col("seed_idx")))
+        .drop("target")
+      Scheduler.schedule(f, gapSeconds = 3L, salted = true, orderCol = "order_key")
+        .withColumn("fetch_seq",
+          // FIXTURE-ONLY total order (sf oracle scale): a global unpartitioned
+          // window is a single-task sort — never copy into a production path;
+          // the production rank is Scheduler.perHostRankSalted.
+          row_number().over(Window.orderBy(col("slot"), col("host_rev"), col("order_key")))
+            .cast("long"))
+        .select(col("fetch_seq"), col("slot"), col("host_rev"), col("canonical_url"),
+          col("seed_idx"), col("priority"), col("host_pos"))
+        .orderBy("fetch_seq")
+    }),
+
     "q55_decontaminate" -> ((s, dir) => {
       // eval-set n-gram decontamination (GPT-3 appendix C style): eval =
       // first-15-token prefixes of every doc_id%10==3 document, so those
@@ -1529,6 +1566,42 @@ object SparkEntry {
         |s3 AS (SELECT nodes.n, 0.15 + 0.85 * coalesce(c3.c, 0) AS score
         |       FROM nodes LEFT JOIN c3 USING (n))
         |SELECT n AS node, round(score, 6) AS score FROM s3 ORDER BY node""".stripMargin,
+
+    "q58_authority_schedule" ->
+      """WITH e AS (SELECT doc_id AS src, (doc_id*7 + j*13) % 211 AS dst
+        |           FROM documents, unnest([0, 1, 2]) AS t(j)),
+        |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        |nodes AS (SELECT src AS n FROM e UNION SELECT dst FROM e),
+        |s0 AS (SELECT n, CAST(1.0 AS DOUBLE) AS score FROM nodes),
+        |c1 AS (SELECT e.dst AS n, sum(s0.score / deg.outdeg) AS c
+        |       FROM e JOIN deg USING (src) JOIN s0 ON s0.n = e.src GROUP BY e.dst),
+        |s1 AS (SELECT nodes.n, 0.15 + 0.85 * coalesce(c1.c, 0) AS score
+        |       FROM nodes LEFT JOIN c1 USING (n)),
+        |c2 AS (SELECT e.dst AS n, sum(s1.score / deg.outdeg) AS c
+        |       FROM e JOIN deg USING (src) JOIN s1 ON s1.n = e.src GROUP BY e.dst),
+        |s2 AS (SELECT nodes.n, 0.15 + 0.85 * coalesce(c2.c, 0) AS score
+        |       FROM nodes LEFT JOIN c2 USING (n)),
+        |c3 AS (SELECT e.dst AS n, sum(s2.score / deg.outdeg) AS c
+        |       FROM e JOIN deg USING (src) JOIN s2 ON s2.n = e.src GROUP BY e.dst),
+        |s3 AS (SELECT nodes.n, 0.15 + 0.85 * coalesce(c3.c, 0) AS score
+        |       FROM nodes LEFT JOIN c3 USING (n)),
+        |rnk AS (SELECT n AS target,
+        |          CAST(row_number() OVER (ORDER BY round(score, 6) ASC, n ASC)
+        |            AS BIGINT) AS priority
+        |        FROM s3),
+        |f AS (SELECT 'http://' || source || '.test/docs/' || doc_id AS canonical_url,
+        |             'test.' || source AS host_rev, doc_id AS seed_idx,
+        |             CAST(coalesce(priority, 0) AS BIGINT) AS priority,
+        |             (1048575 - least(CAST(coalesce(priority, 0) AS BIGINT), 1048575))
+        |               * 1099511627776 + doc_id AS okey
+        |      FROM documents LEFT JOIN rnk ON doc_id = target),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY host_rev ORDER BY okey)
+        |        AS BIGINT) AS host_pos FROM f)
+        |SELECT CAST(row_number() OVER (ORDER BY (host_pos - 1) * 3, host_rev, okey)
+        |         AS BIGINT) AS fetch_seq,
+        |       (host_pos - 1) * 3 AS slot, host_rev, canonical_url, seed_idx,
+        |       priority, host_pos
+        |FROM r ORDER BY fetch_seq""".stripMargin,
 
     "q55_decontaminate" ->
       """WITH corpus AS (

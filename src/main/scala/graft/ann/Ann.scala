@@ -278,15 +278,31 @@ object Ann {
     * bounded by construction, never by data volume).
     */
   def ivfWriteIndex(corpus: DataFrame, idCol: String, vecCol: String,
-      root: String, nlist: Int = 16, iters: Int = 8): Unit = {
+      root: String, nlist: Int = 16, iters: Int = 8,
+      quantize: Boolean = false): Unit = {
     val spark = corpus.sparkSession
     val centroids = kmeansCentroids(corpus, idCol, vecCol, nlist, iters)
     val cents = new IvfCentroids(spark.sparkContext.broadcast(centroids))
     val cellOf = Bridge.column(
       graft.functions.IvfCells(cents, Bridge.expression(col("vec")), 1))
-    corpus
+    val assigned = corpus
       .select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("ivf_cell", element_at(cellOf, 1))
+    // quantize=true stores PACKED int8 vectors (qvec_bin BINARY + qscale)
+    // instead of floats — a real ~4× smaller index: tinyint ARRAYS would be
+    // written at Parquet's INT32 physical width (measured: no size win),
+    // while the byte-per-component BINARY keeps the cut. Probes rank on the
+    // int8 components directly (cosine scale-invariance via the codegen'd
+    // cosine_int8 — see [[quantizeInt8]]); CELL ASSIGNMENT uses the float
+    // vectors either way, so both layouts probe the same cells.
+    // [[ivfTopKIndexed]] detects the layout from the stored schema.
+    val stored =
+      if (quantize)
+        quantizeInt8(assigned, "vec")
+          .select(col("id"), graft.functions.pack_int8(col("qvec")).as("qvec_bin"),
+            col("qscale"), col("ivf_cell"))
+      else assigned
+    stored
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("ivf_cell").parquet(s"$root/cells")
     val json = centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
@@ -325,11 +341,20 @@ object Ann {
     // probed cell ids: ≤ nlist ints no matter the query count — safe to
     // collect, and the isin becomes a PARTITION filter on the cells scan
     val probed = q.select("ivf_cell").distinct().collect().map(_.getInt(0)).toSeq
-    val c = spark.read.parquet(s"$root/cells")
+    val cellsAll = spark.read.parquet(s"$root/cells")
+    // int8 layout (see ivfWriteIndex(quantize = true)): score the packed
+    // bytes directly with the codegen'd cosine_int8 — cosine is
+    // scale-invariant, so no dequantization and no per-row scale read
+    val quantized = cellsAll.columns.contains("qvec_bin")
+    val vecExpr = if (quantized) col("qvec_bin") else col("vec")
+    val c = cellsAll
       .where(col("ivf_cell").isin(probed: _*))
-      .select(col("ivf_cell"), col("id").as("nn_id"), col("vec").as("cv_raw"))
+      .select(col("ivf_cell"), col("id").as("nn_id"), vecExpr.as("cv_raw"))
+    val scoreExpr =
+      if (quantized) graft.functions.cosine_int8(col("cv_raw"), asDouble(col("qv_raw")))
+      else cosineCol(asDouble(col("qv_raw")), asDouble(col("cv_raw")))
     val scored = q.join(c, "ivf_cell")
-      .withColumn("cosine", cosineCol(asDouble(col("qv_raw")), asDouble(col("cv_raw"))))
+      .withColumn("cosine", scoreExpr)
       .select(col("q_id"), col("nn_id"), col("cosine"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("nn_id"))
     scored

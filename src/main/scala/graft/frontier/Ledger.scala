@@ -43,7 +43,8 @@ final class Ledger(
     val expectedPerBucket: Long = 1 << 16,
     val fpp: Double = 1e-2,
     val maxBankBytes: Long = 256L << 20,
-    val compactEvery: Int = 8) extends Serializable {
+    val compactEvery: Int = 8,
+    val bankSingleFileBytes: Long = 64L << 20) extends Serializable {
 
   import Ledger._
 
@@ -125,6 +126,18 @@ final class Ledger(
 
   private def bloomDir(wave: Int) = s"$root/blooms/wave=$wave"
 
+  /** Serialized bytes of one EMPTY per-bucket bloom — the bank-size
+    * estimator's unit when no previous bank exists (a bloom's serialized
+    * size is its bit array, fixed by (expectedPerBucket, fpp) regardless
+    * of fill, so this is the right order of magnitude pre-compression).
+    */
+  private lazy val emptyBloomBytes: Long = {
+    val out = new java.io.ByteArrayOutputStream()
+    org.apache.spark.util.sketch.BloomFilter
+      .create(math.max(expectedPerBucket, 1024L), fpp).writeTo(out)
+    out.size().toLong
+  }
+
   private def bucketOf(c: Column): Column = pmod(c, lit(buckets)).cast("int")
 
   /** Latest materialized bloom state at or before `wave` (committed waves
@@ -167,13 +180,24 @@ final class Ledger(
         spark.read.parquet(bloomDir(prev)).unionByName(deltaBlooms)
           .groupBy("bucket").agg(bloom_merge_agg(col("bloom")).as("bloom"))
     }
-    // one FILE per bucket (dir partitioned by bucket): the merge itself is
-    // parallel, and a coalesce(1) here would funnel the whole bank — tens
-    // of GB at 10^10 keys — through ONE serializing task every wave. The
-    // partition layout also lets a selective reader load only its buckets;
-    // filterUnseen's broadcast path still reads the full bank in one scan.
-    merged.repartition(col("bucket"))
-      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(bloomDir(wave))
+    // SIZE-ADAPTIVE layout. Big bank (estimated > bankSingleFileBytes):
+    // one FILE per bucket (dir partitioned by bucket) — the merge stays
+    // parallel (a coalesce(1) would funnel tens of GB at 10^10 keys through
+    // ONE serializing task every wave) and a selective reader loads only
+    // its buckets. Small bank: ONE file — the per-bucket layout costs
+    // ~`buckets` extra file commits per wave, pure overhead when the whole
+    // bank is a few MB (measured: it cost WaveBench ~10% end-to-end).
+    // Readers are layout-blind: both forms surface (bucket, bloom) rows.
+    // The estimate reads file METADATA of the previous bank (or sizes one
+    // empty serialized bloom when there is none) — never the data.
+    val estBank = prevOpt.map(w => graft.core.Fs.treeBytes(bloomDir(w), ".parquet"))
+      .getOrElse(buckets.toLong * emptyBloomBytes)
+    if (estBank <= bankSingleFileBytes)
+      merged.coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(bloomDir(wave))
+    else
+      merged.repartition(col("bucket"))
+        .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(bloomDir(wave))
     // GC: each bank is FULL state (tens of GB at 10^10 keys), so stale wave
     // dirs accumulate unboundedly on a long crawl. Keep one predecessor for
     // crash-resume (a crash before this wave's manifest re-runs against it),

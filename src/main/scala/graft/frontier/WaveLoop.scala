@@ -90,6 +90,18 @@ object WaveLoop {
     *                    never speed it past it. State crosses waves only via
     *                    the metrics files, like everything else in the loop.
     */
+  /* Authority channel (`edgesOf`): scheduled wave → (src, dst) link
+   * edges, persisted per wave under `edges/wave=K` (hashed to canonical
+   * url_hash longs); every `rankEvery` waves the loop recomputes
+   * [[Rank.pageRank]] over ALL committed edges, and later waves schedule
+   * by [[Scheduler.priorityOrderKey]](floor(score × 100), seed_idx) —
+   * high-authority urls fetch first within each host, discovery order
+   * breaks ties. Scores cross waves only via storage (`rank/scores`),
+   * like every other piece of loop state; a half-written score table (no
+   * `_SUCCESS`) degrades to plain discovery order, never to a broken
+   * wave. Production pairs this with a link extractor sharing
+   * [[Discover.fromPages]]'s join; tests inject synthetic edges.
+   */
   def run(
       spark: SparkSession,
       root: String,
@@ -103,7 +115,10 @@ object WaveLoop {
       fullRules: Option[Robots.FullRules] = None,
       metricsParseStats: Boolean = true,
       adaptiveBackoff: Option[(Long, Int)] = None,
-      refreshAfter: Option[Int] = None): Seq[WaveResult] = {
+      refreshAfter: Option[Int] = None,
+      edgesOf: Option[DataFrame => DataFrame] = None,
+      rankEvery: Int = 4,
+      rankIters: Int = 3): Seq[WaveResult] = {
 
     require(refreshAfter.forall(_ => ledger.nonEmpty),
       "refreshAfter needs a ledger (last-fetch age lives in the ledger's wave column)")
@@ -218,8 +233,28 @@ object WaveLoop {
         case (Some(r), Some(a)) => Some(greatest(r, a))
         case (r, a) => r.orElse(a)
       }
+      // authority priority: the latest committed PageRank scores (if the
+      // channel is on and a refresh has completed) join by url_hash and
+      // pack into the salted scheduler's integral order key. The range
+      // hint only applies to the plain seed_idx order — the packed key's
+      // range is computed by the scheduler itself.
+      val authority = edgesOf
+        .filter(_ => Fs.exists(s"$root/rank/scores/_SUCCESS"))
+        .map(_ => spark.read.parquet(s"$root/rank/scores")
+          .select(col("node").as("url_hash"),
+            floor(col("score") * 100.0d).cast("long").as("_auth")))
+      val (toScheduleAuth, schedOrderCol, schedRange) = authority match {
+        case Some(sc) =>
+          (toSchedule.join(sc, Seq("url_hash"), "left")
+            .withColumn("order_key",
+              Scheduler.priorityOrderKey(coalesce(col("_auth"), lit(0L)), col("seed_idx")))
+            .drop("_auth"),
+            "order_key", None)
+        case None => (toSchedule, "seed_idx", range)
+      }
       val scheduled = Scheduler.schedule(
-        toSchedule, gapSeconds, salted = true, orderKeyRange = range, gapCol = gapCol)
+        toScheduleAuth, gapSeconds, salted = true, orderKeyRange = schedRange,
+        gapCol = gapCol, orderCol = schedOrderCol)
 
       // wave data writes (overwrite → idempotent re-run of an uncommitted wave)
       scheduled
@@ -230,6 +265,25 @@ object WaveLoop {
 
       val next = discover(spark.read.parquet(s"$root/schedule/wave=$wave"))
       next.write.mode(SaveMode.Overwrite).parquet(s"$root/next/wave=$wave")
+
+      // authority channel: persist this wave's edges (canonical-hash longs,
+      // 16 B/row — the PageRank wire format), refresh the scores every
+      // rankEvery waves over ALL edges so far. Both writes are overwrite →
+      // idempotent on crash-resume of an uncommitted wave; the scores table
+      // is only trusted once its _SUCCESS exists.
+      edgesOf.foreach { ef =>
+        ef(spark.read.parquet(s"$root/schedule/wave=$wave"))
+          .select(
+            xxhash64(graft.functions.canonicalize_url(col("src"))).as("src"),
+            xxhash64(graft.functions.canonicalize_url(col("dst"))).as("dst"))
+          .write.mode(SaveMode.Overwrite).parquet(s"$root/edges/wave=$wave")
+        if ((wave + 1) % math.max(1, rankEvery) == 0) {
+          val dirs = (0 to wave).map(w => s"$root/edges/wave=$w").filter(Fs.exists)
+          val edges = dirs.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+          Rank.pageRank(edges, iters = rankIters)
+            .write.mode(SaveMode.Overwrite).parquet(s"$root/rank/scores")
+        }
+      }
 
       // ledger + bloom state BEFORE the manifest (the commit point): a crash
       // here re-appends on resume — harmless, the wave column fences it

@@ -76,6 +76,37 @@ object Impl {
 
   def srpBucket(v: ArrayData, bits: Int, seed: Int, elemIsDouble: Boolean): Int =
     SrpEval.bucket(v, bits, seed, elemIsDouble)
+
+  /** ARRAY<TINYINT> → packed binary, one byte per component (the DISK form
+    * of an int8 embedding — Parquet stores tinyint arrays at INT32 physical
+    * width, which silently gives back the 4× the quantization won).
+    */
+  def packInt8(v: ArrayData): Array[Byte] = v.toByteArray()
+
+  /** cosine(packed-int8 vector, float/double query). Sequential double
+    * accumulation (deterministic); cosine's scale-invariance is what lets
+    * the int8 components rank DIRECTLY, no dequantization.
+    */
+  def cosineInt8(bin: Array[Byte], q: ArrayData, elemIsDouble: Boolean): Double = {
+    val n = math.min(bin.length, q.numElements())
+    var dot = 0.0d
+    var i = 0
+    while (i < n) {
+      val x = if (elemIsDouble) q.getDouble(i) else q.getFloat(i).toDouble
+      dot += bin(i).toDouble * x
+      i += 1
+    }
+    var nb = 0.0d; i = 0
+    while (i < bin.length) { val b = bin(i).toDouble; nb += b * b; i += 1 }
+    var nq = 0.0d; i = 0
+    val m = q.numElements()
+    while (i < m) {
+      val x = if (elemIsDouble) q.getDouble(i) else q.getFloat(i).toDouble
+      nq += x * x; i += 1
+    }
+    if (nb == 0.0d || nq == 0.0d) 0.0d
+    else dot / (math.sqrt(nb) * math.sqrt(nq))
+  }
 }
 
 /** Sign-random-projection bucketing with the ±1 hyperplane matrix
@@ -682,6 +713,38 @@ case class SrpBucket(child: Expression, bits: Int, seed: Int)
   override protected def withNewChildInternal(c: Expression): SrpBucket =
     copy(child = c)
   override def prettyName: String = "srp_bucket"
+}
+
+/** ARRAY<TINYINT> → BINARY byte-per-component packing ([[Impl.packInt8]]);
+  * codegen'd, no UDF.
+  */
+case class PackInt8(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any = Impl.packInt8(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Impl.packInt8($c)")
+  override protected def withNewChildInternal(c: Expression): PackInt8 = copy(child = c)
+  override def prettyName: String = "pack_int8"
+}
+
+/** cosine(packed-int8 BINARY, ARRAY<FLOAT|DOUBLE>) → DOUBLE
+  * ([[Impl.cosineInt8]]); the probe-side scorer of the int8 IVF layout.
+  */
+case class CosineInt8(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  private def elemIsDouble: Boolean = right.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  override def nullSafeEval(b: Any, q: Any): Any =
+    Impl.cosineInt8(b.asInstanceOf[Array[Byte]], q.asInstanceOf[ArrayData], elemIsDouble)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, q) => s"graft.functions.Impl.cosineInt8($b, $q, $elemIsDouble)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineInt8 =
+    copy(left = l, right = r)
+  override def prettyName: String = "cosine_int8"
 }
 
 /** IVF cell probe: ARRAY<FLOAT|DOUBLE> vector → the `nProbe` nearest

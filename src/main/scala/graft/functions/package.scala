@@ -112,6 +112,13 @@ package object functions {
   def srp_bucket(vec: Column, bits: Int, seed: Int = 7): Column =
     col(SrpBucket(expr(vec), bits, seed))
 
+  /** ARRAY<TINYINT> → packed BINARY (byte per component) — int8 disk form. */
+  def pack_int8(vec: Column): Column = col(PackInt8(expr(vec)))
+
+  /** cosine(packed-int8 BINARY, ARRAY<FLOAT|DOUBLE> query) → DOUBLE. */
+  def cosine_int8(bin: Column, vec: Column): Column =
+    col(CosineInt8(expr(bin), expr(vec)))
+
   /** robots.txt body → Crawl-delay in whole seconds (or the default) for the
     * agent — per-row parser surface; crawls parse once into broadcast
     * [[graft.frontier.Robots.FullRules]] instead.

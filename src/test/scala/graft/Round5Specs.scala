@@ -230,3 +230,137 @@ class PackIntColSpec extends AnyFunSuite {
     assert(r.getAs[Long]("bin_start") == 70L / 64L)
   }
 }
+
+class QuantizedIvfSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def corpus = {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(23)
+    // big enough that vector DATA dominates parquet footer overhead (16
+    // cell files × ~4 KB metadata) — the size assertion measures the
+    // layout, not the footers
+    (0 until 2000).map { i =>
+      val center = i % 8
+      val mag = 0.5f + (i % 5) * 0.7f
+      (i.toLong, Array.tabulate(128)(d =>
+        (math.sin(center * 31 + d) + rnd.nextGaussian() * 0.05).toFloat * mag))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("int8 persisted index: ~4x smaller on disk, same cells, high recall vs float index") {
+    val s = spark
+    import s.implicits._
+    val v = corpus
+    val q = v.where(col("vec_id") < 10)
+    val rootF = java.nio.file.Files.createTempDirectory("ivff").toString
+    val rootQ = java.nio.file.Files.createTempDirectory("ivfq").toString
+    graft.ann.Ann.ivfWriteIndex(v, "vec_id", "embedding", rootF, nlist = 16)
+    graft.ann.Ann.ivfWriteIndex(v, "vec_id", "embedding", rootQ, nlist = 16,
+      quantize = true)
+    // identical centroids → identical probed cells; the int8 layout stores
+    // tinyint components and must be well under half the float bytes
+    val bytesF = graft.core.Fs.treeBytes(s"$rootF/cells", ".parquet")
+    val bytesQ = graft.core.Fs.treeBytes(s"$rootQ/cells", ".parquet")
+    assert(bytesQ * 2 < bytesF, s"int8 cells $bytesQ vs float cells $bytesF")
+    val top = graft.ann.Ann.ivfTopKIndexed(q, rootF, "vec_id", "embedding", k = 5)
+      .select("q_id", "nn_id").as[(Long, Long)].collect().groupBy(_._1)
+    val topQ = graft.ann.Ann.ivfTopKIndexed(q, rootQ, "vec_id", "embedding", k = 5)
+      .select("q_id", "nn_id").as[(Long, Long)].collect().groupBy(_._1)
+    val overlap = (0L until 10L).map { qid =>
+      val a = top(qid).map(_._2).toSet
+      val b = topQ(qid).map(_._2).toSet
+      (a intersect b).size.toDouble / 5.0
+    }.sum / 10.0
+    assert(overlap >= 0.9, s"quantized top-k overlap $overlap")
+    // every query still finds itself at rank 1 through the int8 ranking
+    for (qid <- 0L until 10L) assert(topQ(qid).map(_._2).contains(qid))
+  }
+}
+
+class AuthorityLoopSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import graft.frontier.WaveLoop
+
+  test("PageRank authority reorders later waves: high-score url fetches first in-host") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("wavesauth").toString
+    val seeds = Seq(("http://h.test/s0", 0L), ("http://h.test/s1", 1L))
+      .toDF("url", "seed_idx")
+    // discovery order favors A (lower seed_idx); the link graph favors B:
+    // s0 → {B, A}, s1 → {B} ⇒ score(B) ≈ 1.42 > score(A) ≈ 0.58
+    val discover: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      wave =>
+        if (wave.where(col("canonical_url").contains("/s0")).count() > 0)
+          Seq(("http://h.test/a", 100L), ("http://h.test/b", 200L)).toDF("url", "seed_idx")
+        else wave.sparkSession.emptyDataFrame
+          .withColumn("url", lit("")).withColumn("seed_idx", lit(0L))
+          .select("url", "seed_idx")
+    val edgesOf: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      wave =>
+        if (wave.where(col("canonical_url").contains("/s0")).count() > 0)
+          Seq(("http://h.test/s0", "http://h.test/b"),
+            ("http://h.test/s0", "http://h.test/a"),
+            ("http://h.test/s1", "http://h.test/b")).toDF("src", "dst")
+        else Seq.empty[(String, String)].toDF("src", "dst")
+    val res = WaveLoop.run(spark, root, seeds, discover, maxWaves = 2,
+      edgesOf = Some(edgesOf), rankEvery = 1)
+    assert(res.length == 2 && res(1).scheduled == 2)
+    val w1 = spark.read.parquet(s"$root/schedule/wave=1")
+      .select("canonical_url", "host_pos").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(w1("http://h.test/b") == 1L, s"authority did not reorder: $w1")
+    assert(w1("http://h.test/a") == 2L, s"authority did not reorder: $w1")
+    // scores live in storage with a commit marker
+    assert(graft.core.Fs.exists(s"$root/rank/scores/_SUCCESS"))
+    // wave-0 ran BEFORE any scores existed: discovery order there
+    val w0 = spark.read.parquet(s"$root/schedule/wave=0")
+      .select("canonical_url", "host_pos").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(w0("http://h.test/s0") == 1L)
+  }
+}
+
+class BloomLayoutSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def delta(ids: Range) =
+    ids.map(i => (i.toLong, s"http://h.test/$i")).toDF("url_hash", "canonical_url")
+
+  test("size-adaptive bank: one file when small, per-bucket above threshold, same answers") {
+    import graft.frontier.Ledger
+    def files(root: String, wave: Int): Seq[String] = {
+      val dir = java.nio.file.Paths.get(root, "blooms", s"wave=$wave")
+      val st = java.nio.file.Files.walk(dir)
+      try {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        st.forEach(p => if (p.toString.endsWith(".parquet"))
+          out += dir.relativize(p).toString)
+        out.toSeq
+      } finally st.close()
+    }
+    val rootS = java.nio.file.Files.createTempDirectory("ledgerlayS").toString
+    val small = new Ledger(spark, rootS, buckets = 4)
+    small.append(delta(0 until 100), 0); small.writeBlooms(delta(0 until 100), 0)
+    assert(files(rootS, 0).size == 1, files(rootS, 0))
+    assert(!files(rootS, 0).head.contains("bucket="))
+    val rootB = java.nio.file.Files.createTempDirectory("ledgerlayB").toString
+    val big = new Ledger(spark, rootB, buckets = 4, bankSingleFileBytes = 0L)
+    big.append(delta(0 until 100), 0); big.writeBlooms(delta(0 until 100), 0)
+    assert(files(rootB, 0).forall(_.contains("bucket=")), files(rootB, 0))
+    assert(files(rootB, 0).size == 4)
+    // both layouts answer identically
+    val cand = delta(50 until 150)
+    val u1 = small.filterUnseen(cand, 0).select("url_hash").as[Long].collect().sorted.toSeq
+    val u2 = big.filterUnseen(cand, 0).select("url_hash").as[Long].collect().sorted.toSeq
+    assert(u1 == (100L until 150L).toSeq && u2 == u1)
+    // incremental merge reads a single-file predecessor fine
+    small.append(delta(100 until 120), 1); small.writeBlooms(delta(100 until 120), 1)
+    val u3 = small.filterUnseen(delta(90 until 130), 1)
+      .select("url_hash").as[Long].collect().sorted.toSeq
+    assert(u3 == (120L until 130L).toSeq)
+  }
+}
