@@ -154,5 +154,7 @@ package object functions {
     reg.createOrReplaceTempFunction("extract_links", es => ExtractLinks(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("resolve_url", es => ResolveUrl(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("repetition_stats", es => RepetitionStatsExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("pack_int8", es => PackInt8(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("cosine_int8", es => CosineInt8(es.head, es(1)), "scala_udf")
   }
 }

@@ -58,12 +58,16 @@ object Pack {
     val inSeg = bucketed.withColumn("_cum_in",
       coalesce(sum(col(valueCol)).over(wIn), lit(0L)))
     // ≤ `segments` rows: cumulate bucket totals into exclusive offsets.
-    // The window here is over the tiny aggregate, not the data.
+    // The window here is over the tiny aggregate, not the data; the
+    // constant partition key keeps the semantics (one partition) while
+    // silencing WindowExec's global-window warning — on a frame this
+    // size the warning is noise that buries real regressions in logs.
     val offsets = bucketed.groupBy(col("_seg"))
       .agg(sum(col(valueCol)).as("_n"))
       .withColumn("_offset",
         coalesce(sum(col("_n")).over(
-          Window.orderBy(col("_seg")).rowsBetween(Window.unboundedPreceding, -1)),
+          Window.partitionBy(lit(0)).orderBy(col("_seg"))
+            .rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
       .select(col("_seg"), col("_offset"))
     inSeg.join(broadcast(offsets), Seq("_seg"))
