@@ -300,7 +300,13 @@ object Bench {
       "token_packing" -> ((s: SparkSession, d: String) =>
         SparkEntry.queries("q49_token_packing")(s, d)),
       "warc_pages" -> ((s: SparkSession, d: String) =>
-        SparkEntry.queries("q51_warc_pages")(s, d)))
+        SparkEntry.queries("q51_warc_pages")(s, d)),
+      "decontaminate" -> ((s: SparkSession, d: String) =>
+        SparkEntry.queries("q55_decontaminate")(s, d)),
+      "pii_scrub" -> ((s: SparkSession, d: String) =>
+        SparkEntry.queries("q57_pii_scrub")(s, d)),
+      "dup_spans" -> ((s: SparkSession, d: String) =>
+        SparkEntry.queries("q59_dup_spans")(s, d)))
     val extras = extraQueries.map { case (name, fn) =>
       val sec = try {
         force(fn(spark, sfDir))

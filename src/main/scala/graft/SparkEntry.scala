@@ -812,6 +812,17 @@ object SparkEntry {
         .orderBy("fetch_seq")
     }),
 
+    "q59_dup_spans" -> ((s, dir) => {
+      // exact repeated-substring spans (Lee et al. '21 family): every 5th
+      // doc duplicated verbatim → full-text spans on both copies, plus the
+      // word-soup's incidental repeated 5-grams; stride-1 window hashing +
+      // one count aggregate + per-doc gaps-and-islands merge. Integer
+      // token positions end to end.
+      graft.dedup.Dedup.duplicateSpans(dupCorpus(s, dir), "id", "text", k = 5)
+        .select(col("id"), col("span_start"), col("span_end"), col("n_windows"))
+        .orderBy("id", "span_start")
+    }),
+
     "q55_decontaminate" -> ((s, dir) => {
       // eval-set n-gram decontamination (GPT-3 appendix C style): eval =
       // first-15-token prefixes of every doc_id%10==3 document, so those
@@ -1602,6 +1613,34 @@ object SparkEntry {
         |       (host_pos - 1) * 3 AS slot, host_rev, canonical_url, seed_idx,
         |       priority, host_pos
         |FROM r ORDER BY fetch_seq""".stripMargin,
+
+    "q59_dup_spans" ->
+      """WITH corpus AS (
+        |  SELECT doc_id AS id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS id, text FROM documents WHERE doc_id % 5 = 0),
+        |tok AS (
+        |  SELECT id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM corpus),
+        |w0 AS (
+        |  SELECT id, unnest(CASE WHEN len(t) < 5
+        |      THEN CAST([] AS STRUCT(p BIGINT, g VARCHAR)[])
+        |      ELSE list_transform(range(0, len(t) - 4),
+        |             i -> {'p': i, 'g': array_to_string(t[i+1:i+5], ' ')}) END) AS u
+        |  FROM tok),
+        |w AS (SELECT id, CAST(u.p AS BIGINT) AS p, u.g AS g FROM w0),
+        |dup AS (SELECT g FROM w GROUP BY g HAVING count(*) >= 2),
+        |d AS (SELECT w.id, w.p FROM w JOIN dup USING (g)),
+        |s AS (SELECT id, p, CASE WHEN p > coalesce(max(p + 4) OVER
+        |        (PARTITION BY id ORDER BY p
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+        |      THEN 1 ELSE 0 END AS brk FROM d),
+        |i AS (SELECT id, p, sum(brk) OVER (PARTITION BY id ORDER BY p) AS island
+        |      FROM s)
+        |SELECT id, CAST(min(p) AS BIGINT) AS span_start,
+        |  CAST(max(p) + 4 AS BIGINT) AS span_end,
+        |  CAST(count(*) AS BIGINT) AS n_windows
+        |FROM i GROUP BY id, island ORDER BY id, span_start""".stripMargin,
 
     "q55_decontaminate" ->
       """WITH corpus AS (

@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{minhash_sig, simhash64, fingerprints => fp}
 
@@ -279,6 +280,59 @@ object Dedup {
       docs.select(col(idCol).as("id"),
         explode(array_distinct(fp(col(textCol)))).as("print")),
       minShared, maxDocFreq)
+
+  /** Exact repeated-substring spans — the "exact substring dedup" of
+    * Lee et al. '21 (Deduplicating Training Data Makes Language Models
+    * Better): any `k`-token window whose exact text occurs at least
+    * `minCount` times ACROSS THE CORPUS (other docs or the same doc) marks
+    * its tokens as duplicated; overlapping/adjacent duplicated windows
+    * merge into maximal spans `(id, span_start, span_end, n_windows)`
+    * (token positions, end inclusive). Downstream either cuts the spans
+    * or drops docs whose spans cover too much.
+    *
+    * The reference algorithm builds a corpus-wide suffix array — a
+    * single-machine layout. The distributed form here hashes every
+    * stride-1 window (xxhash64 of the joined tokens; 24 B/row on the
+    * wire), counts occurrences with one map-side-combinable groupBy, and
+    * joins the >`minCount` set back — join output is linear in the number
+    * of DUPLICATED window occurrences (never d² per gram: the count
+    * aggregate collapses first), so no occupancy cap is needed. The span
+    * merge is a per-doc gaps-and-islands pass: windows partitioned by
+    * doc, running max of window-end, island break when a window starts
+    * past it — per-partition work bounded by doc length.
+    */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 50, minCount: Long = 2L): DataFrame = {
+    require(k >= 1, s"k: $k")
+    val toks = filter(split(col(textCol), "\\s+"), t => t =!= "")
+    // (id, p, gram-hash) for every stride-1 window; short docs emit none
+    val wins = docs
+      .select(col(idCol).as("id"), toks.as("t"))
+      .select(col("id"), posexplode(
+        when(size(col("t")) < k, array().cast("array<string>"))
+          .otherwise(transform(
+            sequence(lit(0), size(col("t")) - k),
+            i => concat_ws(" ", slice(col("t"), i + 1, lit(k)))))).as(Seq("p", "g")))
+      .select(col("id"), col("p").cast("long").as("p"), xxhash64(col("g")).as("gh"))
+    val dup = wins.groupBy(col("gh"))
+      .agg(count(lit(1)).as("occ"))
+      .where(col("occ") >= minCount)
+      .select("gh")
+    val d = wins.join(dup, Seq("gh"), "left_semi")
+    // gaps-and-islands merge of [p, p+k-1] intervals, per doc
+    val byDoc = Window.partitionBy(col("id")).orderBy(col("p"))
+    val prevMaxEnd = max(col("p") + (k - 1)).over(
+      byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = d
+      .withColumn("_brk",
+        when(col("p") > coalesce(prevMaxEnd, lit(-1L)) + 1L, 1L).otherwise(0L))
+      .withColumn("_island", sum(col("_brk")).over(byDoc))
+    islands.groupBy(col("id"), col("_island"))
+      .agg(min(col("p")).as("span_start"),
+        (max(col("p")) + (k - 1)).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .drop("_island")
+  }
 
   /** [[fingerprintOverlap]] over a precomputed `(id, print BIGINT)` frame.
     * `prints` must hold ONE row per (doc, print) — the production path

@@ -233,4 +233,55 @@ object Warc {
       .option("pathGlobFilter", glob)
       .load(dir)
       .select(col("content").as("warc")))
+
+  /** The WRITE half of the file story: page rows → `.warc.gz` shard files
+    * (one per partition, member-per-record layout) under `dir`, through
+    * the Hadoop FileSystem of the target path — local, HDFS, or object
+    * store. This is how a processed corpus re-exports in the format the
+    * rest of the ecosystem ingests. Returns the number of records
+    * written.
+    *
+    * Commit semantics, stated honestly: each task creates its shard with
+    * overwrite, so a RETRIED task is idempotent, but there is no output
+    * commit protocol — a job that dies mid-write leaves partial shards
+    * (re-run overwrites them), and speculative duplicate attempts (off by
+    * default) could race a file. The loop-state writers avoid this class
+    * of issue by fencing with markers; a production export would wrap
+    * this in `FileCommitProtocol`. Repartition upstream to size shards
+    * (Common Crawl convention ≈ 1 GB).
+    */
+  def writePagesToFiles(pages: DataFrame, dir: String,
+      prefix: String = "shard"): Long = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val conf = spark.sparkContext.broadcast(
+      new org.apache.spark.graftbridge.SerializableHadoopConf(
+        spark.sparkContext.hadoopConfiguration))
+    graft.core.Fs.mkdirs(dir)
+    val rows = pages
+      .select(col("url"),
+        date_format(col("warc_ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("d"),
+        col("html"))
+      .as[(String, String, Array[Byte])]
+    rows.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val path = new org.apache.hadoop.fs.Path(dir, f"$prefix-$pid%05d.warc.gz")
+        val fs = path.getFileSystem(conf.value.value)
+        val out = fs.create(path, true)
+        var n = 0L
+        try {
+          for ((url, date, html) <- it) {
+            val d = if (date == null) "1970-01-01T00:00:00Z" else date
+            val gz = new java.util.zip.GZIPOutputStream(out)
+            gz.write(writeRecord("response", url, d, html))
+            gz.finish() // one complete gzip member per record
+            n += 1
+          }
+        } finally out.close()
+        Iterator.single(n)
+      }
+    }.reduce(_ + _)
+  }
 }

@@ -364,3 +364,72 @@ class BloomLayoutSpec extends AnyFunSuite {
     assert(u3 == (120L until 130L).toSeq)
   }
 }
+
+class DupSpansSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("planted repeated phrase yields the exact merged span; unique docs stay clean") {
+    // "p1 p2 p3 p4" repeats in docs 1 and 2 (k=3 → windows at two offsets
+    // that overlap-merge into one span per doc); doc 3 is all-unique
+    val docs = Seq(
+      (1L, "a1 a2 p1 p2 p3 p4 a3 a4 a5"),
+      (2L, "b1 p1 p2 p3 p4 b2 b3"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7")).toDF("id", "text")
+    val spans = graft.dedup.Dedup.duplicateSpans(docs, "id", "text", k = 3)
+      .orderBy("id", "span_start").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"), r.getAs[Long]("n_windows")))
+    // doc 1: tokens 2..5 are the repeat → windows p=2,3 merge → span [2,5]
+    // doc 2: tokens 1..4 → windows p=1,2 → span [1,4]
+    assert(spans.toSeq == Seq((1L, 2L, 5L, 2L), (2L, 1L, 4L, 2L)))
+  }
+
+  test("whole-doc duplicate covers the full token range; within-doc repeats count too") {
+    val t = "x1 x2 x3 x4 x5 x6"
+    val docs = Seq((1L, t), (2L, t)).toDF("id", "text")
+    val spans = graft.dedup.Dedup.duplicateSpans(docs, "id", "text", k = 3)
+      .orderBy("id").collect()
+    assert(spans.length == 2)
+    assert(spans.forall(r => r.getAs[Long]("span_start") == 0L
+      && r.getAs[Long]("span_end") == 5L && r.getAs[Long]("n_windows") == 4L))
+    // same doc repeating its own phrase is also a duplicate
+    val selfRep = Seq((1L, "r1 r2 r3 z1 z2 r1 r2 r3")).toDF("id", "text")
+    val s2 = graft.dedup.Dedup.duplicateSpans(selfRep, "id", "text", k = 3)
+      .orderBy("span_start").collect()
+    assert(s2.map(r => (r.getAs[Long]("span_start"), r.getAs[Long]("span_end"))).toSeq
+      == Seq((0L, 2L), (5L, 7L)))
+  }
+
+  test("short docs (< k tokens) emit nothing and do not break the explode") {
+    val docs = Seq((1L, "only two"), (2L, "only two")).toDF("id", "text")
+    assert(graft.dedup.Dedup.duplicateSpans(docs, "id", "text", k = 5).count() == 0)
+  }
+}
+
+class WarcSinkSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("writePagesToFiles -> pagesFromFiles round-trips pages exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("warcsink").toString
+    val pages = spark.range(37).select(
+      concat(lit("http://s.test/d/"), col("id").cast("string")).as("url"),
+      to_timestamp(lit("2024-03-01 12:30:00")).as("warc_ts"),
+      encode(concat(lit("<p>doc "), col("id").cast("string"), lit("</p>")), "UTF-8")
+        .as("html"))
+      .repartition(4)
+    val n = graft.sources.Warc.writePagesToFiles(pages, dir)
+    assert(n == 37)
+    // one .warc.gz shard per non-empty partition
+    val shards = new java.io.File(dir).list().filter(_.endsWith(".warc.gz")).toSeq
+    assert(shards.nonEmpty && shards.size <= 4, shards)
+    val back = graft.sources.Warc.pagesFromFiles(spark, dir).orderBy("url")
+    val rows = back.collect()
+    assert(rows.length == 37)
+    assert(rows.forall(r => new String(r.getAs[Array[Byte]]("html"), "UTF-8")
+      == s"<p>doc ${r.getString(0).stripPrefix("http://s.test/d/")}</p>"))
+    assert(rows.forall(_.getTimestamp(1).toInstant
+      == java.time.Instant.parse("2024-03-01T12:30:00Z")))
+  }
+}
