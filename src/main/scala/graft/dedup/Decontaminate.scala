@@ -25,10 +25,15 @@ import org.apache.spark.sql.functions._
 object Decontaminate {
 
   /** Distinct lower-cased token `n`-gram strings of `text` (whitespace
-    * tokenization, Python-split-like: empty tokens dropped). Pure built-in
-    * higher-order functions — codegen'd, no UDF. Texts shorter than `n`
-    * tokens yield an empty array (NOT a descending `sequence` — Spark's
-    * sequence(0, -1) would count DOWN).
+    * tokenization, Python-split-like: empty tokens dropped) — the
+    * SEMANTICS SPEC of the production hash kernel
+    * (`graft.functions.ngram_hash_keys`): same tokenization, same
+    * windows, gram-for-gram (the spec pins `size` parity on real texts),
+    * and directly replayable in plain SQL, which is what the q55 oracle
+    * does. Built-in higher-order functions, which run INTERPRETED —
+    * fine for oracles and eval sets, 200× too slow for the corpus side.
+    * Texts shorter than `n` tokens yield an empty array (NOT a
+    * descending `sequence` — Spark's sequence(0, -1) would count DOWN).
     */
   def ngramKeys(text: Column, n: Int): Column = {
     require(n >= 1, s"n: $n")
@@ -62,19 +67,21 @@ object Decontaminate {
   def contamination(corpus: DataFrame, idCol: String, textCol: String,
       evalSet: DataFrame, evalTextCol: String, n: Int = 13,
       maxDocFreq: Int = 0): DataFrame = {
-    // distinct eval gram keys — the broadcast side
+    // distinct eval gram keys — the broadcast side. The kernel is the
+    // codegen'd ngram_hash_keys expression: the HOF form of the same
+    // computation ([[ngramKeys]], kept as the SQL-replayable semantics
+    // twin) runs interpreted at ~1.2 ms/doc — 200× slower, measured —
+    // and this kernel runs 3× per corpus row (totals + match + df-cap).
+    def keys(c: Column) = graft.functions.ngram_hash_keys(c, n)
     val evalGrams = broadcast(
-      evalSet.select(explode(ngramKeys(col(evalTextCol), n)).as("g"))
-        .select(xxhash64(col("g")).as("gh"))
-        .distinct())
+      evalSet.select(explode(keys(col(evalTextCol))).as("gh")).distinct())
     // in-row totals: no shuffle, no explode
     val totals = corpus.select(col(idCol).as("id"),
-      size(ngramKeys(col(textCol), n)).cast("long").as("n_ngrams"))
+      size(keys(col(textCol))).cast("long").as("n_ngrams"))
     // matches only: the explode is filtered by the broadcast join before
     // any exchange — unmatched grams (the corpus bulk) never shuffle
     val matched = corpus
-      .select(col(idCol).as("id"), explode(ngramKeys(col(textCol), n)).as("g"))
-      .select(col("id"), xxhash64(col("g")).as("gh"))
+      .select(col(idCol).as("id"), explode(keys(col(textCol))).as("gh"))
       .join(evalGrams, Seq("gh"), "left_semi")
     val capped =
       if (maxDocFreq <= 0) matched

@@ -304,16 +304,15 @@ object Dedup {
   def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 50, minCount: Long = 2L): DataFrame = {
     require(k >= 1, s"k: $k")
-    val toks = filter(split(col(textCol), "\\s+"), t => t =!= "")
-    // (id, p, gram-hash) for every stride-1 window; short docs emit none
+    // (id, p, gram-hash) for every stride-1 window via the codegen'd
+    // positional kernel (one tokenizer pass + rolling polynomial hashes;
+    // the HOF transform/slice/concat_ws form runs interpreted, measured
+    // 200× slower); short docs emit none. Case-SENSITIVE — exact
+    // substring dedup, not normalized-text dedup.
     val wins = docs
-      .select(col(idCol).as("id"), toks.as("t"))
-      .select(col("id"), posexplode(
-        when(size(col("t")) < k, array().cast("array<string>"))
-          .otherwise(transform(
-            sequence(lit(0), size(col("t")) - k),
-            i => concat_ws(" ", slice(col("t"), i + 1, lit(k)))))).as(Seq("p", "g")))
-      .select(col("id"), col("p").cast("long").as("p"), xxhash64(col("g")).as("gh"))
+      .select(col(idCol).as("id"),
+        posexplode(graft.functions.ngram_hashes(col(textCol), k)).as(Seq("p", "gh")))
+      .select(col("id"), col("p").cast("long").as("p"), col("gh"))
     val dup = wins.groupBy(col("gh"))
       .agg(count(lit(1)).as("occ"))
       .where(col("occ") >= minCount)

@@ -77,6 +77,69 @@ object Impl {
   def srpBucket(v: ArrayData, bits: Int, seed: Int, elemIsDouble: Boolean): Int =
     SrpEval.bucket(v, bits, seed, elemIsDouble)
 
+  /** Token n-gram hash kernel shared by [[NgramHashKeys]] /
+    * [[NgramHashes]]: one scan tokenizes (whitespace runs, empties
+    * dropped, optional lowercase), per-token FNV-1a 64-bit hashes combine
+    * into per-window polynomial hashes — O(chars + windows × n), no
+    * string allocation per window. The HOF form of the same computation
+    * (transform + slice + concat_ws + xxhash64) runs INTERPRETED and
+    * measured ~1.2 ms/doc — 200× this kernel — the same disease the
+    * round-3 repetition kernel had. Internal-consistency hash: both sides
+    * of any decontamination/dup-span join use this same kernel, so only
+    * collision rate matters (64-bit), not parity with any SQL hash.
+    */
+  private def ngramWindowHashes(text: UTF8String, n: Int,
+      lowercase: Boolean): Array[Long] = {
+    val raw = text.toString
+    val s = if (lowercase) raw.toLowerCase(java.util.Locale.ROOT) else raw
+    // token hashes in one pass (FNV-1a over chars, whitespace-run split —
+    // the \s+ regex split semantics on the char classes it covers)
+    val toks = new scala.collection.mutable.ArrayBuffer[Long]()
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
+      if (i < len) {
+        var h = 0xcbf29ce484222325L
+        while (i < len && !Character.isWhitespace(s.charAt(i))) {
+          h = (h ^ s.charAt(i)) * 0x100000001b3L
+          i += 1
+        }
+        toks += h
+      }
+    }
+    val m = toks.length
+    if (m < n) return Array.emptyLongArray
+    val out = new Array[Long](m - n + 1)
+    var p = 0
+    while (p <= m - n) {
+      var g = 1125899906842597L
+      var j = 0
+      while (j < n) { g = g * 31L + toks(p + j); j += 1 }
+      out(p) = g
+      p += 1
+    }
+    out
+  }
+
+  /** DISTINCT window hashes (decontamination side). */
+  def ngramHashKeys(text: UTF8String, n: Int, lowercase: Boolean): ArrayData = {
+    val ws = ngramWindowHashes(text, n, lowercase)
+    if (ws.length <= 1) return ArrayData.toArrayData(ws)
+    java.util.Arrays.sort(ws)
+    var k = 1
+    var i = 1
+    while (i < ws.length) {
+      if (ws(i) != ws(k - 1)) { ws(k) = ws(i); k += 1 }
+      i += 1
+    }
+    ArrayData.toArrayData(java.util.Arrays.copyOf(ws, k))
+  }
+
+  /** POSITIONAL window hashes, index = token position (dup-span side). */
+  def ngramHashes(text: UTF8String, n: Int, lowercase: Boolean): ArrayData =
+    ArrayData.toArrayData(ngramWindowHashes(text, n, lowercase))
+
   /** ARRAY<TINYINT> → packed binary, one byte per component (the DISK form
     * of an int8 embedding — Parquet stores tinyint arrays at INT32 physical
     * width, which silently gives back the 4× the quantization won).
@@ -713,6 +776,41 @@ case class SrpBucket(child: Expression, bits: Int, seed: Int)
   override protected def withNewChildInternal(c: Expression): SrpBucket =
     copy(child = c)
   override def prettyName: String = "srp_bucket"
+}
+
+/** Distinct token-n-gram 64-bit hash keys of a text column →
+  * ARRAY<BIGINT> ([[Impl.ngramHashKeys]]); codegen'd, no per-window
+  * string allocation.
+  */
+case class NgramHashKeys(child: Expression, n: Int, lowercase: Boolean)
+    extends UnaryExpression {
+  require(n >= 1, s"n: $n")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(t: Any): Any =
+    Impl.ngramHashKeys(t.asInstanceOf[UTF8String], n, lowercase)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Impl.ngramHashKeys($c, $n, $lowercase)")
+  override protected def withNewChildInternal(c: Expression): NgramHashKeys =
+    copy(child = c)
+  override def prettyName: String = "ngram_hash_keys"
+}
+
+/** Positional token-n-gram hashes (index = starting token position) →
+  * ARRAY<BIGINT> ([[Impl.ngramHashes]]).
+  */
+case class NgramHashes(child: Expression, n: Int, lowercase: Boolean)
+    extends UnaryExpression {
+  require(n >= 1, s"n: $n")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(t: Any): Any =
+    Impl.ngramHashes(t.asInstanceOf[UTF8String], n, lowercase)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Impl.ngramHashes($c, $n, $lowercase)")
+  override protected def withNewChildInternal(c: Expression): NgramHashes =
+    copy(child = c)
+  override def prettyName: String = "ngram_hashes"
 }
 
 /** ARRAY<TINYINT> → BINARY byte-per-component packing ([[Impl.packInt8]]);

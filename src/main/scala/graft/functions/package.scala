@@ -112,6 +112,14 @@ package object functions {
   def srp_bucket(vec: Column, bits: Int, seed: Int = 7): Column =
     col(SrpBucket(expr(vec), bits, seed))
 
+  /** Distinct token n-gram 64-bit hash keys → ARRAY<BIGINT> (codegen). */
+  def ngram_hash_keys(text: Column, n: Int, lowercase: Boolean = true): Column =
+    col(NgramHashKeys(expr(text), n, lowercase))
+
+  /** Positional token n-gram hashes (index = token position) → ARRAY<BIGINT>. */
+  def ngram_hashes(text: Column, n: Int, lowercase: Boolean = false): Column =
+    col(NgramHashes(expr(text), n, lowercase))
+
   /** ARRAY<TINYINT> → packed BINARY (byte per component) — int8 disk form. */
   def pack_int8(vec: Column): Column = col(PackInt8(expr(vec)))
 

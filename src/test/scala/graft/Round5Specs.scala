@@ -433,3 +433,38 @@ class WarcSinkSpec extends AnyFunSuite {
       == java.time.Instant.parse("2024-03-01T12:30:00Z")))
   }
 }
+
+class NgramKernelSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("hash kernel matches the string-spec twin: counts on real fixture texts") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    for (n <- Seq(3, 8, 13)) {
+      val mismatch = docs.select(
+        size(graft.dedup.Decontaminate.ngramKeys(col("text"), n)).as("spec"),
+        size(graft.functions.ngram_hash_keys(col("text"), n)).as("fast"))
+        .where(col("spec") =!= col("fast")).count()
+      assert(mismatch == 0, s"n=$n")
+    }
+    // positional kernel: length = max(0, tokens - k + 1), case-sensitive
+    val posMismatch = docs.select(
+      size(filter(split(col("text"), "\\s+"), t => t =!= "")).as("toks"),
+      size(graft.functions.ngram_hashes(col("text"), 5)).as("wins"))
+      .where(col("wins") =!= greatest(col("toks") - 4, lit(0))).count()
+    assert(posMismatch == 0)
+  }
+
+  test("hash kernel distinguishes token boundaries and case") {
+    def keysOf(t: String, n: Int, lower: Boolean) =
+      Seq(t).toDF("t").select(
+        if (lower) graft.functions.ngram_hash_keys(col("t"), n)
+        else graft.functions.ngram_hashes(col("t"), n)).collect()(0).getSeq[Long](0)
+    // "ab c" vs "a bc": same chars, different token split → different grams
+    assert(keysOf("ab c x", 2, lower = true) != keysOf("a bc x", 2, lower = true))
+    // lowercase kernel folds case; positional (case-sensitive) does not
+    assert(keysOf("Foo bar", 2, lower = true) == keysOf("foo BAR", 2, lower = true))
+    assert(keysOf("Foo bar", 2, lower = false) != keysOf("foo bar", 2, lower = false))
+  }
+}
