@@ -13,13 +13,19 @@ import graft.pipeline.TextPipeline
   *
   * Usage:
   *   runMain graft.Crawl --pages <pageTableRoot> --out <dir>
-  *     [--waves N] [--gap SECONDS] [--refresh-after K] url1 url2 ...
+  *     [--waves N] [--gap SECONDS] [--refresh-after K] [--rank-every K]
+  *     url1 url2 ...
   *
   * `--refresh-after K` turns on the batch refresh channel: committed urls
   * whose last fetch is ≥ K waves old re-enter each wave's schedule (see
   * [[graft.frontier.WaveLoop.run]]); re-crawled urls contribute their
   * LATEST fetch to the results (the crawl-order join keeps every
   * appearance; results dedup keeps the newest wave per url).
+  *
+  * `--rank-every K` turns on the authority channel: each wave's link
+  * edges ([[Discover.edgesFromPages]]) persist, PageRank recomputes every
+  * K waves, and later waves fetch high-authority urls first within each
+  * host ([[graft.frontier.WaveLoop.run]]'s `edgesOf`).
   *
   * "Fetch" is Common-Crawl replay against a committed
   * [[graft.sources.PageTable]] (there is no live network in a 100 TB batch
@@ -33,11 +39,13 @@ import graft.pipeline.TextPipeline
 object Crawl {
 
   final case class Args(pages: String, out: String, waves: Int, gapSeconds: Long,
-      urls: Seq[String], refreshAfter: Option[Int] = None)
+      urls: Seq[String], refreshAfter: Option[Int] = None,
+      rankEvery: Option[Int] = None)
 
   def parseArgs(argv: Array[String]): Args = {
     var pages = ""; var out = ""; var waves = 3; var gap = 3L
     var refresh: Option[Int] = None
+    var rankEvery: Option[Int] = None
     val urls = Seq.newBuilder[String]
     var i = 0
     def value(flag: String): String = {
@@ -52,16 +60,18 @@ object Crawl {
         case "--waves" => waves = value("--waves").toInt
         case "--gap" => gap = value("--gap").toLong
         case "--refresh-after" => refresh = Some(value("--refresh-after").toInt)
+        case "--rank-every" => rankEvery = Some(value("--rank-every").toInt)
         case f if f.startsWith("--") =>
           throw new IllegalArgumentException(s"error: unknown flag $f")
         case u => urls += u; i += 1
       }
     }
-    val a = Args(pages, out, waves, gap, urls.result(), refresh)
+    val a = Args(pages, out, waves, gap, urls.result(), refresh, rankEvery)
     require(a.pages.nonEmpty, "--pages <pageTableRoot> is required")
     require(a.out.nonEmpty, "--out <dir> is required")
     require(a.urls.nonEmpty, "error: no URLs provided") // reference :227-228
     require(a.refreshAfter.forall(_ >= 1), "--refresh-after must be >= 1")
+    require(a.rankEvery.forall(_ >= 1), "--rank-every must be >= 1")
     a
   }
 
@@ -77,7 +87,9 @@ object Crawl {
     WaveLoop.run(spark, s"${a.out}/frontier", seeds,
       Discover.fromPages(pages), maxWaves = a.waves, gapSeconds = a.gapSeconds,
       robots = Robots.AllowAll, pages = Some(pages), ledger = Some(ledger),
-      refreshAfter = a.refreshAfter)
+      refreshAfter = a.refreshAfter,
+      edgesOf = a.rankEvery.map(_ => Discover.edgesFromPages(pages)),
+      rankEvery = a.rankEvery.getOrElse(4))
     // crawl order drives the result set; fetch = replay join; text pipeline
     // is one codegen'd map per row
     val order0 = WaveLoop.crawlOrder(spark, s"${a.out}/frontier")

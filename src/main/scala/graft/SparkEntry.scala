@@ -812,6 +812,22 @@ object SparkEntry {
         .orderBy("fetch_seq")
     }),
 
+    "q60_span_cut" -> ((s, dir) => {
+      // the full Lee et al. dedup composition: keep-first duplicate spans
+      // (the globally first occurrence of every repeated 5-gram survives,
+      // later ones are marked) → row-local span cut. The duplicated docs
+      // (id ≥ 100000, appended after the originals) lose their whole
+      // text; originals keep theirs; incidental repeats cut at the later
+      // of the two positions. Oracle replays the occurrence rank, the
+      // islands merge, and the indexed token filter in SQL.
+      val corpus = dupCorpus(s, dir)
+      val spans = graft.dedup.Dedup.duplicateSpans(corpus, "id", "text",
+        k = 5, keepFirst = true)
+      graft.dedup.Dedup.cutSpans(corpus, "id", "text", spans)
+        .select(col("id"), col("n_tokens"), col("n_tokens_cut"), col("text_cut"))
+        .orderBy("id")
+    }),
+
     "q59_dup_spans" -> ((s, dir) => {
       // exact repeated-substring spans (Lee et al. '21 family): every 5th
       // doc duplicated verbatim → full-text spans on both copies, plus the
@@ -1613,6 +1629,47 @@ object SparkEntry {
         |       (host_pos - 1) * 3 AS slot, host_rev, canonical_url, seed_idx,
         |       priority, host_pos
         |FROM r ORDER BY fetch_seq""".stripMargin,
+
+    "q60_span_cut" ->
+      """WITH corpus AS (
+        |  SELECT doc_id AS id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS id, text FROM documents WHERE doc_id % 5 = 0),
+        |tok AS (
+        |  SELECT id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM corpus),
+        |w0 AS (
+        |  SELECT id, unnest(CASE WHEN len(t) < 5
+        |      THEN CAST([] AS STRUCT(p BIGINT, g VARCHAR)[])
+        |      ELSE list_transform(range(0, len(t) - 4),
+        |             i -> {'p': i, 'g': array_to_string(t[i+1:i+5], ' ')}) END) AS u
+        |  FROM tok),
+        |w AS (SELECT id, CAST(u.p AS BIGINT) AS p, u.g AS g FROM w0),
+        |dupg AS (SELECT g FROM w GROUP BY g HAVING count(*) >= 2),
+        |ranked AS (
+        |  SELECT w.id, w.p,
+        |    row_number() OVER (PARTITION BY w.g ORDER BY w.id, w.p) AS rn
+        |  FROM w JOIN dupg USING (g)),
+        |d AS (SELECT id, p FROM ranked WHERE rn > 1),
+        |s AS (SELECT id, p, CASE WHEN p > coalesce(max(p + 4) OVER
+        |        (PARTITION BY id ORDER BY p
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+        |      THEN 1 ELSE 0 END AS brk FROM d),
+        |i AS (SELECT id, p, sum(brk) OVER (PARTITION BY id ORDER BY p) AS island
+        |      FROM s),
+        |spans AS (SELECT id, min(p) AS ss, max(p) + 4 AS se FROM i GROUP BY id, island),
+        |sp AS (SELECT id, list({'s': ss, 'e': se}) AS spans FROM spans GROUP BY id),
+        |c AS (SELECT tok.id, t, sp.spans FROM tok LEFT JOIN sp USING (id)),
+        |k AS (SELECT id, t,
+        |    CASE WHEN spans IS NULL THEN t
+        |    ELSE list_filter(t, (x, ix) ->
+        |      len(list_filter(spans, r -> ix - 1 >= r.s AND ix - 1 <= r.e)) = 0)
+        |    END AS kept
+        |  FROM c)
+        |SELECT id, CAST(len(t) AS BIGINT) AS n_tokens,
+        |  CAST(len(t) - len(kept) AS BIGINT) AS n_tokens_cut,
+        |  coalesce(array_to_string(kept, ' '), '') AS text_cut
+        |FROM k ORDER BY id""".stripMargin,
 
     "q59_dup_spans" ->
       """WITH corpus AS (

@@ -302,7 +302,8 @@ object Dedup {
     * past it — per-partition work bounded by doc length.
     */
   def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 50, minCount: Long = 2L): DataFrame = {
+      k: Int = 50, minCount: Long = 2L, keepFirst: Boolean = false,
+      maxOccurrences: Long = 0L): DataFrame = {
     require(k >= 1, s"k: $k")
     // (id, p, gram-hash) for every stride-1 window via the codegen'd
     // positional kernel (one tokenizer pass + rolling polynomial hashes;
@@ -313,11 +314,27 @@ object Dedup {
       .select(col(idCol).as("id"),
         posexplode(graft.functions.ngram_hashes(col(textCol), k)).as(Seq("p", "gh")))
       .select(col("id"), col("p").cast("long").as("p"), col("gh"))
-    val dup = wins.groupBy(col("gh"))
-      .agg(count(lit(1)).as("occ"))
+    val counted = wins.groupBy(col("gh")).agg(count(lit(1)).as("occ"))
+    // maxOccurrences excludes mega-grams (site boilerplate shared by 10^6
+    // pages) from span marking: they are BOILERPLATE, not duplication —
+    // the quality-gate/fingerprint-cap operators own them — and under
+    // keepFirst their occurrence rank would be one hot window partition.
+    val dup = (if (maxOccurrences > 0) counted.where(col("occ") <= maxOccurrences)
+      else counted)
       .where(col("occ") >= minCount)
       .select("gh")
-    val d = wins.join(dup, Seq("gh"), "left_semi")
+    val matchedOcc = wins.join(dup, Seq("gh"), "left_semi")
+    // keepFirst = Lee et al.'s cut policy: the globally FIRST occurrence
+    // of each gram (min (id, p)) survives, later ones are marked. The
+    // occurrence rank is a per-gram window — bounded by `maxOccurrences`
+    // when set, and always bounded by the df of a non-boilerplate gram.
+    val d =
+      if (!keepFirst) matchedOcc
+      else matchedOcc
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy(col("gh")).orderBy(col("id"), col("p"))))
+        .where(col("_rn") > 1)
+        .drop("_rn")
     // gaps-and-islands merge of [p, p+k-1] intervals, per doc
     val byDoc = Window.partitionBy(col("id")).orderBy(col("p"))
     val prevMaxEnd = max(col("p") + (k - 1)).over(
@@ -331,6 +348,36 @@ object Dedup {
         (max(col("p")) + (k - 1)).as("span_end"),
         count(lit(1)).as("n_windows"))
       .drop("_island")
+  }
+
+  /** Apply a [[duplicateSpans]] result: rebuild each document's text with
+    * the spanned token ranges REMOVED (whitespace-normalized join of the
+    * survivors) — with `duplicateSpans(keepFirst = true)` this is exactly
+    * Lee et al.'s dedup: one copy of every repeated substring survives,
+    * the rest are cut. Adds `text_cut`, `n_tokens`, `n_tokens_cut`.
+    *
+    * Row-local: spans group per doc (bounded by the doc's own token
+    * count), join back by id, and one indexed `filter` over the token
+    * array does the cut — no per-token explode, no second shuffle.
+    */
+  def cutSpans(docs: DataFrame, idCol: String, textCol: String,
+      spans: DataFrame): DataFrame = {
+    val sp = spans.groupBy(col("id"))
+      .agg(collect_list(struct(col("span_start").as("s"), col("span_end").as("e")))
+        .as("_spans"))
+      .withColumnRenamed("id", "__sid")
+    val toks = filter(split(col(textCol), "\\s+"), t => t =!= "")
+    docs.join(sp, docs(idCol) === sp("__sid"), "left")
+      .drop("__sid")
+      .withColumn("_toks", toks)
+      .withColumn("_kept",
+        when(col("_spans").isNull, col("_toks"))
+          .otherwise(filter(col("_toks"), (t, i) =>
+            !exists(col("_spans"), r => i >= r.getField("s") && i <= r.getField("e")))))
+      .withColumn("text_cut", concat_ws(" ", col("_kept")))
+      .withColumn("n_tokens", size(col("_toks")).cast("long"))
+      .withColumn("n_tokens_cut", (size(col("_toks")) - size(col("_kept"))).cast("long"))
+      .drop("_spans", "_toks", "_kept")
   }
 
   /** [[fingerprintOverlap]] over a precomputed `(id, print BIGINT)` frame.

@@ -73,6 +73,33 @@ object Discover {
     }
   }
 
+  /** Link EDGES of a scheduled wave — the producer for
+    * [[WaveLoop.run]]'s authority channel (`edgesOf`): same
+    * bucket-pruned pages join and href explode as [[fromPages]], emitting
+    * `(src, dst)` resolved-URL pairs instead of frontier rows. A
+    * production loop that runs BOTH channels pays the extract twice; the
+    * single-pass fusion (stage one explode, derive both) is a
+    * straightforward specialization when that matters — the channels are
+    * kept separate here because discovery runs every wave while edges
+    * only need to be fresh per rank refresh.
+    */
+  def edgesFromPages(pages: DataFrame, maxLinksPerPage: Int = 1024,
+      buckets: Int = 64): DataFrame => DataFrame = {
+    require(maxLinksPerPage >= 1 && maxLinksPerPage <= 8192,
+      s"maxLinksPerPage out of range: $maxLinksPerPage")
+    scheduled => {
+      val p = pruneToWave(pages, scheduled, "canonical_url", buckets)
+        .select(col("url").as("canonical_url"), col("html"))
+      scheduled.select("canonical_url")
+        .join(p, Seq("canonical_url"))
+        .select(col("canonical_url").as("src"),
+          posexplode(extract_links(col("html").cast("string"))).as(Seq("pos", "href")))
+        .where(col("pos") < maxLinksPerPage)
+        .select(col("src"), resolve_url(col("src"), col("href")).as("dst"))
+        .where(col("dst").isNotNull)
+    }
+  }
+
   /** Smallest power of two ≥ n (n ≥ 1) — the position stride in the
     * seed_idx packing, power-of-two so `seed_idx mod stride` is exactly the
     * link position and the hash×stride product stays inside the 2^40 seed

@@ -468,3 +468,108 @@ class NgramKernelSpec extends AnyFunSuite {
     assert(keysOf("Foo bar", 2, lower = false) != keysOf("foo bar", 2, lower = false))
   }
 }
+
+class SpanCutSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import graft.dedup.Dedup
+
+  test("keepFirst: first occurrence survives, later copies are cut") {
+    val t = "x1 x2 x3 x4 x5"
+    val docs = Seq((1L, t), (2L, t), (3L, s"pre $t post")).toDF("id", "text")
+    val spans = Dedup.duplicateSpans(docs, "id", "text", k = 3, keepFirst = true)
+    // doc 1 holds the first occurrences of every gram → untouched
+    assert(spans.where(col("id") === 1L).count() == 0)
+    val cut = Dedup.cutSpans(docs, "id", "text", spans).orderBy("id").collect()
+    assert(cut(0).getAs[String]("text_cut") == t) // survivor intact
+    assert(cut(0).getAs[Long]("n_tokens_cut") == 0L)
+    assert(cut(1).getAs[String]("text_cut") == "") // verbatim copy fully cut
+    assert(cut(1).getAs[Long]("n_tokens_cut") == 5L)
+    // doc 3: the embedded copy is cut, its own framing survives
+    assert(cut(2).getAs[String]("text_cut") == "pre post")
+  }
+
+  test("keepFirst within one doc: the repeat is cut, the original kept") {
+    val docs = Seq((1L, "r1 r2 r3 z1 z2 r1 r2 r3")).toDF("id", "text")
+    val spans = Dedup.duplicateSpans(docs, "id", "text", k = 3, keepFirst = true)
+      .collect()
+    assert(spans.map(r => (r.getAs[Long]("span_start"), r.getAs[Long]("span_end")))
+      .toSeq == Seq((5L, 7L)))
+    val cut = Dedup.cutSpans(Seq((1L, "r1 r2 r3 z1 z2 r1 r2 r3")).toDF("id", "text"),
+      "id", "text", Dedup.duplicateSpans(
+        Seq((1L, "r1 r2 r3 z1 z2 r1 r2 r3")).toDF("id", "text"),
+        "id", "text", k = 3, keepFirst = true)).collect()(0)
+    assert(cut.getAs[String]("text_cut") == "r1 r2 r3 z1 z2")
+  }
+
+  test("maxOccurrences excludes mega-grams from span marking") {
+    val boiler = "b1 b2 b3"
+    val docs = Seq.tabulate(20)(i => (i.toLong, s"u${i}a u${i}b $boiler")).toDF("id", "text")
+    val uncapped = Dedup.duplicateSpans(docs, "id", "text", k = 3)
+    assert(uncapped.count() == 20) // the boiler gram marks every doc
+    val capped = Dedup.duplicateSpans(docs, "id", "text", k = 3, maxOccurrences = 10L)
+    assert(capped.count() == 0)
+  }
+}
+
+class EdgesFromPagesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("edgesFromPages emits (src, dst) for exactly the links fromPages discovers") {
+    import spark.implicits._
+    val pages = Seq(
+      ("http://h.test/a", """<html><body><a href="/b">b</a><a href="http://x.test/c">c</a></body></html>"""),
+      ("http://h.test/b", """<html><body><a href="/a">a</a></body></html>"""))
+      .toDF("url", "html")
+      .select(col("url"), encode(col("html"), "UTF-8").as("html"),
+        lit(null).cast("timestamp").as("warc_ts"),
+        lit(null).cast("string").as("text"), lit("en").as("lang"))
+    val scheduled = Seq("http://h.test/a", "http://h.test/b").toDF("canonical_url")
+      .withColumn("seed_idx", lit(1L))
+    val edges = graft.frontier.Discover.edgesFromPages(pages)(scheduled)
+      .as[(String, String)].collect().toSet
+    assert(edges == Set(
+      ("http://h.test/a", "http://h.test/b"),
+      ("http://h.test/a", "http://x.test/c"),
+      ("http://h.test/b", "http://h.test/a")))
+    val discovered = graft.frontier.Discover.fromPages(pages)(scheduled)
+      .select("url").as[String].collect().toSet
+    assert(discovered == edges.map(_._2))
+  }
+}
+
+class CrawlRankSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("Crawl --rank-every: authority scores computed from real page links, crawl completes") {
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // p0 links to p1 and p2; p1 and p2 both link to p3 (the authority)
+    def page(i: Int, hrefs: Seq[Int]) = {
+      val links = hrefs.map(j => s"""<a href="/p/$j">l</a>""").mkString
+      graft.Schemas.Page(s"http://crawl.test/p/$i", ts,
+        s"<html><body><h1>Page $i</h1><p>w $i</p>$links</body></html>".getBytes("UTF-8"),
+        s"Page $i\nw $i", "en")
+    }
+    val pages = Seq(page(0, Seq(1, 2)), page(1, Seq(3)), page(2, Seq(3)), page(3, Seq.empty))
+    val ptRoot = java.nio.file.Files.createTempDirectory("crawlptRank").toString
+    graft.sources.PageTable.commit(spark, ptRoot, spark.createDataset(pages).toDF())
+    val out = java.nio.file.Files.createTempDirectory("crawloutRank").toString
+    val results = Crawl.run(spark, Crawl.Args(
+      pages = ptRoot, out = out, waves = 3, gapSeconds = 3,
+      urls = Seq("http://crawl.test/p/0"), rankEvery = Some(1)))
+    assert(results.select("url").as[String].collect().toSet ==
+      (0 to 3).map(i => s"http://crawl.test/p/$i").toSet)
+    // the authority channel persisted edges per wave and committed scores
+    assert(graft.core.Fs.exists(s"$out/frontier/rank/scores/_SUCCESS"))
+    val scores = spark.read.parquet(s"$out/frontier/rank/scores")
+    // p3 (two in-links) outranks p1/p2 (one each) outranks p0 (none)
+    val byNode = scores.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def h(u: String) = org.apache.spark.sql.functions.xxhash64(lit(u))
+    val hashes = spark.range(1).select(
+      (0 to 3).map(i => h(s"http://crawl.test/p/$i").as(s"h$i")): _*).collect()(0)
+    val s3 = byNode(hashes.getLong(3)); val s1 = byNode(hashes.getLong(1))
+    val s0 = byNode(hashes.getLong(0))
+    assert(s3 > s1 && s1 > s0, s"scores not ordered by authority: $byNode")
+  }
+}
