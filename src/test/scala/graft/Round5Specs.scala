@@ -573,3 +573,35 @@ class CrawlRankSpec extends AnyFunSuite {
     assert(s3 > s1 && s1 > s0, s"scores not ordered by authority: $byNode")
   }
 }
+
+class QuantizedPoolSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("composition: chunk meanPool -> int8 quantize -> brute-force rank agrees with float path") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(31)
+    // 120 docs x 4 chunks, clustered chunk embeddings
+    val chunks = (0 until 480).map { i =>
+      val doc = i / 4
+      val center = doc % 6
+      (doc.toLong, Array.tabulate(24)(d =>
+        (math.sin(center * 17 + d) + rnd.nextGaussian() * 0.08).toFloat))
+    }.toDF("doc", "vec")
+    val pooled = graft.ann.Ann.meanPool(chunks, "doc", "vec")
+      .withColumnRenamed("doc_embedding", "embedding")
+    val queries = pooled.where(col("doc") < 8)
+    val exact = graft.ann.Ann.bruteForceTopK(pooled, queries,
+      "doc", "doc", "embedding", k = 5)
+      .select("q_id", "nn_id").as[(Long, Long)].collect().groupBy(_._1)
+    val q8 = graft.ann.Ann.quantizeInt8(pooled, "embedding")
+    val viaInt8 = graft.ann.Ann.bruteForceTopKInt8(q8, queries,
+      "doc", "doc", "embedding", k = 5)
+      .select("q_id", "nn_id").as[(Long, Long)].collect().groupBy(_._1)
+    val overlap = (0L until 8L).map { q =>
+      (exact(q).map(_._2).toSet intersect viaInt8(q).map(_._2).toSet).size / 5.0
+    }.sum / 8.0
+    assert(overlap >= 0.9, s"pooled->quantized rank overlap $overlap")
+    for (q <- 0L until 8L) assert(viaInt8(q).map(_._2).contains(q)) // self at top-5
+  }
+}
