@@ -812,6 +812,40 @@ object SparkEntry {
         .orderBy("fetch_seq")
     }),
 
+    "q61_url_gate" -> ((s, dir) => {
+      // URL-level quality gate: blocklist hosts match the host AND its
+      // parent domains (ads.src3.test is caught by the src3.test entry;
+      // plain src1.test is NOT caught by the ads.src1.test entry), plus
+      // path keyword screening — the fetch-avoiding filter stage.
+      import s.implicits._
+      val f = docs(s, dir).select(
+        concat(lit("http://"),
+          when(col("doc_id") % 9 === 0, lit("ads.")).otherwise(lit("")),
+          col("source"), lit(".test/docs/"), col("doc_id").cast("string"),
+          when(col("doc_id") % 7 === 0, lit("/casino-night")).otherwise(lit("")))
+          .as("url"),
+        col("doc_id"))
+      val blocked = Seq("src3.test", "src7.test", "ads.src1.test").toDF("host")
+      graft.url.UrlGate.gate(f, "url", blocked, Seq("casino"))
+        .select(col("doc_id"), col("url"), col("url_ok"),
+          concat_ws(",", col("url_reasons")).as("reasons"))
+        .orderBy("doc_id")
+    }),
+
+    "q62_nfc_normalize" -> ((s, dir) => {
+      // Unicode NFC normalization (pre-tokenization hygiene): planted
+      // decomposed e + U+0301 must compose to the single codepoint both
+      // engines agree on — DuckDB nfc_normalize is the oracle.
+      val planted = concat(col("text"), lit(" caf"), lit("e\u0301"),
+        lit(" e"), lit("\u0301"), lit("end"))
+      docs(s, dir)
+        .select(col("doc_id"),
+          graft.functions.normalize_unicode(planted).as("text_nfc"))
+        .select(col("doc_id"), col("text_nfc"),
+          length(col("text_nfc")).cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     "q60_span_cut" -> ((s, dir) => {
       // the full Lee et al. dedup composition: keep-first duplicate spans
       // (the globally first occurrence of every repeated 5-gram survives,
@@ -1629,6 +1663,40 @@ object SparkEntry {
         |       (host_pos - 1) * 3 AS slot, host_rev, canonical_url, seed_idx,
         |       priority, host_pos
         |FROM r ORDER BY fetch_seq""".stripMargin,
+
+    "q61_url_gate" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    'http://' || (CASE WHEN doc_id % 9 = 0 THEN 'ads.' ELSE '' END)
+        |      || source || '.test/docs/' || doc_id
+        |      || (CASE WHEN doc_id % 7 = 0 THEN '/casino-night' ELSE '' END) AS url,
+        |    (CASE WHEN doc_id % 9 = 0 THEN 'ads.' ELSE '' END) || source || '.test' AS host,
+        |    '/docs/' || doc_id
+        |      || (CASE WHEN doc_id % 7 = 0 THEN '/casino-night' ELSE '' END) AS path
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, url,
+        |    list_has_any(
+        |      list_transform(range(0, len(string_split(host, '.'))),
+        |        i -> array_to_string(string_split(host, '.')[i+1:], '.')),
+        |      ['src3.test', 'src7.test', 'ads.src1.test']) AS hostblocked,
+        |    contains(lower(path), 'casino') AS wordhit
+        |  FROM f)
+        |SELECT doc_id, url, NOT (hostblocked OR wordhit) AS url_ok,
+        |  CASE WHEN hostblocked AND wordhit THEN 'bad_path_word,blocked_host'
+        |       WHEN hostblocked THEN 'blocked_host'
+        |       WHEN wordhit THEN 'bad_path_word'
+        |       ELSE '' END AS reasons
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    "q62_nfc_normalize" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    nfc_normalize(text || ' caf' || 'e' || chr(769)
+        |      || ' e' || chr(769) || 'end') AS text_nfc
+        |  FROM documents)
+        |SELECT doc_id, text_nfc, CAST(length(text_nfc) AS BIGINT) AS n_chars
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     "q60_span_cut" ->
       """WITH corpus AS (

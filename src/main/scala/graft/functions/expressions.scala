@@ -140,6 +140,14 @@ object Impl {
   def ngramHashes(text: UTF8String, n: Int, lowercase: Boolean): ArrayData =
     ArrayData.toArrayData(ngramWindowHashes(text, n, lowercase))
 
+  /** Unicode normalization (java.text.Normalizer) — NFC by default: the
+    * pre-tokenization hygiene step (decomposed é = e + U+0301 must equal
+    * composed é for every downstream hash/dedup/count operator).
+    */
+  def normalizeUnicode(t: UTF8String, form: String): UTF8String =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      t.toString, java.text.Normalizer.Form.valueOf(form)))
+
   /** ARRAY<TINYINT> → packed binary, one byte per component (the DISK form
     * of an int8 embedding — Parquet stores tinyint arrays at INT32 physical
     * width, which silently gives back the 4× the quantization won).
@@ -776,6 +784,24 @@ case class SrpBucket(child: Expression, bits: Int, seed: Int)
   override protected def withNewChildInternal(c: Expression): SrpBucket =
     copy(child = c)
   override def prettyName: String = "srp_bucket"
+}
+
+/** Unicode normalization of a text column (NFC/NFD/NFKC/NFKD) —
+  * codegen'd ([[Impl.normalizeUnicode]]); NFC is cross-engine replayable
+  * (DuckDB `nfc_normalize`), which is what q62's oracle checks.
+  */
+case class NormalizeUnicode(child: Expression, form: String)
+    extends UnaryExpression {
+  require(Seq("NFC", "NFD", "NFKC", "NFKD").contains(form), s"form: $form")
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(t: Any): Any =
+    Impl.normalizeUnicode(t.asInstanceOf[UTF8String], form)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Impl.normalizeUnicode($c, \"$form\")")
+  override protected def withNewChildInternal(c: Expression): NormalizeUnicode =
+    copy(child = c)
+  override def prettyName: String = "normalize_unicode"
 }
 
 /** Distinct token-n-gram 64-bit hash keys of a text column →

@@ -112,6 +112,10 @@ package object functions {
   def srp_bucket(vec: Column, bits: Int, seed: Int = 7): Column =
     col(SrpBucket(expr(vec), bits, seed))
 
+  /** Unicode normalization (NFC default; NFD/NFKC/NFKD) — codegen'd. */
+  def normalize_unicode(c: Column, form: String = "NFC"): Column =
+    col(NormalizeUnicode(expr(c), form))
+
   /** Distinct token n-gram 64-bit hash keys → ARRAY<BIGINT> (codegen). */
   def ngram_hash_keys(text: Column, n: Int, lowercase: Boolean = true): Column =
     col(NgramHashKeys(expr(text), n, lowercase))
@@ -163,6 +167,7 @@ package object functions {
     reg.createOrReplaceTempFunction("resolve_url", es => ResolveUrl(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("repetition_stats", es => RepetitionStatsExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("pack_int8", es => PackInt8(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("normalize_nfc", es => NormalizeUnicode(es.head, "NFC"), "scala_udf")
     reg.createOrReplaceTempFunction("cosine_int8", es => CosineInt8(es.head, es(1)), "scala_udf")
   }
 }

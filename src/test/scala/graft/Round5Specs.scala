@@ -605,3 +605,64 @@ class QuantizedPoolSpec extends AnyFunSuite {
     for (q <- 0L until 8L) assert(viaInt8(q).map(_._2).contains(q)) // self at top-5
   }
 }
+
+class UrlGateSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("blocklist matches host and parent domains; path words screen; clean passes") {
+    val f = Seq(
+      (1L, "http://ads.bad.test/x"),        // parent-domain match
+      (2L, "http://bad.test/y"),            // exact match
+      (3L, "http://good.test/z"),           // clean
+      (4L, "http://good.test/casino/slots"),// path word
+      (5L, "http://sub.ads.other.test/w"),  // exact entry ads.other.test via suffix
+      (6L, "http://other.test/v"))          // NOT blocked by the ads.other.test entry
+      .toDF("id", "url")
+    val blocked = Seq("bad.test", "ads.other.test").toDF("host")
+    val out = graft.url.UrlGate.gate(f, "url", blocked, Seq("casino"))
+      .select("id", "url_ok", "url_reasons").collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getSeq[String](2))).toMap
+    assert(out(1L) == (false, Seq("blocked_host")))
+    assert(out(2L) == (false, Seq("blocked_host")))
+    assert(out(3L) == (true, Seq()))
+    assert(out(4L) == (false, Seq("bad_path_word")))
+    assert(out(5L) == (false, Seq("blocked_host")))
+    assert(out(6L) == (true, Seq()))
+    // allowed() keeps original columns only
+    assert(graft.url.UrlGate.allowed(f, "url", blocked, Seq("casino"))
+      .columns.toSeq == Seq("id", "url"))
+  }
+
+  test("blocklist join rides distinct hosts, broadcast — no frontier-wide shuffle") {
+    val f = spark.range(1000).select(col("id"),
+      concat(lit("http://h"), pmod(col("id"), lit(5)).cast("string"),
+        lit(".test/p/"), col("id").cast("string")).as("url"))
+    val blocked = Seq("h1.test").toDF("host")
+    val gated = graft.url.UrlGate.gate(f, "url", blocked, Seq.empty)
+    assert(gated.where(!col("url_ok")).count() == 200)
+    val plan = gated.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+}
+
+class NormalizeUnicodeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("NFC composes combining marks; NFKC also folds compatibility forms") {
+    def norm(s: String, form: String): String =
+      Seq(s).toDF("t")
+        .select(graft.functions.normalize_unicode(col("t"), form)).collect()(0).getString(0)
+    assert(norm("café", "NFC") == "café")
+    assert(norm("café", "NFC") == "café") // idempotent on composed
+    assert(norm("ﬁle", "NFC") == "ﬁle")   // NFC leaves the fi-ligature
+    assert(norm("ﬁle", "NFKC") == "file")      // NFKC folds it
+    // downstream effect: dedup now sees the two spellings as one text
+    val texts = Seq((1L, "café menu"), (2L, "café menu")).toDF("id", "text")
+    val normed = texts.select(col("id"),
+      graft.functions.normalize_unicode(col("text")).as("text"))
+    assert(graft.dedup.Dedup.exactDuplicates(normed, "id", "text").count() == 1)
+    assert(graft.dedup.Dedup.exactDuplicates(texts, "id", "text").count() == 0)
+  }
+}
