@@ -14,7 +14,7 @@ import graft.pipeline.TextPipeline
   * Usage:
   *   runMain graft.Crawl --pages <pageTableRoot> --out <dir>
   *     [--waves N] [--gap SECONDS] [--refresh-after K] [--rank-every K]
-  *     url1 url2 ...
+  *     [--block-hosts h1,h2,…] [--block-path-words w1,w2,…] url1 url2 ...
   *
   * `--refresh-after K` turns on the batch refresh channel: committed urls
   * whose last fetch is ≥ K waves old re-enter each wave's schedule (see
@@ -26,6 +26,11 @@ import graft.pipeline.TextPipeline
   * edges ([[Discover.edgesFromPages]]) persist, PageRank recomputes every
   * K waves, and later waves fetch high-authority urls first within each
   * host ([[graft.frontier.WaveLoop.run]]'s `edgesOf`).
+  *
+  * `--block-hosts` / `--block-path-words` turn on the URL quality gate
+  * ([[graft.url.UrlGate]]): blocklisted domains (parent-domain matching)
+  * and keyword-bearing paths are never fetched, audited as status-452
+  * rows in the wave metrics.
   *
   * "Fetch" is Common-Crawl replay against a committed
   * [[graft.sources.PageTable]] (there is no live network in a 100 TB batch
@@ -40,12 +45,15 @@ object Crawl {
 
   final case class Args(pages: String, out: String, waves: Int, gapSeconds: Long,
       urls: Seq[String], refreshAfter: Option[Int] = None,
-      rankEvery: Option[Int] = None)
+      rankEvery: Option[Int] = None,
+      blockHosts: Seq[String] = Nil, blockPathWords: Seq[String] = Nil)
 
   def parseArgs(argv: Array[String]): Args = {
     var pages = ""; var out = ""; var waves = 3; var gap = 3L
     var refresh: Option[Int] = None
     var rankEvery: Option[Int] = None
+    var blockHosts: Seq[String] = Nil
+    var blockWords: Seq[String] = Nil
     val urls = Seq.newBuilder[String]
     var i = 0
     def value(flag: String): String = {
@@ -61,12 +69,17 @@ object Crawl {
         case "--gap" => gap = value("--gap").toLong
         case "--refresh-after" => refresh = Some(value("--refresh-after").toInt)
         case "--rank-every" => rankEvery = Some(value("--rank-every").toInt)
+        case "--block-hosts" =>
+          blockHosts = value("--block-hosts").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        case "--block-path-words" =>
+          blockWords = value("--block-path-words").split(",").map(_.trim).filter(_.nonEmpty).toSeq
         case f if f.startsWith("--") =>
           throw new IllegalArgumentException(s"error: unknown flag $f")
         case u => urls += u; i += 1
       }
     }
-    val a = Args(pages, out, waves, gap, urls.result(), refresh, rankEvery)
+    val a = Args(pages, out, waves, gap, urls.result(), refresh, rankEvery,
+      blockHosts, blockWords)
     require(a.pages.nonEmpty, "--pages <pageTableRoot> is required")
     require(a.out.nonEmpty, "--out <dir> is required")
     require(a.urls.nonEmpty, "error: no URLs provided") // reference :227-228
@@ -89,7 +102,9 @@ object Crawl {
       robots = Robots.AllowAll, pages = Some(pages), ledger = Some(ledger),
       refreshAfter = a.refreshAfter,
       edgesOf = a.rankEvery.map(_ => Discover.edgesFromPages(pages)),
-      rankEvery = a.rankEvery.getOrElse(4))
+      rankEvery = a.rankEvery.getOrElse(4),
+      urlGate = if (a.blockHosts.isEmpty && a.blockPathWords.isEmpty) None
+        else Some((a.blockHosts.toDF("host"), a.blockPathWords)))
     // crawl order drives the result set; fetch = replay join; text pipeline
     // is one codegen'd map per row
     val order0 = WaveLoop.crawlOrder(spark, s"${a.out}/frontier")

@@ -140,6 +140,9 @@ object Discover {
   val StatusMiss = 404          // join miss — the 404 analogue in replay
   val StatusParseError = 422    // page fetched but the extractor got nothing
   val StatusRobotsDenied = 451  // the robots gate said no; row kept, not fetched
+  val StatusUrlPolicyDenied = 452 // URL quality gate (blocklist/path words) said no
+  //                                 — nonstandard code, chosen next to 451 so the
+  //                                 "denied, never attempted" family groups in scans
 
   /** Per-URL fetch/parse metrics (north rule: "fetch/parse metrics written
     * to Iceberg"): left-join the frontier against the pages table — a join

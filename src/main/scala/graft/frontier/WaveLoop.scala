@@ -118,7 +118,8 @@ object WaveLoop {
       refreshAfter: Option[Int] = None,
       edgesOf: Option[DataFrame => DataFrame] = None,
       rankEvery: Int = 4,
-      rankIters: Int = 3): Seq[WaveResult] = {
+      rankIters: Int = 3,
+      urlGate: Option[(DataFrame, Seq[String])] = None): Seq[WaveResult] = {
 
     require(refreshAfter.forall(_ => ledger.nonEmpty),
       "refreshAfter needs a ledger (last-fetch age lives in the ledger's wave column)")
@@ -147,7 +148,22 @@ object WaveLoop {
       // seen-filter BEFORE the dedup shuffle: filterUnseen's bloom split
       // re-evaluates its input twice, so its input must stay scan-cheap;
       // the two stages commute (seen-status is constant per url_hash group)
-      val keyed = Seen.withUrlKeys(frontier)
+      val keyed0 = Seen.withUrlKeys(frontier)
+      // URL-policy gate FIRST (blocklist + path words, [[graft.url.UrlGate]]):
+      // the cheapest signal runs before robots matching and the seen-set
+      // machinery — a blocked fetch should cost nothing downstream. Denied
+      // rows stay audit surface (status 452 in the wave metrics), mirroring
+      // the robots gate; like robots denials they stay OUT of the seen
+      // ledger, so a blocklist change lets them crawl later.
+      def applyUrlGate(df: DataFrame): (DataFrame, Option[DataFrame]) =
+        urlGate match {
+          case Some((bl, words)) =>
+            val g = graft.url.UrlGate.gate(df, "canonical_url", bl, words)
+            (g.where(col("url_ok")).drop("url_ok", "url_reasons"),
+              Some(g.where(!col("url_ok")).drop("url_ok", "url_reasons")))
+          case None => (df, None)
+        }
+      val (keyed, urlDeniedMain) = applyUrlGate(keyed0)
       // ONE allow-predicate (one FullRules broadcast) shared by the gate and
       // the denied audit branch — building it twice re-broadcast the rule
       // map every wave and re-ran the matcher over the frontier a second
@@ -162,8 +178,15 @@ object WaveLoop {
       // filterUnseen (being in the ledger is what makes them refreshes) but
       // robots still binds — a rule change since first crawl must deny the
       // re-fetch
-      val refreshKeyed = refreshRows.map(r =>
-        Seen.withUrlKeys(r).select(keyed.columns.map(col): _*))
+      val refreshGated = refreshRows.map(r => applyUrlGate(
+        Seen.withUrlKeys(r).select(keyed.columns.map(col): _*)))
+      val refreshKeyed = refreshGated.map(_._1)
+      val urlDeniedRows = (for {
+        d <- urlDeniedMain if pages.nonEmpty
+      } yield Seen.dropInWaveDuplicates(refreshGated.flatMap(_._2) match {
+        case Some(rd) => d.unionByName(rd)
+        case None => d
+      }))
       // denied rows are audit surface, not garbage: with metrics on they are
       // written as status-451 rows next to the wave's fetch metrics below.
       // In-wave DEDUPED like the fetched side (two parents discovering the
@@ -313,27 +336,30 @@ object WaveLoop {
           urlCol = "canonical_url", parseStats = metricsParseStats)
         // robots-denied rows join the metrics table with status 451 — every
         // frontier row is accounted for, nothing vanishes at the gate
-        val withDenied = deniedRows match {
-          case Some(d) => fetched.unionByName(
-            d.select(col("url"), col("canonical_url"), col("url_hash"), col("seed_idx"),
-              lit(Discover.StatusRobotsDenied).cast("int").as("status"),
-              lit(null).cast("long").as("n_chars"),
-              lit(null).cast("long").as("n_chunks")))
-          case None => fetched
-        }
+        def deniedAs(d: DataFrame, status: Int): DataFrame =
+          d.select(col("url"), col("canonical_url"), col("url_hash"), col("seed_idx"),
+            lit(status).cast("int").as("status"),
+            lit(null).cast("long").as("n_chars"),
+            lit(null).cast("long").as("n_chunks"))
+        val withDenied = Seq(
+          deniedRows.map(deniedAs(_, Discover.StatusRobotsDenied)),
+          urlDeniedRows.map(deniedAs(_, Discover.StatusUrlPolicyDenied)))
+          .flatten.foldLeft(fetched)(_.unionByName(_))
         withDenied.write.mode(SaveMode.Overwrite).parquet(s"$root/metrics/wave=$wave")
         val m = spark.read.parquet(s"$root/metrics/wave=$wave")
           .agg(sum(when(col("status") === 200, 1L).otherwise(0L)).as("fetched"),
             // disjoint taxonomy: denied rows were never fetch attempts, so
             // they must not ALSO count as missed (double-reporting)
             sum(when(col("status") =!= 200 &&
-              col("status") =!= Discover.StatusRobotsDenied, 1L).otherwise(0L)).as("missed"),
+              col("status") =!= Discover.StatusRobotsDenied &&
+              col("status") =!= Discover.StatusUrlPolicyDenied, 1L).otherwise(0L)).as("missed"),
             sum(when(col("status") === Discover.StatusRobotsDenied, 1L).otherwise(0L)).as("denied"),
+            sum(when(col("status") === Discover.StatusUrlPolicyDenied, 1L).otherwise(0L)).as("url_denied"),
             coalesce(sum(col("n_chars")), lit(0L)).as("parse_chars"),
             coalesce(sum(col("n_chunks")), lit(0L)).as("parse_chunks"))
           .collect()(0)
         s""","fetched":${m.getAs[Long]("fetched")},"missed":${m.getAs[Long]("missed")},""" +
-          s""""denied":${m.getAs[Long]("denied")},""" +
+          s""""denied":${m.getAs[Long]("denied")},"url_denied":${m.getAs[Long]("url_denied")},""" +
           s""""parse_chars":${m.getAs[Long]("parse_chars")},"parse_chunks":${m.getAs[Long]("parse_chunks")}"""
       }.getOrElse("")
       val manifest =

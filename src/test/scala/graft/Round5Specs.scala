@@ -666,3 +666,47 @@ class NormalizeUnicodeSpec extends AnyFunSuite {
     assert(graft.dedup.Dedup.exactDuplicates(texts, "id", "text").count() == 0)
   }
 }
+
+class WaveUrlGateSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import graft.frontier.{Discover, WaveLoop}
+
+  test("wave loop URL gate: blocked host never scheduled, audited as 452, crawl continues") {
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // seed links to one good and one blocked host plus a casino path
+    def page(url: String, hrefs: Seq[String]) = graft.Schemas.Page(url, ts,
+      (s"<html><body><p>w</p>" +
+        hrefs.map(h => s"""<a href="$h">l</a>""").mkString + "</body></html>")
+        .getBytes("UTF-8"),
+      "w", "en")
+    val pages = Seq(
+      page("http://good.test/p/0", Seq("http://good.test/p/1",
+        "http://spam.bad.test/p/x", "http://good.test/casino/p")),
+      page("http://good.test/p/1", Seq.empty),
+      page("http://spam.bad.test/p/x", Seq.empty),
+      page("http://good.test/casino/p", Seq.empty))
+    val ptRoot = java.nio.file.Files.createTempDirectory("waveug").toString
+    graft.sources.PageTable.commit(spark, ptRoot, spark.createDataset(pages).toDF())
+    val stored = graft.sources.PageTable.read(spark, ptRoot)
+    val root = java.nio.file.Files.createTempDirectory("waveugrun").toString
+    val blocked = Seq("bad.test").toDF("host")
+    WaveLoop.run(spark, root, Seq(("http://good.test/p/0", 0L)).toDF("url", "seed_idx"),
+      Discover.fromPages(stored), maxWaves = 2, pages = Some(stored),
+      urlGate = Some((blocked, Seq("casino"))))
+    val scheduled = (0 to 1).flatMap(w =>
+      spark.read.parquet(s"$root/schedule/wave=$w").select("canonical_url")
+        .as[String].collect())
+    assert(scheduled.toSet == Set("http://good.test/p/0", "http://good.test/p/1"))
+    // both denials audited in wave-1 metrics with the 452 policy status
+    val m1 = spark.read.parquet(s"$root/metrics/wave=1")
+      .select("canonical_url", "status").as[(String, Int)].collect().toMap
+    assert(m1("http://spam.bad.test/p/x") == 452)
+    assert(m1("http://good.test/casino/p") == 452)
+    assert(m1("http://good.test/p/1") == 200)
+    val manifest = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(WaveLoop.manifestPath(root, 1)))
+    assert(manifest.contains("\"url_denied\":2"), manifest)
+    assert(manifest.contains("\"missed\":0"), manifest) // denials are not misses
+  }
+}
