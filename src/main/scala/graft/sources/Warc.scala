@@ -259,6 +259,8 @@ object Warc {
         spark.sparkContext.hadoopConfiguration))
     graft.core.Fs.mkdirs(dir)
     val rows = pages
+        // session timezone renders the instant; every session builder in
+        // this repo pins UTC, which is what the trailing 'Z' asserts
       .select(col("url"),
         date_format(col("warc_ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("d"),
         col("html"))
