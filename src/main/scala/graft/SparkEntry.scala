@@ -812,6 +812,39 @@ object SparkEntry {
         .orderBy("fetch_seq")
     }),
 
+    "q63_round5_capstone" -> ((s, dir) => {
+      // the round-5 pipeline end to end, every stage the real operator:
+      // PII scrub → eval-set decontamination (kill list) → source-mixture
+      // reweighting → token-budget packing → per-shard stats. The oracle
+      // replays the entire chain in SQL (regexp scrub, n-gram kill set,
+      // LCG sampling, integer prefix-sum packing).
+      import s.implicits._
+      val planted = concat(col("text"),
+        lit(" contact u"), col("doc_id").cast("string"), lit("@ex.org"))
+      val scrubbed = docs(s, dir).select(col("doc_id"), col("source"),
+        graft.text.Pii.scrub(planted).as("text"))
+      val evalSet = docs(s, dir).where(col("doc_id") % 10 === 3)
+        .select(concat_ws(" ",
+          slice(filter(split(col("text"), "\\s+"), t => t =!= ""), 1, 15))
+          .as("eval_text"))
+      val kill = graft.dedup.Decontaminate
+        .killList(scrubbed, "doc_id", "text", evalSet, "eval_text", n = 8)
+        .select(col("id").as("doc_id"))
+      val clean = scrubbed.join(kill, Seq("doc_id"), "left_anti")
+      val u = pmod(col("doc_id") * 1103515245L + 12345L, lit(1000000L))
+        .cast("double") / 1000000.0d
+      val mixed = graft.text.CorpusFilter.sampleBySource(clean, "source",
+        Map("src0" -> 2.0, "src1" -> 2.0, "src2" -> 0.5), defaultWeight = 1.0, u = u)
+      val t = mixed.select((col("doc_id") * 4 + col("copy")).as("ord"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("tokens"))
+      graft.pipeline.Pack.packByTokenBudget(t, "ord", "tokens", budget = 256L)
+        .groupBy(col("bin_start").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tokens")).as("tokens"),
+          max(col("bins_spanned")).as("max_span"))
+        .orderBy("shard")
+    }),
+
     "q61_url_gate" -> ((s, dir) => {
       // URL-level quality gate: blocklist hosts match the host AND its
       // parent domains (ads.src3.test is caught by the src3.test entry;
@@ -1663,6 +1696,65 @@ object SparkEntry {
         |       (host_pos - 1) * 3 AS slot, host_rev, canonical_url, seed_idx,
         |       priority, host_pos
         |FROM r ORDER BY fetch_seq""".stripMargin,
+
+    "q63_round5_capstone" ->
+      """WITH scr AS (
+        |  SELECT doc_id, source,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(text || ' contact u' || doc_id || '@ex.org',
+        |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |      '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS text
+        |  FROM documents),
+        |etok AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '\s+'),
+        |           x -> x <> '')[1:15] AS t
+        |  FROM documents WHERE doc_id % 10 = 3),
+        |eg AS (
+        |  SELECT DISTINCT unnest(CASE WHEN len(t) < 8 THEN CAST([] AS VARCHAR[])
+        |    ELSE list_distinct(list_transform(range(0, len(t) - 7),
+        |           i -> array_to_string(t[i+1:i+8], ' '))) END) AS gram
+        |  FROM etok),
+        |ctok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM scr),
+        |cg AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) < 8 THEN CAST([] AS VARCHAR[])
+        |    ELSE list_distinct(list_transform(range(0, len(t) - 7),
+        |           i -> array_to_string(t[i+1:i+8], ' '))) END) AS gram
+        |  FROM ctok),
+        |kill AS (SELECT DISTINCT cg.doc_id FROM cg JOIN eg USING (gram)),
+        |clean AS (SELECT * FROM scr
+        |          WHERE doc_id NOT IN (SELECT doc_id FROM kill)),
+        |w AS (
+        |  SELECT doc_id, source, text,
+        |    CASE WHEN source IN ('src0', 'src1') THEN 2.0
+        |         WHEN source = 'src2' THEN 0.5 ELSE 1.0 END AS wt,
+        |    CAST((doc_id * 1103515245 + 12345) % 1000000 AS DOUBLE) / 1000000.0 AS u
+        |  FROM clean),
+        |c2 AS (
+        |  SELECT doc_id, text,
+        |    CAST(floor(wt) + CASE WHEN u < wt - floor(wt) THEN 1 ELSE 0 END AS BIGINT)
+        |      AS copies
+        |  FROM w),
+        |m AS (
+        |  SELECT doc_id * 4 + t2.c AS ord,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tokens
+        |  FROM c2, unnest([1, 2]) AS t2(c) WHERE t2.c <= copies),
+        |cum AS (
+        |  SELECT ord, tokens, coalesce(sum(tokens) OVER (ORDER BY ord
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS e FROM m),
+        |p AS (
+        |  SELECT ord, tokens, e // 256 AS shard,
+        |    CASE WHEN tokens > 0 THEN (e + tokens - 1) // 256 - e // 256 + 1
+        |         ELSE 1 END AS spanned FROM cum)
+        |SELECT CAST(shard AS BIGINT) AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(tokens) AS BIGINT) AS tokens,
+        |  CAST(max(spanned) AS BIGINT) AS max_span
+        |FROM p GROUP BY shard ORDER BY shard""".stripMargin,
 
     "q61_url_gate" ->
       """WITH f AS (
