@@ -812,6 +812,29 @@ object SparkEntry {
         .orderBy("fetch_seq")
     }),
 
+    "q64_page_directives" -> ((s, dir) => {
+      // meta-robots + rel-canonical extraction: four planted variants
+      // (comma list, case+single-quote, canonical link, commented-out meta
+      // that must NOT count) — the crawl-politeness signals read from the
+      // page itself.
+      val html = concat(
+        lit("<html><head><title>t</title>"),
+        when(col("doc_id") % 4 === 0,
+          lit("<meta name=\"robots\" content=\"noindex, nofollow\">"))
+          .when(col("doc_id") % 4 === 1,
+            lit("<meta name='ROBOTS' content='NOFOLLOW'>"))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit("<link rel=\"canonical\" href=\"http://c.test/"),
+              col("doc_id").cast("string"), lit("\">")))
+          .otherwise(lit("<!-- <meta name=\"robots\" content=\"noindex\"> -->")),
+        lit("</head><body><p>"), col("text"), lit("</p></body></html>"))
+      docs(s, dir)
+        .select(col("doc_id"), graft.functions.page_directives(html).as("d"))
+        .select(col("doc_id"), col("d.noindex").as("noindex"),
+          col("d.nofollow").as("nofollow"), col("d.canonical").as("canonical"))
+        .orderBy("doc_id")
+    }),
+
     "q63_round5_capstone" -> ((s, dir) => {
       // the round-5 pipeline end to end, every stage the real operator:
       // PII scrub → eval-set decontamination (kill list) → source-mixture
@@ -1696,6 +1719,14 @@ object SparkEntry {
         |       (host_pos - 1) * 3 AS slot, host_rev, canonical_url, seed_idx,
         |       priority, host_pos
         |FROM r ORDER BY fetch_seq""".stripMargin,
+
+    "q64_page_directives" ->
+      """SELECT doc_id,
+        |  doc_id % 4 = 0 AS noindex,
+        |  doc_id % 4 IN (0, 1) AS nofollow,
+        |  CASE WHEN doc_id % 4 = 2 THEN 'http://c.test/' || doc_id
+        |       ELSE '' END AS canonical
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q63_round5_capstone" ->
       """WITH scr AS (

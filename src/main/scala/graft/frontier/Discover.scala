@@ -54,7 +54,7 @@ object Discover {
     } else pages
 
   def fromPages(pages: DataFrame, maxLinksPerPage: Int = 1024,
-      buckets: Int = 64): DataFrame => DataFrame = {
+      buckets: Int = 64, respectNofollow: Boolean = true): DataFrame => DataFrame = {
     require(maxLinksPerPage >= 1 && maxLinksPerPage <= 8192,
       s"maxLinksPerPage out of range: $maxLinksPerPage")
     val m = Discover.nextPow2(maxLinksPerPage)
@@ -63,6 +63,13 @@ object Discover {
         .select(col("url").as("canonical_url"), col("html"))
       scheduled.select("canonical_url", "seed_idx")
         .join(p, Seq("canonical_url"))
+        // meta-robots nofollow: the page asked not to have its links
+        // followed — a polite crawler honors it at DISCOVERY time (one
+        // extra codegen'd scan per page, fused into the same projection)
+        .where(if (respectNofollow)
+          !graft.functions.page_directives(col("html").cast("string"))
+            .getField("nofollow")
+          else lit(true))
         .select(col("canonical_url").as("base"),
           posexplode(extract_links(col("html").cast("string"))).as(Seq("pos", "href")))
         .where(col("pos") < maxLinksPerPage)
@@ -92,6 +99,10 @@ object Discover {
         .select(col("url").as("canonical_url"), col("html"))
       scheduled.select("canonical_url")
         .join(p, Seq("canonical_url"))
+        // same nofollow contract as fromPages — edges a page disallowed
+        // must not feed authority either
+        .where(!graft.functions.page_directives(col("html").cast("string"))
+          .getField("nofollow"))
         .select(col("canonical_url").as("src"),
           posexplode(extract_links(col("html").cast("string"))).as(Seq("pos", "href")))
         .where(col("pos") < maxLinksPerPage)

@@ -140,6 +140,15 @@ object Impl {
   def ngramHashes(text: UTF8String, n: Int, lowercase: Boolean): ArrayData =
     ArrayData.toArrayData(ngramWindowHashes(text, n, lowercase))
 
+  /** Page crawl directives kernel ([[graft.text.HtmlText.pageDirectives]]):
+    * meta-robots noindex/nofollow + rel=canonical, one comment-blind scan.
+    */
+  def pageDirectives(html: UTF8String): InternalRow = {
+    val d = graft.text.HtmlText.pageDirectives(html.toString)
+    new GenericInternalRow(Array[Any](d.noindex, d.nofollow,
+      UTF8String.fromString(d.canonical)))
+  }
+
   /** Unicode normalization (java.text.Normalizer) — NFC by default: the
     * pre-tokenization hygiene step (decomposed é = e + U+0301 must equal
     * composed é for every downstream hash/dedup/count operator).
@@ -784,6 +793,30 @@ case class SrpBucket(child: Expression, bits: Int, seed: Int)
   override protected def withNewChildInternal(c: Expression): SrpBucket =
     copy(child = c)
   override def prettyName: String = "srp_bucket"
+}
+
+/** Page-level crawl directives of an HTML column →
+  * STRUCT(noindex BOOLEAN, nofollow BOOLEAN, canonical STRING) — the
+  * meta-robots / rel-canonical signals a polite crawler must honor
+  * ([[Impl.pageDirectives]]); codegen'd, one scan per row.
+  */
+case class PageDirectivesExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = PageDirectivesExpr.Schema
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    Impl.pageDirectives(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Impl.pageDirectives($c)")
+  override protected def withNewChildInternal(c: Expression): PageDirectivesExpr =
+    copy(c)
+  override def prettyName: String = "page_directives"
+}
+
+object PageDirectivesExpr {
+  val Schema: StructType = StructType(Seq(
+    StructField("noindex", BooleanType, nullable = false),
+    StructField("nofollow", BooleanType, nullable = false),
+    StructField("canonical", StringType, nullable = false)))
 }
 
 /** Unicode normalization of a text column (NFC/NFD/NFKC/NFKD) —

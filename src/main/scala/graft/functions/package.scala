@@ -112,6 +112,9 @@ package object functions {
   def srp_bucket(vec: Column, bits: Int, seed: Int = 7): Column =
     col(SrpBucket(expr(vec), bits, seed))
 
+  /** Page crawl directives: STRUCT(noindex, nofollow, canonical). */
+  def page_directives(c: Column): Column = col(PageDirectivesExpr(expr(c)))
+
   /** Unicode normalization (NFC default; NFD/NFKC/NFKD) — codegen'd. */
   def normalize_unicode(c: Column, form: String = "NFC"): Column =
     col(NormalizeUnicode(expr(c), form))
@@ -168,6 +171,7 @@ package object functions {
     reg.createOrReplaceTempFunction("repetition_stats", es => RepetitionStatsExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("pack_int8", es => PackInt8(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("normalize_nfc", es => NormalizeUnicode(es.head, "NFC"), "scala_udf")
+    reg.createOrReplaceTempFunction("page_directives", es => PageDirectivesExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("cosine_int8", es => CosineInt8(es.head, es(1)), "scala_udf")
   }
 }

@@ -313,18 +313,90 @@ object HtmlText {
     out.result()
   }
 
+  final case class Directives(noindex: Boolean, nofollow: Boolean, canonical: String)
+
+  /** Page-level crawl directives — the two signals a polite crawler must
+    * read out of the page itself: `<meta name="robots" content="…">`
+    * (noindex / nofollow / none tokens, any case, first meta wins — the
+    * rule browsers and Googlebot apply) and `<link rel="canonical"
+    * href="…">` (the duplicate-cluster representative the SITE declares,
+    * first link wins). Same scanner discipline as [[extractLinks]]:
+    * comment-blind, raw-text bodies jumped, quote-aware tag ends.
+    * `canonical` is the raw attribute value ("" if absent) — resolution
+    * belongs downstream like every other discovered URL.
+    */
+  def pageDirectives(html: String): Directives = {
+    if (html == null) return Directives(noindex = false, nofollow = false, "")
+    var noindex = false; var nofollow = false; var canonical = ""
+    var sawRobots = false; var sawCanonical = false
+    val n = html.length
+    var i = 0
+    while (i < n && !(sawRobots && sawCanonical)) {
+      val lt = html.indexOf('<', i)
+      if (lt < 0) i = n
+      else if (html.startsWith("<!--", lt)) {
+        val end = html.indexOf("-->", lt + 4)
+        i = if (end < 0) n else end + 3
+      } else {
+        val gt = tagEnd(html, lt + 1)
+        if (gt < 0) i = n
+        else {
+          val inner = html.substring(lt + 1, gt)
+          val body = inner.stripPrefix("/").stripSuffix("/")
+          val sp = body.indexWhere(ch => ch == ' ' || ch == '\t' || ch == '\n' || ch == '\r')
+          val name = (if (sp < 0) body else body.substring(0, sp))
+            .toLowerCase(java.util.Locale.ROOT)
+          if (!inner.startsWith("/") && name == "meta" && !sawRobots) {
+            val nm = findAttr(html, lt + 5, gt, "name")
+            if (nm != null && nm.trim.equalsIgnoreCase("robots")) {
+              sawRobots = true
+              val content = findAttr(html, lt + 5, gt, "content")
+              if (content != null) {
+                val toks = decodeEntities(content).toLowerCase(java.util.Locale.ROOT)
+                  .split(',').map(_.trim).toSet
+                noindex = toks.contains("noindex") || toks.contains("none")
+                nofollow = toks.contains("nofollow") || toks.contains("none")
+              }
+            }
+            i = gt + 1
+          } else if (!inner.startsWith("/") && name == "link" && !sawCanonical) {
+            val rel = findAttr(html, lt + 5, gt, "rel")
+            if (rel != null && rel.trim.equalsIgnoreCase("canonical")) {
+              sawCanonical = true
+              val href = findAttr(html, lt + 5, gt, "href")
+              if (href != null) canonical = decodeEntities(href)
+            }
+            i = gt + 1
+          } else if (!inner.startsWith("/") && !inner.endsWith("/") &&
+              RawTextTags.contains(name)) {
+            val end = closeOf(html, gt + 1, name)
+            i = if (end < 0) n else end
+          } else i = gt + 1
+        }
+      }
+    }
+    Directives(noindex, nofollow, canonical)
+  }
+
   /** href value inside an attribute span [from, to) of `html`; null if none.
     * Handles `href="x"`, `href='x'`, bare `href=x`, any key case, spaces
     * around '='.
     */
-  private def findHref(html: String, from: Int, to: Int): String = {
+  private def findHref(html: String, from: Int, to: Int): String =
+    findAttr(html, from, to, "href")
+
+  /** Value of attribute `key` inside span [from, to); null if absent.
+    * Same states as the href parser it generalizes: quoted either way,
+    * bare values, any key case, whitespace around '='.
+    */
+  private def findAttr(html: String, from: Int, to: Int, key: String): String = {
+    val kl = key.length
     var k = from
-    while (k + 4 <= to) {
-      val isKey = (html.charAt(k) == 'h' || html.charAt(k) == 'H') &&
-        html.regionMatches(true, k, "href", 0, 4) &&
+    while (k + kl <= to) {
+      val isKey = html.regionMatches(true, k, key, 0, kl) &&
         (k == from || Character.isWhitespace(html.charAt(k - 1)))
       if (isKey) {
-        var i = k + 4
+        var i = k + kl
         while (i < to && Character.isWhitespace(html.charAt(i))) i += 1
         if (i < to && html.charAt(i) == '=') {
           i += 1
