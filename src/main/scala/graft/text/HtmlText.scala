@@ -327,6 +327,13 @@ object HtmlText {
     */
   def pageDirectives(html: String): Directives = {
     if (html == null) return Directives(noindex = false, nofollow = false, "")
+    // fast path: a page with neither substring cannot carry a directive —
+    // the COMMON page pays one allocation-free case-blind scan instead of
+    // the tag walk (which substrings every tag); a body-text false hit
+    // just takes the slow path, same answer
+    if (indexOfIgnoreCase(html, "robots") < 0 &&
+        indexOfIgnoreCase(html, "canonical") < 0)
+      return Directives(noindex = false, nofollow = false, "")
     var noindex = false; var nofollow = false; var canonical = ""
     var sawRobots = false; var sawCanonical = false
     val n = html.length
@@ -376,6 +383,16 @@ object HtmlText {
       }
     }
     Directives(noindex, nofollow, canonical)
+  }
+
+  private def indexOfIgnoreCase(s: String, needle: String): Int = {
+    val n = s.length - needle.length
+    var i = 0
+    while (i <= n) {
+      if (s.regionMatches(true, i, needle, 0, needle.length)) return i
+      i += 1
+    }
+    -1
   }
 
   /** href value inside an attribute span [from, to) of `html`; null if none.
