@@ -835,6 +835,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q65_line_dedup" -> ((s, dir) => {
+      // CCNet-style corpus-level line dedup: every doc carries a universal
+      // header line (df = all docs → dropped), a per-source footer (df = 25
+      // ≥ the cap → dropped), a pair line shared by exactly 2 docs (df = 2
+      // < cap → KEPT: duplicated is not boilerplate until it crosses the
+      // doc-frequency bar), its own text line, and a unique tail.
+      val corpus = docs(s, dir).select(col("doc_id"),
+        concat(lit("shared header boilerplate line\n"), col("text"),
+          lit("\nfooter for "), col("source"),
+          lit("\npair line "), (col("doc_id") / 2).cast("long").cast("string"),
+          lit("\nunique tail "), col("doc_id").cast("string")).as("text"))
+      graft.dedup.Dedup.dropDuplicateLines(corpus, "doc_id", "text",
+          maxDocFreq = 20)
+        .select(col("id").as("doc_id"), col("n_lines"), col("n_kept"),
+          col("text_clean"))
+        .orderBy("doc_id")
+    }),
+
     "q63_round5_capstone" -> ((s, dir) => {
       // the round-5 pipeline end to end, every stage the real operator:
       // PII scrub → eval-set decontamination (kill list) → source-mixture
@@ -1727,6 +1745,38 @@ object SparkEntry {
         |  CASE WHEN doc_id % 4 = 2 THEN 'http://c.test/' || doc_id
         |       ELSE '' END AS canonical
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q65_line_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |    'shared header boilerplate line' || chr(10) || text || chr(10) ||
+        |    'footer for ' || source || chr(10) ||
+        |    'pair line ' || (doc_id // 2) || chr(10) ||
+        |    'unique tail ' || doc_id AS text
+        |  FROM documents
+        |), lns AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(text, chr(10))) AS line,
+        |    generate_subscripts(string_split(text, chr(10)), 1) AS idx
+        |  FROM corpus
+        |), hot AS (
+        |  SELECT line FROM (
+        |    SELECT line, count(DISTINCT doc_id) AS df FROM lns GROUP BY line)
+        |  WHERE df >= 20
+        |), kept AS (
+        |  SELECT doc_id, line, idx FROM lns
+        |  WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.line = lns.line)
+        |), rebuilt AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(line, chr(10) ORDER BY idx) AS text_clean
+        |  FROM kept GROUP BY doc_id
+        |)
+        |SELECT c.doc_id,
+        |  CAST(len(string_split(c.text, chr(10))) AS BIGINT) AS n_lines,
+        |  CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+        |  coalesce(r.text_clean, '') AS text_clean
+        |FROM corpus c LEFT JOIN rebuilt r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q63_round5_capstone" ->
       """WITH scr AS (

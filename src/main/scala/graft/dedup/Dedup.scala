@@ -380,6 +380,54 @@ object Dedup {
       .drop("_spans", "_toks", "_kept")
   }
 
+  /** Corpus-level LINE deduplication (the CCNet / RefinedWeb boilerplate
+    * pass, Wenzek et al. 2020 §4.1): a line whose hash appears in at least
+    * `maxDocFreq` DISTINCT documents is boilerplate (cookie banners, nav
+    * footers, share buttons) and is removed from every document that
+    * carries it. Paragraph-mode callers pass a paragraph separator.
+    *
+    * 100 TB shape: the corpus-wide aggregation runs entirely on 16-byte
+    * `(line_hash, id)` rows — line TEXT never shuffles. A first map-side
+    * `distinct` collapses within-doc repeats so the doc-frequency count is
+    * over documents, not occurrences; the hot set (df ≥ cap) is then a tiny
+    * fraction of distinct lines, and only `(id, idx)` pairs of DROPPED
+    * lines flow back (again 16 bytes/row, bounded by boilerplate mass, not
+    * corpus size). The rebuild is row-local — one indexed `filter` over the
+    * doc's own split, the [[cutSpans]] pattern — so each document's bytes
+    * move at most once, in the final id-keyed join.
+    *
+    * Returns `(id, n_lines, n_kept, text_clean)` for every input document
+    * (documents whose every line is boilerplate survive with empty text —
+    * downstream length gates kill them auditable-y, not silently here).
+    */
+  def dropDuplicateLines(docs: DataFrame, idCol: String, textCol: String,
+      maxDocFreq: Int, sep: String = "\n"): DataFrame = {
+    val splitCol = split(col(textCol), java.util.regex.Pattern.quote(sep))
+    val hashed = docs.select(col(idCol).as("id"),
+        posexplode(splitCol).as(Seq("idx", "line")))
+      .select(col("id"), col("idx"), xxhash64(col("line")).as("line_hash"))
+    // doc frequency = distinct docs per line hash (two-stage: the distinct
+    // is map-side combinable, then the count is a partial agg of key-only
+    // rows) — occurrence counts would let one spammy doc promote its own
+    // repeated line to "boilerplate" for everyone
+    val hot = hashed.select("line_hash", "id").distinct()
+      .groupBy("line_hash").agg(count(lit(1)).as("df"))
+      .where(col("df") >= maxDocFreq)
+      .select("line_hash")
+    val dropIdx = hashed.join(hot, Seq("line_hash"), "left_semi")
+      .groupBy(col("id")).agg(sort_array(collect_list(col("idx"))).as("_drop"))
+      .withColumnRenamed("id", "__did")
+    docs.join(dropIdx, col(idCol) === col("__did"), "left")
+      .withColumn("_lines", splitCol)
+      .withColumn("_kept",
+        when(col("_drop").isNull, col("_lines"))
+          .otherwise(filter(col("_lines"), (_, i) => !array_contains(col("_drop"), i))))
+      .select(col(idCol).as("id"),
+        size(col("_lines")).cast("long").as("n_lines"),
+        size(col("_kept")).cast("long").as("n_kept"),
+        array_join(col("_kept"), sep).as("text_clean"))
+  }
+
   /** [[fingerprintOverlap]] over a precomputed `(id, print BIGINT)` frame.
     * `prints` must hold ONE row per (doc, print) — the production path
     * guarantees it with array_distinct; the doc-frequency cap counts rows,

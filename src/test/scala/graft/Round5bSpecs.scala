@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+
+class LineDedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("corpus-wide boilerplate lines drop; order and unique lines survive") {
+    val corpus = Seq(
+      (1L, "boiler\nalpha one\nboiler tail"),
+      (2L, "boiler\nbeta two\nboiler tail"),
+      (3L, "boiler\ngamma three\nboiler tail"),
+      (4L, "boiler\ndelta four\nkept solo")).toDF("id", "text")
+    val out = Dedup.dropDuplicateLines(corpus, "id", "text", maxDocFreq = 3)
+      .orderBy("id").collect()
+    // "boiler" df=4 dropped; "boiler tail" df=3 dropped (>= cap); rest kept
+    assert(out.map(_.getAs[String]("text_clean")).toSeq ==
+      Seq("alpha one", "beta two", "gamma three", "delta four\nkept solo"))
+    assert(out.forall(_.getAs[Long]("n_lines") == 3))
+    assert(out.map(_.getAs[Long]("n_kept")).toSeq == Seq(1L, 1L, 1L, 2L))
+  }
+
+  test("within-doc repeats do not inflate doc frequency") {
+    // "spam" appears 5x in doc 1 but only 2 DOCS carry it — under cap 3 it
+    // must survive everywhere (occurrence-counting would kill it)
+    val corpus = Seq(
+      (1L, "spam\nspam\nspam\nspam\nspam"),
+      (2L, "spam\nunique middle"),
+      (3L, "clean only")).toDF("id", "text")
+    val out = Dedup.dropDuplicateLines(corpus, "id", "text", maxDocFreq = 3)
+      .orderBy("id").collect()
+    assert(out(0).getAs[String]("text_clean") == "spam\nspam\nspam\nspam\nspam")
+    assert(out(1).getAs[String]("text_clean") == "spam\nunique middle")
+  }
+
+  test("a fully-boilerplate document survives with empty text, exact counts") {
+    val corpus = Seq(
+      (1L, "b1\nb2"), (2L, "b1\nb2"), (3L, "b1\nb2"),
+      (4L, "b1\nown line")).toDF("id", "text")
+    val out = Dedup.dropDuplicateLines(corpus, "id", "text", maxDocFreq = 3)
+      .orderBy("id").collect()
+    assert(out(0).getAs[String]("text_clean") == "")
+    assert(out(0).getAs[Long]("n_kept") == 0L)
+    assert(out(0).getAs[Long]("n_lines") == 2L)
+    assert(out(3).getAs[String]("text_clean") == "own line")
+  }
+
+  test("custom separator (paragraph mode) treats the separator literally") {
+    val corpus = Seq(
+      (1L, "same para|only here"), (2L, "same para|unique"),
+      (3L, "same para|third")).toDF("id", "text")
+    val out = Dedup.dropDuplicateLines(corpus, "id", "text",
+        maxDocFreq = 3, sep = "|")
+      .orderBy("id").collect()
+    assert(out.map(_.getAs[String]("text_clean")).toSeq ==
+      Seq("only here", "unique", "third"))
+  }
+}
