@@ -853,6 +853,35 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q66_host_quality" -> ((s, dir) => {
+      // RefinedWeb-style HOST-level gate over the q46 per-doc fixture:
+      // sources 0/5/10/15 coincide with the %5 spam-tail residue (source =
+      // doc_id%20), so every one of their docs fails → pass_ppm 0 → host
+      // ruled out; the rest sit at 480-560k ppm and clear the 400k bar.
+      // n_survivors replays the doc∧host composition: 0 on blocked hosts.
+      val ftext =
+        when(col("doc_id") % 7 === 0, lit("a b c"))
+          .when(col("doc_id") % 11 === 0,
+            lit(Seq.fill(12)("verylongsyntheticword").mkString(" ")))
+          .otherwise(concat(col("text"),
+            when(col("doc_id") % 5 === 0, repeat(lit(" spam ham"), 30)).otherwise(lit("")),
+            when(col("doc_id") % 3 === 0,
+              lit("\nxx yy\nxx yy\nxx yy\nxx yy")).otherwise(lit(""))))
+      val gated = graft.text.CorpusFilter.withGate(
+        docs(s, dir).select(col("doc_id"), col("source"), ftext.as("text")), "text")
+      val hq = graft.text.CorpusFilter.hostQuality(gated, "source",
+        minDocs = 5L, minPassPpm = 400000L)
+      val surv = graft.text.CorpusFilter.survivorsByHost(gated, "source",
+          minDocs = 5L, minPassPpm = 400000L)
+        .groupBy(col("source").as("host"))
+        .agg(count(lit(1)).as("n_survivors"))
+      hq.join(surv, Seq("host"), "left")
+        .select(col("host"), col("n_docs"), col("n_passed"), col("host_tokens"),
+          col("pass_ppm"), col("host_ok").cast("long").as("host_ok"),
+          coalesce(col("n_survivors"), lit(0L)).as("n_survivors"))
+        .orderBy("host")
+    }),
+
     "q63_round5_capstone" -> ((s, dir) => {
       // the round-5 pipeline end to end, every stage the real operator:
       // PII scrub → eval-set decontamination (kill list) → source-mixture
@@ -1745,6 +1774,48 @@ object SparkEntry {
         |  CASE WHEN doc_id % 4 = 2 THEN 'http://c.test/' || doc_id
         |       ELSE '' END AS canonical
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q66_host_quality" ->
+      """WITH f AS (SELECT doc_id, source,
+        |  CASE WHEN doc_id % 7 = 0 THEN 'a b c'
+        |       WHEN doc_id % 11 = 0 THEN 'verylongsyntheticword verylongsyntheticword verylongsyntheticword verylongsyntheticword verylongsyntheticword verylongsyntheticword verylongsyntheticword verylongsyntheticword verylongsyntheticword verylongsyntheticword verylongsyntheticword verylongsyntheticword'
+        |       ELSE text ||
+        |         CASE WHEN doc_id % 5 = 0 THEN repeat(' spam ham', 30) ELSE '' END ||
+        |         CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'xx yy' || chr(10) || 'xx yy' ||
+        |              chr(10) || 'xx yy' || chr(10) || 'xx yy' ELSE '' END
+        |  END AS t FROM documents),
+        |sig AS (SELECT doc_id, source, t,
+        |  len(regexp_split_to_array(trim(t), '\s+')) AS ntok,
+        |  len(regexp_replace(trim(t), '\s+', '', 'g')) AS nchar,
+        |  list_filter(list_transform(string_split(t, chr(10)), x -> trim(x)),
+        |    x -> len(x) > 0) AS ls,
+        |  list_transform(range(len(regexp_split_to_array(trim(t), '\s+')) - 1),
+        |    i -> regexp_split_to_array(trim(t), '\s+')[i+1] || ' ' ||
+        |         regexp_split_to_array(trim(t), '\s+')[i+2]) AS bg
+        |  FROM f),
+        |m AS (SELECT doc_id, source, ntok,
+        |  nchar * 1.0 / ntok AS mwl,
+        |  (len(ls) - len(list_distinct(ls))) * 1.0 / len(ls) AS dlf,
+        |  CASE WHEN len(bg) = 0 THEN 0.0
+        |       ELSE CAST(list_max(list_transform(list_distinct(bg),
+        |              x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE) / len(bg) END AS tbf
+        |  FROM sig),
+        |r AS (SELECT doc_id, source, ntok,
+        |  CAST(NOT (ntok < 10 OR ntok > 100000 OR mwl < 2.0 OR mwl > 12.0
+        |            OR dlf > 0.30 OR tbf > 0.18) AS BIGINT) AS passed
+        |  FROM m),
+        |hq AS (SELECT source AS host, count(*) AS n_docs, sum(passed) AS n_passed,
+        |  sum(ntok) AS host_tokens,
+        |  (sum(passed) * 1000000) // count(*) AS pass_ppm
+        |  FROM r GROUP BY source)
+        |SELECT host, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_passed AS BIGINT) AS n_passed,
+        |  CAST(host_tokens AS BIGINT) AS host_tokens,
+        |  CAST(pass_ppm AS BIGINT) AS pass_ppm,
+        |  CAST(n_docs < 5 OR pass_ppm >= 400000 AS BIGINT) AS host_ok,
+        |  CAST(CASE WHEN n_docs < 5 OR pass_ppm >= 400000
+        |       THEN n_passed ELSE 0 END AS BIGINT) AS n_survivors
+        |FROM hq ORDER BY host""".stripMargin,
 
     "q65_line_dedup" ->
       """WITH corpus AS (

@@ -106,4 +106,39 @@ object CorpusFilter {
       .withColumn("copy", explode(sequence(lit(1L), col("_copies"))))
       .drop("_copies")
   }
+
+  /** HOST-level quality verdicts (the RefinedWeb/C4 pattern: judge the
+    * DOMAIN by its documents' aggregate quality, then drop the whole
+    * domain): over a [[withGate]]-shaped frame (`passed`, `n_tokens`
+    * present), aggregate per host and rule a host out when enough of its
+    * documents exist to judge (`n_docs ≥ minDocs`) AND fewer than
+    * `minPassPpm`/10^6 of them pass the per-document gate. Hosts below the
+    * evidence bar stay in — a domain is never condemned on 3 documents.
+    *
+    * Integer arithmetic only (`pass_ppm` = exact integer division), so the
+    * verdict is engine-reproducible. Shape: one map-side-combinable
+    * groupBy of 4 numeric partials per host — no document bytes move.
+    */
+  def hostQuality(gated: DataFrame, hostCol: String,
+      minDocs: Long = 10L, minPassPpm: Long = 300000L): DataFrame =
+    gated.groupBy(col(hostCol).as("host"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("passed").cast("long")).as("n_passed"),
+        sum(col("n_tokens")).as("host_tokens"))
+      .withColumn("pass_ppm", expr("n_passed * 1000000 DIV n_docs"))
+      .withColumn("host_ok",
+        col("n_docs") < minDocs || col("pass_ppm") >= minPassPpm)
+
+  /** Apply [[hostQuality]] verdicts: survivors = documents that pass the
+    * per-document gate AND whose host is not ruled out. One left-semi join
+    * against the (tiny: one row per host) verdict frame — broadcast-able
+    * at any corpus scale where hosts ≪ documents.
+    */
+  def survivorsByHost(gated: DataFrame, hostCol: String,
+      minDocs: Long = 10L, minPassPpm: Long = 300000L): DataFrame = {
+    val ok = hostQuality(gated, hostCol, minDocs, minPassPpm)
+      .where(col("host_ok")).select(col("host").as("__okhost"))
+    gated.where(col("passed"))
+      .join(ok, col(hostCol) === col("__okhost"), "left_semi")
+  }
 }

@@ -3,6 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
+import graft.text.CorpusFilter
 
 class LineDedupSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
@@ -46,6 +47,43 @@ class LineDedupSpec extends AnyFunSuite {
     assert(out(0).getAs[Long]("n_kept") == 0L)
     assert(out(0).getAs[Long]("n_lines") == 2L)
     assert(out(3).getAs[String]("text_clean") == "own line")
+  }
+
+  test("host-level gate: low-pass hosts out, evidence bar spares tiny hosts") {
+    val good = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val rows =
+      Seq.tabulate(10)(i => (i.toLong, "spamhost.test", "a b c")) ++ // all fail
+      Seq.tabulate(10)(i => (100L + i, "goodhost.test", s"$good n$i")) ++
+      Seq.tabulate(3)(i => (200L + i, "tiny.test", "x y")) // all fail, but only 3 docs
+    val gated = CorpusFilter.withGate(
+      spark.createDataFrame(rows).toDF("id", "host", "text"), "text")
+    val hq = CorpusFilter.hostQuality(gated, "host",
+        minDocs = 5L, minPassPpm = 500000L)
+      .orderBy("host").collect()
+    assert(hq.map(r => (r.getAs[String]("host"), r.getAs[Boolean]("host_ok"))).toSeq ==
+      Seq(("goodhost.test", true), ("spamhost.test", false), ("tiny.test", true)))
+    assert(hq.find(_.getAs[String]("host") == "spamhost.test").get
+      .getAs[Long]("pass_ppm") == 0L)
+    // survivors: only goodhost docs (pass AND ok host); tiny's docs fail the
+    // per-doc gate even though the host itself was not condemned
+    val surv = CorpusFilter.survivorsByHost(gated, "host",
+      minDocs = 5L, minPassPpm = 500000L)
+    assert(surv.select("host").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("goodhost.test"))
+    assert(surv.count() == 10)
+  }
+
+  test("host gate drops a passing document when its host is condemned") {
+    val good = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    // badhost: 9 failing docs + 1 genuinely good one → ppm 100000 < bar;
+    // the good doc must NOT survive (that is the point of a host gate)
+    val rows =
+      Seq.tabulate(9)(i => (i.toLong, "badhost.test", "a b c")) ++
+      Seq((9L, "badhost.test", good))
+    val gated = CorpusFilter.withGate(
+      spark.createDataFrame(rows).toDF("id", "host", "text"), "text")
+    assert(CorpusFilter.survivorsByHost(gated, "host",
+      minDocs = 5L, minPassPpm = 300000L).count() == 0)
   }
 
   test("custom separator (paragraph mode) treats the separator literally") {
