@@ -853,6 +853,35 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q67_sig_ledger" -> ((s, dir) => {
+      // incremental dedup against a persisted signature ledger: ledger =
+      // every original's 8 band rows (bucket = (id%1000)*8+band, collision
+      // -free by construction); new wave = %7 near-dup copies that share
+      // exactly their original's buckets on bands 0-3 (shifted +500 on the
+      // rest → partial 4-band hit, dup_of = the original) and %13 fresh
+      // docs in a disjoint +600 bucket range (novel). The screen kernel —
+      // rep-collapse, probe join, hit counts — is pure integer arithmetic
+      // both engines replay; the murmur banding upstream is spec-pinned.
+      val bandSeq = sequence(lit(0), lit(7))
+      val idMod = pmod(col("doc_id"), lit(1000L))
+      val ledger = docs(s, dir).select(col("doc_id").as("id"),
+        posexplode(transform(bandSeq, b => idMod * 8 + b)).as(Seq("band", "bucket")))
+      val copies = docs(s, dir).where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000L).as("id"),
+          posexplode(transform(bandSeq, b =>
+            when(b < 4, idMod * 8 + b).otherwise((idMod + 500L) * 8 + b)))
+            .as(Seq("band", "bucket")))
+      val fresh = docs(s, dir).where(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 200000L).as("id"),
+          posexplode(transform(bandSeq, b => (idMod + 600L) * 8 + b))
+            .as(Seq("band", "bucket")))
+      graft.dedup.SigLedger.screenBands(ledger, copies.unionByName(fresh))
+        .select(col("id"), col("n_hit_bands"),
+          coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+          col("novel").cast("long").as("novel"))
+        .orderBy("id")
+    }),
+
     "q66_host_quality" -> ((s, dir) => {
       // RefinedWeb-style HOST-level gate over the q46 per-doc fixture:
       // sources 0/5/10/15 coincide with the %5 spam-tail residue (source =
@@ -1774,6 +1803,31 @@ object SparkEntry {
         |  CASE WHEN doc_id % 4 = 2 THEN 'http://c.test/' || doc_id
         |       ELSE '' END AS canonical
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q67_sig_ledger" ->
+      """WITH bands AS (SELECT unnest(range(8)) AS b),
+        |ledger AS (
+        |  SELECT doc_id AS id, b AS band, (doc_id % 1000) * 8 + b AS bucket
+        |  FROM documents, bands),
+        |newb AS (
+        |  SELECT doc_id + 100000 AS id, b AS band,
+        |    CASE WHEN b < 4 THEN (doc_id % 1000) * 8 + b
+        |         ELSE (doc_id % 1000 + 500) * 8 + b END AS bucket
+        |  FROM documents, bands WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000 AS id, b AS band,
+        |    (doc_id % 1000 + 600) * 8 + b AS bucket
+        |  FROM documents, bands WHERE doc_id % 13 = 0),
+        |reps AS (SELECT band, bucket, min(id) AS lid
+        |  FROM ledger GROUP BY band, bucket),
+        |hits AS (SELECT n.id, count(*) AS nh, min(r.lid) AS dup_of
+        |  FROM newb n JOIN reps r ON n.band = r.band AND n.bucket = r.bucket
+        |  GROUP BY n.id)
+        |SELECT i.id, CAST(coalesce(h.nh, 0) AS BIGINT) AS n_hit_bands,
+        |  CAST(coalesce(h.dup_of, -1) AS BIGINT) AS dup_of,
+        |  CAST(h.id IS NULL AS BIGINT) AS novel
+        |FROM (SELECT DISTINCT id FROM newb) i LEFT JOIN hits h ON i.id = h.id
+        |ORDER BY i.id""".stripMargin,
 
     "q66_host_quality" ->
       """WITH f AS (SELECT doc_id, source,

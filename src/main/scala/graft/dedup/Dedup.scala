@@ -88,13 +88,22 @@ object Dedup {
   /** [[minHashCandidates]] over a precomputed [[minHashSigs]] frame —
     * `sigs` must carry (id, sig) with `sig.length == bands × rowsPerBand`.
     */
-  def minHashCandidatesFromSigs(sigs: DataFrame,
-      bands: Int = 8, rowsPerBand: Int = 4, maxBucket: Int = 0): DataFrame = {
-    // band b = hash of sig[b*r .. (b+1)*r) — explode to (bucket, id)
-    val banded = sigs.select(col("id"),
+  /** LSH band rows `(id, band, bucket)` from a [[minHashSigs]] frame —
+    * band b = hash of sig[b*r .. (b+1)*r). The shared banding kernel for
+    * the in-batch candidate join AND the persisted signature ledger
+    * ([[SigLedger]]) — both sides MUST bucket identically or incremental
+    * dedup silently misses.
+    */
+  def bandRows(sigs: DataFrame,
+      bands: Int = 8, rowsPerBand: Int = 4): DataFrame =
+    sigs.select(col("id"),
       posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
         b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))).as(Seq("band", "bucket")))
+
+  def minHashCandidatesFromSigs(sigs: DataFrame,
+      bands: Int = 8, rowsPerBand: Int = 4, maxBucket: Int = 0): DataFrame = {
+    val banded = bandRows(sigs, bands, rowsPerBand)
     val kept = capHotBuckets(banded, Seq("band", "bucket"), maxBucket)
     val l = kept.as("l")
     val r = kept.as("r")

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.dedup.Dedup
+import graft.dedup.{Dedup, SigLedger}
 import graft.text.CorpusFilter
 
 class LineDedupSpec extends AnyFunSuite {
@@ -95,5 +95,66 @@ class LineDedupSpec extends AnyFunSuite {
       .orderBy("id").collect()
     assert(out.map(_.getAs[String]("text_clean")).toSeq ==
       Seq("only here", "unique", "third"))
+  }
+}
+
+class SigLedgerSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val a = "the quick brown fox jumps over the lazy dog again and again today"
+  private val b = "completely different vocabulary nothing shared with any other text here"
+  private val c = "third corpus member with its own words entirely separate from both"
+
+  test("wave-over-wave screen + append: dups rejected across waves") {
+    val dir = java.nio.file.Files.createTempDirectory("sigledger").toString
+    val path = s"$dir/bands"
+    def bandsOf(docs: org.apache.spark.sql.DataFrame) =
+      Dedup.bandRows(Dedup.minHashSigs(docs, "id", "text"))
+
+    // wave 1: empty ledger accepts everything
+    val w1 = Seq((1L, a), (2L, b)).toDF("id", "text")
+    val s1 = SigLedger.screen(SigLedger.read(spark, path), w1, "id", "text")
+      .orderBy("id").collect()
+    assert(s1.forall(_.getAs[Boolean]("novel")))
+    SigLedger.append(bandsOf(w1), path)
+
+    // wave 2: near-dup of doc 1 (one-word tail change) + fresh doc
+    val w2 = Seq((10L, a + " extra"), (11L, c)).toDF("id", "text")
+    val s2 = SigLedger.screen(SigLedger.read(spark, path), w2, "id", "text")
+      .orderBy("id").collect()
+    assert(!s2(0).getAs[Boolean]("novel") && s2(0).getAs[Long]("dup_of") == 1L)
+    assert(s2(1).getAs[Boolean]("novel"))
+    val novel2 = w2.where(col("id") === 11L)
+    SigLedger.append(bandsOf(novel2), path)
+
+    // wave 3: exact copy of the doc accepted in wave 2 → rejected now
+    val w3 = Seq((20L, c)).toDF("id", "text")
+    val s3 = SigLedger.screen(SigLedger.read(spark, path), w3, "id", "text")
+      .collect()
+    assert(!s3(0).getAs[Boolean]("novel") && s3(0).getAs[Long]("dup_of") == 11L)
+    // exact copy shares every band
+    assert(s3(0).getAs[Long]("n_hit_bands") == 8L)
+  }
+
+  test("hot ledger bucket: probe output stays bounded by bands, dup_of = min") {
+    // 500 ledger docs all in the same single bucket — the rep-collapse must
+    // keep the probe to ONE hit row, with the smallest member as dup_of
+    val ledger = spark.range(500).select((col("id") + 7L).as("id"),
+      org.apache.spark.sql.functions.lit(0).as("band"),
+      org.apache.spark.sql.functions.lit(42).as("bucket"))
+    val probe = Seq((1000L, 0, 42)).toDF("id", "band", "bucket")
+    val out = SigLedger.screenBands(ledger, probe).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("n_hit_bands") == 1L)
+    assert(out(0).getAs[Long]("dup_of") == 7L)
+  }
+
+  test("screen of an empty batch returns an empty frame, not a failure") {
+    val ledger = Seq((1L, 0, 5)).toDF("id", "band", "bucket")
+    val empty = spark.range(0).select(col("id"),
+      org.apache.spark.sql.functions.lit(0).as("band"),
+      org.apache.spark.sql.functions.lit(0).as("bucket"))
+    assert(SigLedger.screenBands(ledger, empty).count() == 0)
   }
 }
