@@ -853,6 +853,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q68_bm25_topk" -> ((s, dir) => {
+      // BM25 top-10 per probe query over the corpus vocabulary (one query
+      // with an out-of-vocabulary term exercises the missing-term path, one
+      // with a repeated term the within-query dedup). Integer fixed-point
+      // scores → identical ranking in any engine.
+      import s.implicits._
+      val qs = Seq(
+        (0L, "hash join strategyzzz"),
+        (1L, "fast vector scan"),
+        (2L, "window merge sort"),
+        (3L, "stream batch data"),
+        (4L, "the slow customer the")).toDF("qid", "qtext")
+      graft.text.Bm25.topK(
+          docs(s, dir).select(col("doc_id").as("id"), col("text")),
+          "id", "text", qs, "qid", "qtext", k = 10)
+        .orderBy("qid", "rank")
+    }),
+
     "q67_sig_ledger" -> ((s, dir) => {
       // incremental dedup against a persisted signature ledger: ledger =
       // every original's 8 band rows (bucket = (id%1000)*8+band, collision
@@ -1803,6 +1821,40 @@ object SparkEntry {
         |  CASE WHEN doc_id % 4 = 2 THEN 'http://c.test/' || doc_id
         |       ELSE '' END AS canonical
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q68_bm25_topk" ->
+      """WITH q(qid, qtext) AS (VALUES
+        |    (0, 'hash join strategyzzz'), (1, 'fast vector scan'),
+        |    (2, 'window merge sort'), (3, 'stream batch data'),
+        |    (4, 'the slow customer the')),
+        |toks AS (SELECT doc_id AS id,
+        |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |dl AS (SELECT id, len(tk) AS dl FROM toks),
+        |post AS (SELECT id, term, count(*) AS tf
+        |  FROM (SELECT id, unnest(tk) AS term FROM toks) GROUP BY id, term),
+        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM dl),
+        |dfreq AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+        |qt AS (SELECT qid,
+        |  unnest(list_distinct(list_filter(regexp_split_to_array(qtext, '\s+'),
+        |    x -> x <> ''))) AS term FROM q),
+        |qidf AS (SELECT qid, term,
+        |  CAST(floor(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * 1000000 + 0.5)
+        |    AS BIGINT) AS idf_fp,
+        |  n_docs, total_dl
+        |  FROM qt JOIN dfreq USING (term) CROSS JOIN stats),
+        |sc AS (SELECT qid, p.id,
+        |  sum(CAST(floor(idf_fp *
+        |    (tf * (1.2 + 1) / (tf + 1.2 * ((1 - 0.75) + 0.75 *
+        |      (d.dl / (CAST(total_dl AS DOUBLE) / n_docs))))) * 1000) AS BIGINT))
+        |    AS score_fp
+        |  FROM post p JOIN qidf USING (term) JOIN dl d ON p.id = d.id
+        |  GROUP BY qid, p.id)
+        |SELECT CAST(qid AS BIGINT) AS qid, id, score_fp, rank FROM (
+        |  SELECT qid, id, score_fp,
+        |    row_number() OVER (PARTITION BY qid ORDER BY score_fp DESC, id) AS rank
+        |  FROM sc)
+        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
 
     "q67_sig_ledger" ->
       """WITH bands AS (SELECT unnest(range(8)) AS b),

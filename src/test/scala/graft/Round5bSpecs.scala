@@ -98,6 +98,54 @@ class LineDedupSpec extends AnyFunSuite {
   }
 }
 
+class Bm25Spec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("tf and idf ordering: more hits rank higher, rare terms weigh more") {
+    val docs = Seq(
+      (1L, "apple banana cherry date elder fig"),
+      (2L, "apple apple apple banana cherry date"),
+      (3L, "banana cherry date elder fig grape"),
+      (4L, "zebra cherry date elder fig grape")).toDF("id", "text")
+    // tf: doc 2 (3× apple) over doc 1 (1× apple), same length
+    val q1 = Seq((0L, "apple")).toDF("qid", "qtext")
+    val r1 = graft.text.Bm25.topK(docs, "id", "text", q1, "qid", "qtext", k = 5)
+      .orderBy("rank").collect()
+    assert(r1.map(_.getAs[Long]("id")).toSeq == Seq(2L, 1L))
+    // idf: "zebra" (df=1) dominates "banana" (df=3) → doc 4 first
+    val q2 = Seq((0L, "zebra banana")).toDF("qid", "qtext")
+    val r2 = graft.text.Bm25.topK(docs, "id", "text", q2, "qid", "qtext", k = 1)
+      .collect()
+    assert(r2(0).getAs[Long]("id") == 4L)
+  }
+
+  test("out-of-vocabulary query matches nothing; k truncates; ties break by id") {
+    val docs = Seq((1L, "same words here"), (2L, "same words here"),
+      (3L, "same words here")).toDF("id", "text")
+    val qs = Seq((0L, "nosuchterm"), (1L, "same words")).toDF("qid", "qtext")
+    val out = graft.text.Bm25.topK(docs, "id", "text", qs, "qid", "qtext", k = 2)
+      .orderBy("qid", "rank").collect()
+    assert(out.forall(_.getAs[Long]("qid") == 1L)) // qid 0 empty
+    // identical docs → identical scores → id ascending, truncated at k=2
+    assert(out.map(_.getAs[Long]("id")).toSeq == Seq(1L, 2L))
+  }
+
+  test("salted two-phase top-k equals the single-window rank exactly") {
+    val docs = spark.range(200).select(col("id"),
+      concat_ws(" ",
+        lit("alpha"),
+        when(col("id") % 3 === 0, lit("beta beta")).otherwise(lit("gamma")),
+        when(col("id") % 7 === 0, lit("delta epsilon zeta")).otherwise(lit("eta")),
+        lit("theta iota")).as("text"))
+    val qs = Seq((0L, "beta delta"), (1L, "alpha eta")).toDF("qid", "qtext")
+    def run(s: Int) = graft.text.Bm25
+      .topK(docs, "id", "text", qs, "qid", "qtext", k = 15, salts = s)
+      .orderBy("qid", "rank").collect().toSeq
+    assert(run(1) == run(16))
+  }
+}
+
 class SigLedgerSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
