@@ -306,7 +306,13 @@ object Bench {
       "pii_scrub" -> ((s: SparkSession, d: String) =>
         SparkEntry.queries("q57_pii_scrub")(s, d)),
       "dup_spans" -> ((s: SparkSession, d: String) =>
-        SparkEntry.queries("q59_dup_spans")(s, d)))
+        SparkEntry.queries("q59_dup_spans")(s, d)),
+      "line_dedup" -> ((s: SparkSession, d: String) =>
+        SparkEntry.queries("q65_line_dedup")(s, d)),
+      "sig_ledger" -> ((s: SparkSession, d: String) =>
+        SparkEntry.queries("q67_sig_ledger")(s, d)),
+      "bm25_topk" -> ((s: SparkSession, d: String) =>
+        SparkEntry.queries("q68_bm25_topk")(s, d)))
     val extras = extraQueries.map { case (name, fn) =>
       val sec = try {
         force(fn(spark, sfDir))
