@@ -853,6 +853,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q69_cuckoo_unseen" -> ((s, dir) => {
+      // the cuckoo twin of q05: same exact-membership contract (sketch
+      // positives verified by anti-join, negatives bypass it), partitioned
+      // cuckoo bank instead of the bloom. Output is EXACT regardless of the
+      // sketch, so the oracle is the plain anti-join — what the query pins
+      // is that the cuckoo pre-filter path loses/invents nothing.
+      val cands = Seen.withUrlKeys(frontier(s, dir))
+      val seen = cands.where(col("seed_idx") % 3 === 0)
+        .select("url_hash", "canonical_url")
+      Seen.filterUnseenCuckooBucketed(cands, seen, buckets = 16)
+        .select(col("seed_idx"), col("canonical_url"))
+        .orderBy("seed_idx")
+    }),
+
     "q68_bm25_topk" -> ((s, dir) => {
       // BM25 top-10 per probe query over the corpus vocabulary (one query
       // with an out-of-vocabulary term exercises the missing-term path, one
@@ -1821,6 +1835,10 @@ object SparkEntry {
         |  CASE WHEN doc_id % 4 = 2 THEN 'http://c.test/' || doc_id
         |       ELSE '' END AS canonical
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q69_cuckoo_unseen" ->
+      """SELECT doc_id AS seed_idx, 'http://' || source || '.test/docs/' || doc_id AS canonical_url
+        |FROM documents WHERE doc_id % 3 <> 0 ORDER BY seed_idx""".stripMargin,
 
     "q68_bm25_topk" ->
       """WITH q(qid, qtext) AS (VALUES

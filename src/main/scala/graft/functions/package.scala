@@ -88,6 +88,16 @@ package object functions {
   def bloom_merge_agg(blooms: Column): Column =
     col(BloomMergeAgg(expr(blooms)).toAggregateExpression())
 
+  /** Cuckoo membership probe (filter BINARY literal/column, key BIGINT). */
+  def cuckoo_might_contain(filter: Column, key: Column): Column =
+    col(CuckooMightContain(expr(filter), expr(key)))
+
+  /** Cuckoo-filter build aggregate: BIGINT keys → serialized filter BINARY
+    * (16-bit fingerprints, 4-way buckets, fpp ≈ 1.2e-4; supports delete).
+    */
+  def cuckoo_agg(keys: Column, expectedItems: Long): Column =
+    col(CuckooAgg(expr(keys), expectedItems).toAggregateExpression())
+
   /** Component-wise vector-sum aggregate (ARRAY<FLOAT|DOUBLE> →
     * ARRAY<DOUBLE>); one double[dim] buffer per group, map-side partials.
     */
