@@ -853,6 +853,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q70_lm_quality" -> ((s, dir) => {
+      // CCNet-style LM quality scoring: train an add-one bigram LM on the
+      // "trusted" third of the corpus (doc_id%3==0), score EVERY document
+      // by fixed-point negative log-likelihood per token. The ln of each
+      // count is rounded once at train time (half-up, scale 1e6 — the BM25
+      // discipline), so scores are pure BIGINT sums both engines replay
+      // exactly; the oracle rebuilds the same counts from string grams.
+      val ref = docs(s, dir).where(col("doc_id") % 3 === 0)
+        .select(col("text"))
+      val lm = graft.text.LangModel.train(ref, "text")
+      graft.text.LangModel.scoreDocs(
+          docs(s, dir).select(col("doc_id"), col("text")),
+          "doc_id", "text", lm)
+        .select(col("id").as("doc_id"), col("n_bigrams"), col("ll_fp"),
+          col("nll_tok_fp"))
+        .orderBy("doc_id")
+    }),
+
     "q69_cuckoo_unseen" -> ((s, dir) => {
       // the cuckoo twin of q05: same exact-membership contract (sketch
       // positives verified by anti-join, negatives bypass it), partitioned
@@ -1839,6 +1857,44 @@ object SparkEntry {
     "q69_cuckoo_unseen" ->
       """SELECT doc_id AS seed_idx, 'http://' || source || '.test/docs/' || doc_id AS canonical_url
         |FROM documents WHERE doc_id % 3 <> 0 ORDER BY seed_idx""".stripMargin,
+
+    "q70_lm_quality" ->
+      """WITH rt AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |v AS (SELECT count(DISTINCT tok) AS vsz
+        |      FROM (SELECT unnest(t) AS tok FROM rt)),
+        |bc AS (SELECT gram, count(*) AS c12 FROM (
+        |    SELECT unnest(CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
+        |      ELSE list_transform(range(0, len(t) - 1),
+        |             i -> array_to_string(t[i+1:i+2], ' ')) END) AS gram
+        |    FROM rt) GROUP BY gram),
+        |cc AS (SELECT ctx, count(*) AS c1 FROM (
+        |    SELECT unnest(CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
+        |      ELSE list_transform(range(0, len(t) - 1), i -> t[i+1]) END) AS ctx
+        |    FROM rt) GROUP BY ctx),
+        |dt AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |p0 AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) < 2
+        |      THEN CAST([] AS STRUCT(ctx VARCHAR, gram VARCHAR)[])
+        |      ELSE list_transform(range(0, len(t) - 1),
+        |             i -> {'ctx': t[i+1], 'gram': array_to_string(t[i+1:i+2], ' ')}) END) AS u
+        |  FROM dt),
+        |pairs AS (SELECT doc_id, u.ctx AS ctx, u.gram AS gram FROM p0),
+        |lp AS (
+        |  SELECT doc_id,
+        |    CAST(floor(ln(coalesce(bc.c12, 0) + 1) * 1000000 + 0.5) AS BIGINT)
+        |    - CAST(floor(ln(coalesce(cc.c1, 0) + v.vsz) * 1000000 + 0.5) AS BIGINT) AS lp_fp
+        |  FROM pairs LEFT JOIN bc USING (gram) LEFT JOIN cc USING (ctx) CROSS JOIN v),
+        |agg AS (SELECT doc_id, count(*) AS n_bigrams, sum(lp_fp) AS ll_fp
+        |        FROM lp GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(coalesce(a.ll_fp, 0) AS BIGINT) AS ll_fp,
+        |  CAST(coalesce((-a.ll_fp) // a.n_bigrams, 0) AS BIGINT) AS nll_tok_fp
+        |FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q68_bm25_topk" ->
       """WITH q(qid, qtext) AS (VALUES
