@@ -853,6 +853,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q71_keep_best" -> ((s, dir) => {
+      // quality-aware survivor selection (SemDeDup keep-the-best-copy):
+      // same cluster machinery as q45, but the representative is the
+      // argmax of a planted integer quality score ((id*37)%1000 — varies
+      // independently of id order so min-id and best-quality genuinely
+      // differ), ties to min id. The oracle replays clustering (recursive
+      // closure) AND the two-stage argmax.
+      val corpus = nearDupCorpus(s, dir)
+      val cands = graft.dedup.Dedup.minHashCandidates(corpus, "id", "text",
+        shingleK = 3, bands = 8, rowsPerBand = 4)
+      val pairs = graft.dedup.Dedup.verifyJaccard(cands, corpus, "id", "text", shingleK = 3)
+        .where(col("jaccard") >= 0.7)
+        .select("id_a", "id_b")
+      val labels = graft.dedup.Components.connectedComponents(pairs)
+      val quality = corpus.select(col("id"), pmod(col("id") * 37L, lit(1000L)).as("score"))
+      val keep = graft.dedup.Dedup.keepBestInClusters(labels, quality)
+      corpus.join(keep.select("id", "keep_id"), Seq("id"), "left")
+        .where(col("keep_id").isNull || col("keep_id") === col("id"))
+        .select(col("id"), length(col("text")).cast("long").as("n_chars"))
+        .orderBy("id")
+    }),
+
     "q70_lm_quality" -> ((s, dir) => {
       // CCNet-style LM quality scoring: train an add-one bigram LM on the
       // "trusted" third of the corpus (doc_id%3==0), score EVERY document
@@ -1857,6 +1879,44 @@ object SparkEntry {
     "q69_cuckoo_unseen" ->
       """SELECT doc_id AS seed_idx, 'http://' || source || '.test/docs/' || doc_id AS canonical_url
         |FROM documents WHERE doc_id % 3 <> 0 ORDER BY seed_idx""".stripMargin,
+
+    "q71_keep_best" ->
+      """WITH RECURSIVE
+        |c AS (
+        |  SELECT doc_id AS id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text || ' extra tail words appended here'
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |sh AS (SELECT id,
+        |  list_distinct(list_transform(
+        |    range(len(regexp_split_to_array(trim(text), '\s+')) - 2),
+        |    i -> regexp_split_to_array(trim(text), '\s+')[i+1] || ' ' ||
+        |         regexp_split_to_array(trim(text), '\s+')[i+2] || ' ' ||
+        |         regexp_split_to_array(trim(text), '\s+')[i+3])) AS sset
+        |FROM c),
+        |p AS (SELECT a.id AS id_a, b.id AS id_b,
+        |        len(list_intersect(a.sset, b.sset)) AS inter,
+        |        len(a.sset) + len(b.sset) - len(list_intersect(a.sset, b.sset)) AS uni
+        |      FROM sh a JOIN sh b ON a.id < b.id),
+        |e AS (SELECT id_a AS u, id_b AS v FROM p WHERE inter / uni >= 0.7
+        |      UNION
+        |      SELECT id_b, id_a FROM p WHERE inter / uni >= 0.7),
+        |reach(id, l) AS (
+        |  SELECT DISTINCT u, u FROM e
+        |  UNION
+        |  SELECT e.u, r.l FROM e JOIN reach r ON r.id = e.v),
+        |lab AS (SELECT id, min(l) AS cluster_id FROM reach GROUP BY id),
+        |qual AS (SELECT id, (id * 37) % 1000 AS score FROM c),
+        |best AS (SELECT cluster_id, max(score) AS b
+        |         FROM lab JOIN qual USING (id) GROUP BY cluster_id),
+        |keep AS (SELECT lab.cluster_id, min(id) AS keep_id
+        |         FROM lab JOIN qual USING (id) JOIN best ON lab.cluster_id = best.cluster_id
+        |         WHERE qual.score = best.b GROUP BY lab.cluster_id)
+        |SELECT c.id, CAST(len(c.text) AS BIGINT) AS n_chars
+        |FROM c LEFT JOIN lab ON c.id = lab.id
+        |  LEFT JOIN keep ON lab.cluster_id = keep.cluster_id
+        |WHERE lab.cluster_id IS NULL OR keep.keep_id = c.id
+        |ORDER BY c.id""".stripMargin,
 
     "q70_lm_quality" ->
       """WITH rt AS (

@@ -462,4 +462,36 @@ object Dedup {
       .agg(count(lit(1)).as("shared_prints"))
       .where(col("shared_prints") >= minShared)
   }
+
+  /** Quality-aware survivor selection over duplicate clusters (the SemDeDup
+    * / "keep the best copy" policy, Abbas '23 §3): instead of the min-id
+    * representative, each cluster keeps its argmax-QUALITY member — ties
+    * break to the smaller id so the choice is total and engine-independent.
+    *
+    * @param labels  `(idCol, clusterCol)` — [[Components.connectedComponents]]
+    *                output (every pair member, one label each)
+    * @param quality `(idCol, scoreCol)` — any orderable per-doc score
+    *                (LM nll negated, token count, composed gate score…)
+    * @return one row per labeled id: `(idCol, clusterCol, keep_id)`
+    *
+    * Shape: a mega-cluster (boilerplate that all collapsed into one
+    * component) would make a per-cluster WINDOW a single-task funnel, so
+    * the argmax runs as two map-side-combinable aggregations — max score
+    * per cluster, then min id among the maximizers — primitive buffers
+    * only, no struct/min_by ObjectHashAggregate fallback, O(clusters)
+    * rows after each exchange.
+    */
+  def keepBestInClusters(labels: DataFrame, quality: DataFrame,
+      idCol: String = "id", clusterCol: String = "cluster_id",
+      scoreCol: String = "score"): DataFrame = {
+    val q = labels.join(quality.select(col(idCol), col(scoreCol)), Seq(idCol))
+    val best = q.groupBy(col(clusterCol))
+      .agg(max(col(scoreCol)).as("__best"))
+    val keep = q.join(best, Seq(clusterCol))
+      .where(col(scoreCol) === col("__best"))
+      .groupBy(col(clusterCol))
+      .agg(min(col(idCol)).as("keep_id"))
+    labels.join(keep, Seq(clusterCol))
+      .select(col(idCol), col(clusterCol), col("keep_id"))
+  }
 }

@@ -135,6 +135,30 @@ class DedupSpec extends AnyFunSuite {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     for (id <- 0L until 5L) assert(pairs.contains((id, id + 100)))
   }
+
+  test("keepBestInClusters: argmax quality wins, ties break to min id") {
+    // cluster 1 = {1,2,3} scores {10,30,30} → best score 30, tie → id 2
+    // cluster 5 = {5,6}   scores {7,4}     → id 5
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("id", "cluster_id")
+    val quality = Seq((1L, 10L), (2L, 30L), (3L, 30L), (5L, 7L), (6L, 4L))
+      .toDF("id", "score")
+    val got = Dedup.keepBestInClusters(labels, quality)
+      .select("id", "keep_id").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("keepBestInClusters is exact on a mega-cluster (no window funnel)") {
+    val n = 5000
+    val labels = (0 until n).map(i => (i.toLong, 0L)).toDF("id", "cluster_id")
+    // best score is shared by ids 777 and 4777 → keep 777
+    val quality = (0 until n)
+      .map(i => (i.toLong, if (i % 4000 == 777) 99999L else (i % 1000).toLong))
+      .toDF("id", "score")
+    val got = Dedup.keepBestInClusters(labels.repartition(8), quality)
+      .select("keep_id").distinct().as[Long].collect().toSeq
+    assert(got == Seq(777L))
+  }
 }
 
 class SimhashCapSpec extends AnyFunSuite {
