@@ -853,6 +853,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q72_heavy_hitters" -> ((s, dir) => {
+      // sketch-pruned exact heavy hitters: 7 hot keys (~21 hits each), one
+      // boundary key at exactly the threshold, 350 cold singletons. The
+      // CMS candidate pass is inside the gate — an under-counting sketch
+      // would drop a hot key and hash-mismatch, an over-eager one only
+      // shuffles extra rows the final HAVING removes.
+      val keys = docs(s, dir).select(
+        when(col("doc_id") % 10 < 3, pmod(col("doc_id"), lit(7L)))
+          .when(col("doc_id") % 50 === 9, lit(7L))
+          .otherwise(col("doc_id") + 1000L).cast("long").as("key"))
+      graft.text.HeavyHitters.aboveThreshold(keys, "key", minCount = 10L,
+          width = 4096)
+        .orderBy("key")
+    }),
+
     "q71_keep_best" -> ((s, dir) => {
       // quality-aware survivor selection (SemDeDup keep-the-best-copy):
       // same cluster machinery as q45, but the representative is the
@@ -1879,6 +1894,15 @@ object SparkEntry {
     "q69_cuckoo_unseen" ->
       """SELECT doc_id AS seed_idx, 'http://' || source || '.test/docs/' || doc_id AS canonical_url
         |FROM documents WHERE doc_id % 3 <> 0 ORDER BY seed_idx""".stripMargin,
+
+    "q72_heavy_hitters" ->
+      """WITH k AS (
+        |  SELECT CASE WHEN doc_id % 10 < 3 THEN doc_id % 7
+        |              WHEN doc_id % 50 = 9 THEN 7
+        |              ELSE doc_id + 1000 END AS key
+        |  FROM documents)
+        |SELECT key, count(*) AS count FROM k
+        |GROUP BY key HAVING count(*) >= 10 ORDER BY key""".stripMargin,
 
     "q71_keep_best" ->
       """WITH RECURSIVE

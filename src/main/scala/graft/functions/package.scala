@@ -88,6 +88,16 @@ package object functions {
   def bloom_merge_agg(blooms: Column): Column =
     col(BloomMergeAgg(expr(blooms)).toAggregateExpression())
 
+  /** Count-min frequency estimate (sketch BINARY, key BIGINT) → BIGINT;
+    * never under-counts.
+    */
+  def cms_estimate(sketch: Column, key: Column): Column =
+    col(CmsEstimate(expr(sketch), expr(key)))
+
+  /** Count-min sketch build aggregate: BIGINT keys → serialized sketch. */
+  def cms_agg(keys: Column, depth: Int = 4, width: Int = 1 << 16): Column =
+    col(CmsAgg(expr(keys), depth, width).toAggregateExpression())
+
   /** Cuckoo membership probe (filter BINARY literal/column, key BIGINT). */
   def cuckoo_might_contain(filter: Column, key: Column): Column =
     col(CuckooMightContain(expr(filter), expr(key)))

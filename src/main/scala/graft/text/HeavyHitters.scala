@@ -1,0 +1,40 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.{cms_agg, cms_estimate}
+
+/** Heavy-hitter mining, exact, sketch-pruned — boilerplate phrases, hot
+  * hosts, template URLs: any key whose frequency crosses a threshold.
+  *
+  * The naive exact form (`groupBy(key).count.having(...)`) shuffles one
+  * row PER DISTINCT KEY — at 10^10 distinct n-grams that is the whole
+  * corpus through the exchange to find the ~10^3 keys that matter. This
+  * operator applies the seen-set discipline to counting: a count-min
+  * sketch (fixed 2 MiB, [[graft.functions.CmsAgg]]) absorbs the corpus in
+  * one map-side-combined pass, and because CMS estimates never
+  * UNDER-count, `estimate < threshold` rows are DEFINITELY below
+  * threshold and skip the exact pass entirely. Only sketch-positive rows
+  * (true heavies + the bounded over-count tail) reach the exact groupBy,
+  * whose final HAVING makes the output exact — a sketch collision costs
+  * shuffled rows, never a wrong answer.
+  */
+object HeavyHitters {
+
+  /** Exact `(key, count)` for every key with count ≥ `minCount`.
+    *
+    * `keyCol` must be BIGINT (hash upstream — the engine convention).
+    * `width` trades sketch size against candidate-pass selectivity: the
+    * expected over-count is ≤ 2·rows/width per CM row, so pick
+    * `width ≳ 2·rows/minCount` to keep false candidates rare.
+    */
+  def aboveThreshold(df: DataFrame, keyCol: String, minCount: Long,
+      depth: Int = 4, width: Int = 1 << 16): DataFrame = {
+    val sk = df.select(cms_agg(col(keyCol), depth, width).as("s"))
+      .collect()(0).getAs[Array[Byte]](0)
+    df.where(cms_estimate(lit(sk), col(keyCol)) >= minCount)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("count"))
+      .where(col("count") >= minCount)
+  }
+}
