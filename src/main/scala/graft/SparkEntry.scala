@@ -853,6 +853,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q73_boilerplate" -> ((s, dir) => {
+      // boilerplate density: every doc gets a per-source footer (hot —
+      // ~100 docs per source), even docs also a 7-word banner (hot), and
+      // the text-to-footer boundary grams stay unique (cold). Distinct
+      // grams per doc ⇒ counts are doc frequencies; integers+ppm only.
+      val corpus = docs(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 2 === 0,
+            lit(" subscribe to our newsletter for updates today"))
+            .otherwise(lit("")),
+          lit(" copyright "), col("source"), lit(" all rights reserved"))
+          .as("text"))
+      graft.text.HeavyHitters.boilerplateDensity(corpus, "doc_id", "text",
+          n = 5, minDocFreq = 5L, width = 4096)
+        .select(col("id").as("doc_id"), col("n_grams"), col("n_hot"),
+          col("hot_ppm"))
+        .orderBy("doc_id")
+    }),
+
     "q72_heavy_hitters" -> ((s, dir) => {
       // sketch-pruned exact heavy hitters: 7 hot keys (~21 hits each), one
       // boundary key at exactly the threshold, 350 cold singletons. The
@@ -1894,6 +1913,32 @@ object SparkEntry {
     "q69_cuckoo_unseen" ->
       """SELECT doc_id AS seed_idx, 'http://' || source || '.test/docs/' || doc_id AS canonical_url
         |FROM documents WHERE doc_id % 3 <> 0 ORDER BY seed_idx""".stripMargin,
+
+    "q73_boilerplate" ->
+      """WITH c AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 2 = 0
+        |            THEN ' subscribe to our newsletter for updates today' ELSE '' END
+        |    || ' copyright ' || source || ' all rights reserved' AS text
+        |  FROM documents),
+        |tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM c),
+        |g AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) < 5 THEN CAST([] AS VARCHAR[])
+        |    ELSE list_distinct(list_transform(range(0, len(t) - 4),
+        |           i -> array_to_string(t[i+1:i+5], ' '))) END) AS gram
+        |  FROM tk),
+        |hot AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 5),
+        |pd AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+        |h AS (SELECT g.doc_id, count(*) AS n_hot FROM g JOIN hot USING (gram)
+        |      GROUP BY g.doc_id)
+        |SELECT d.doc_id, CAST(coalesce(pd.n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(h.n_hot, 0) AS BIGINT) AS n_hot,
+        |  CAST(coalesce((1000000 * h.n_hot) // pd.n_grams, 0) AS BIGINT) AS hot_ppm
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |  LEFT JOIN pd USING (doc_id) LEFT JOIN h USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q72_heavy_hitters" ->
       """WITH k AS (

@@ -37,4 +37,36 @@ object HeavyHitters {
       .agg(count(lit(1)).as("count"))
       .where(col("count") >= minCount)
   }
+
+  /** Per-document boilerplate density: the fraction (ppm) of a document's
+    * DISTINCT n-grams that are corpus-wide heavy hitters — the "is this
+    * page mostly template?" quality signal (nav bars, cookie banners,
+    * footer chrome score high; prose scores low).
+    *
+    * One kernel pass per doc ([[graft.functions.NgramHashKeys]] — distinct
+    * window hashes, so a doc spamming its own phrase can't inflate either
+    * the doc frequency or its own density), heavy grams via the exact
+    * sketch-pruned [[aboveThreshold]] over doc-frequency rows, then one
+    * broadcast-friendly semi-structured join back. Returns
+    * `(id, n_grams, n_hot, hot_ppm)` — one row per input doc, integers
+    * only.
+    */
+  def boilerplateDensity(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, minDocFreq: Long = 3L,
+      depth: Int = 4, width: Int = 1 << 16): DataFrame = {
+    val grams = docs.select(col(idCol).as("id"),
+      explode(graft.functions.ngram_hash_keys(col(textCol), n)).as("gram"))
+    val hot = aboveThreshold(grams, "gram", minDocFreq, depth, width)
+      .select("gram")
+    val perDoc = grams.groupBy("id").agg(count(lit(1)).as("n_grams"))
+    val hits = grams.join(hot, Seq("gram"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_hot"))
+    docs.select(col(idCol).as("id")).distinct()
+      .join(perDoc, Seq("id"), "left")
+      .join(hits, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hot"), lit(0L)).as("n_hot"),
+        coalesce(expr("(1000000 * n_hot) div n_grams"), lit(0L)).as("hot_ppm"))
+  }
 }

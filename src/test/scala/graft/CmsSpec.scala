@@ -64,4 +64,25 @@ class CmsSpec extends AnyFunSuite {
     val df = Seq.empty[Long].toDF("key")
     assert(HeavyHitters.aboveThreshold(df, "key", 1).count() == 0)
   }
+
+  test("boilerplateDensity: template docs score high, prose low, short zero") {
+    val footer = "subscribe to our newsletter for updates"
+    val docs = (0 until 20).map { i =>
+      (i.toLong, s"unique prose $i words alpha$i beta$i gamma$i delta$i $footer")
+    } :+ (100L, "all prose here nothing shared with anyone else at all") :+
+      (101L, "tiny")
+    val got = HeavyHitters.boilerplateDensity(
+        docs.toDF("id", "text"), "id", "text", n = 5, minDocFreq = 5L,
+        width = 4096)
+      .select("id", "n_grams", "n_hot", "hot_ppm")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // the 6-token footer contributes 2 hot 5-grams per template doc
+    (0L until 20L).foreach { i =>
+      assert(got(i)._2 == 2L, s"doc $i n_hot")
+      assert(got(i)._3 > 0L)
+    }
+    assert(got(100L)._2 == 0L && got(100L)._3 == 0L)
+    assert(got(101L) == ((0L, 0L, 0L)))
+  }
 }
