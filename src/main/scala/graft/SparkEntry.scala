@@ -853,6 +853,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q74_bpe_pairs" -> ((s, dir) => {
+      // BPE training round: symbolize the distinct-word table, apply the
+      // merge (e,s), recount adjacent pairs — wordFreqs + init + the
+      // codegen fuse kernel + pairCounts all inside the gate. In the
+      // single-char round a plain string replace replays the kernel's
+      // left-to-right non-overlap rule exactly (no multichar symbol can
+      // alias the needle), so the oracle covers the merge semantics too.
+      val syms0 = graft.text.Bpe.init(
+        graft.text.Bpe.wordFreqs(docs(s, dir).select(col("text")), "text"))
+      val merged = graft.text.Bpe.applyMerge(syms0, "e", "s")
+      graft.text.Bpe.pairCounts(merged).orderBy("a", "b")
+    }),
+
     "q73_boilerplate" -> ((s, dir) => {
       // boilerplate density: every doc gets a per-source footer (hot —
       // ~100 docs per source), even docs also a 7-word banner (hot), and
@@ -1913,6 +1926,22 @@ object SparkEntry {
     "q69_cuckoo_unseen" ->
       """SELECT doc_id AS seed_idx, 'http://' || source || '.test/docs/' || doc_id AS canonical_url
         |FROM documents WHERE doc_id % 3 <> 0 ORDER BY seed_idx""".stripMargin,
+
+    "q74_bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT tok AS word, count(*) AS freq FROM (
+        |    SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
+        |    FROM documents) GROUP BY tok),
+        |s0 AS (SELECT word, freq,
+        |         array_to_string(list_append(string_split(word, ''), '</w>'), ' ') AS j
+        |       FROM w),
+        |s AS (SELECT word, freq, string_split(replace(j, 'e s', 'es'), ' ') AS syms
+        |      FROM s0),
+        |p0 AS (SELECT freq, unnest(list_transform(range(0, len(syms) - 1),
+        |         i -> {'a': syms[i+1], 'b': syms[i+2]})) AS p
+        |       FROM s)
+        |SELECT p.a AS a, p.b AS b, CAST(sum(freq) AS BIGINT) AS cnt
+        |FROM p0 GROUP BY 1, 2 ORDER BY a, b""".stripMargin,
 
     "q73_boilerplate" ->
       """WITH c AS (

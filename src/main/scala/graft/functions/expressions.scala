@@ -140,6 +140,33 @@ object Impl {
   def ngramHashes(text: UTF8String, n: Int, lowercase: Boolean): ArrayData =
     ArrayData.toArrayData(ngramWindowHashes(text, n, lowercase))
 
+  /** Left-to-right non-overlapping fuse of adjacent (a, b) symbol pairs —
+    * [[BpeMergePair]]. The miss path copies rather than returning the
+    * input reference (which may be a view over a reused UnsafeRow buffer).
+    */
+  def bpeMergePair(arr: ArrayData, a: UTF8String, b: UTF8String): ArrayData = {
+    val n = arr.numElements()
+    var hit = false
+    var i = 0
+    while (i < n - 1 && !hit) {
+      if (arr.getUTF8String(i).equals(a) && arr.getUTF8String(i + 1).equals(b)) hit = true
+      i += 1
+    }
+    if (!hit) return arr.copy()
+    val out = new scala.collection.mutable.ArrayBuffer[UTF8String](n)
+    i = 0
+    while (i < n) {
+      if (i < n - 1 && arr.getUTF8String(i).equals(a) && arr.getUTF8String(i + 1).equals(b)) {
+        out += UTF8String.concat(a, b)
+        i += 2
+      } else {
+        out += arr.getUTF8String(i)
+        i += 1
+      }
+    }
+    ArrayData.toArrayData(out.toArray)
+  }
+
   /** Page crawl directives kernel ([[graft.text.HtmlText.pageDirectives]]):
     * meta-robots noindex/nofollow + rel=canonical, one comment-blind scan.
     */
@@ -870,6 +897,31 @@ case class NgramHashes(child: Expression, n: Int, lowercase: Boolean)
   override protected def withNewChildInternal(c: Expression): NgramHashes =
     copy(child = c)
   override def prettyName: String = "ngram_hashes"
+}
+
+/** One BPE merge applied to a symbol array: fuse adjacent (a, b) pairs
+  * left-to-right, non-overlapping ("aaa" + merge(a,a) → ["aa","a"]) —
+  * the inner step of [[graft.text.Bpe.train]], run once per word per
+  * round, so it must stay inside codegen ([[Impl.bpeMergePair]]). The
+  * pair constants ride `addReferenceObj` (no string-literal escaping in
+  * generated code).
+  */
+case class BpeMergePair(child: Expression, a: String, b: String)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  @transient private lazy val aU8 = UTF8String.fromString(a)
+  @transient private lazy val bU8 = UTF8String.fromString(b)
+  override def nullSafeEval(arr: Any): Any =
+    Impl.bpeMergePair(arr.asInstanceOf[ArrayData], aU8, bU8)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ar = ctx.addReferenceObj("bpeA", aU8, classOf[UTF8String].getName)
+    val br = ctx.addReferenceObj("bpeB", bU8, classOf[UTF8String].getName)
+    defineCodeGen(ctx, ev, c => s"graft.functions.Impl.bpeMergePair($c, $ar, $br)")
+  }
+  override protected def withNewChildInternal(c: Expression): BpeMergePair =
+    copy(child = c)
+  override def prettyName: String = "bpe_merge_pair"
 }
 
 /** ARRAY<TINYINT> → BINARY byte-per-component packing ([[Impl.packInt8]]);
