@@ -312,7 +312,13 @@ object Bench {
       "sig_ledger" -> ((s: SparkSession, d: String) =>
         SparkEntry.queries("q67_sig_ledger")(s, d)),
       "bm25_topk" -> ((s: SparkSession, d: String) =>
-        SparkEntry.queries("q68_bm25_topk")(s, d)))
+        SparkEntry.queries("q68_bm25_topk")(s, d)),
+      "lm_quality" -> ((s: SparkSession, d: String) =>
+        SparkEntry.queries("q70_lm_quality")(s, d)),
+      "boilerplate" -> ((s: SparkSession, d: String) =>
+        SparkEntry.queries("q73_boilerplate")(s, d)),
+      "bpe_pairs" -> ((s: SparkSession, d: String) =>
+        SparkEntry.queries("q74_bpe_pairs")(s, d)))
     val extras = extraQueries.map { case (name, fn) =>
       val sec = try {
         force(fn(spark, sfDir))
