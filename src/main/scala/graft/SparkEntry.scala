@@ -853,6 +853,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q75_lm_buckets" -> ((s, dir) => {
+      // the CCNet split closed end to end: LM scores (q70), cutoffs = the
+      // EXACT 30th/60th percentiles of nll computed in-engine (histogram
+      // + skew-proof prefix sum — percentile_disc semantics), then
+      // head/middle/tail bucket stats. ceil(q·n) is one IEEE multiply —
+      // identical in any engine — and everything else is integers.
+      val ref = docs(s, dir).where(col("doc_id") % 3 === 0)
+        .select(col("text"))
+      val lm = graft.text.LangModel.train(ref, "text")
+      val scored = graft.text.LangModel.scoreDocs(
+        docs(s, dir).select(col("doc_id"), col("text")), "doc_id", "text", lm)
+      val cuts = graft.pipeline.Quantiles.exactQuantiles(
+        scored, "nll_tok_fp", Seq(0.3, 0.6))
+      graft.text.LangModel.bucketize(scored, cuts(0), cuts(1))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("nll_tok_fp")).as("nll_lo"),
+          max(col("nll_tok_fp")).as("nll_hi"))
+        .orderBy("bucket")
+    }),
+
     "q74_bpe_pairs" -> ((s, dir) => {
       // BPE training round: symbolize the distinct-word table, apply the
       // merge (e,s), recount adjacent pairs — wordFreqs + init + the
@@ -1926,6 +1947,58 @@ object SparkEntry {
     "q69_cuckoo_unseen" ->
       """SELECT doc_id AS seed_idx, 'http://' || source || '.test/docs/' || doc_id AS canonical_url
         |FROM documents WHERE doc_id % 3 <> 0 ORDER BY seed_idx""".stripMargin,
+
+    "q75_lm_buckets" ->
+      """WITH rt AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |v AS (SELECT count(DISTINCT tok) AS vsz
+        |      FROM (SELECT unnest(t) AS tok FROM rt)),
+        |bc AS (SELECT gram, count(*) AS c12 FROM (
+        |    SELECT unnest(CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
+        |      ELSE list_transform(range(0, len(t) - 1),
+        |             i -> array_to_string(t[i+1:i+2], ' ')) END) AS gram
+        |    FROM rt) GROUP BY gram),
+        |cc AS (SELECT ctx, count(*) AS c1 FROM (
+        |    SELECT unnest(CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
+        |      ELSE list_transform(range(0, len(t) - 1), i -> t[i+1]) END) AS ctx
+        |    FROM rt) GROUP BY ctx),
+        |dt AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |p0 AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) < 2
+        |      THEN CAST([] AS STRUCT(ctx VARCHAR, gram VARCHAR)[])
+        |      ELSE list_transform(range(0, len(t) - 1),
+        |             i -> {'ctx': t[i+1], 'gram': array_to_string(t[i+1:i+2], ' ')}) END) AS u
+        |  FROM dt),
+        |pairs AS (SELECT doc_id, u.ctx AS ctx, u.gram AS gram FROM p0),
+        |lp AS (
+        |  SELECT doc_id,
+        |    CAST(floor(ln(coalesce(bc.c12, 0) + 1) * 1000000 + 0.5) AS BIGINT)
+        |    - CAST(floor(ln(coalesce(cc.c1, 0) + v.vsz) * 1000000 + 0.5) AS BIGINT) AS lp_fp
+        |  FROM pairs LEFT JOIN bc USING (gram) LEFT JOIN cc USING (ctx) CROSS JOIN v),
+        |agg AS (SELECT doc_id, count(*) AS n_bigrams, sum(lp_fp) AS ll_fp
+        |        FROM lp GROUP BY doc_id),
+        |scores AS (
+        |  SELECT d.doc_id, CAST(coalesce((-a.ll_fp) // a.n_bigrams, 0) AS BIGINT) AS nll
+        |  FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN agg a USING (doc_id)),
+        |hist AS (SELECT nll, count(*) AS c FROM scores GROUP BY nll),
+        |cum AS (SELECT nll, c, sum(c) OVER (ORDER BY nll) AS cumc FROM hist),
+        |n AS (SELECT count(*) AS total FROM scores),
+        |cut AS (SELECT
+        |    (SELECT min(nll) FROM cum, n
+        |      WHERE cumc >= greatest(1, CAST(ceil(0.3 * total) AS BIGINT))) AS head_max,
+        |    (SELECT min(nll) FROM cum, n
+        |      WHERE cumc >= greatest(1, CAST(ceil(0.6 * total) AS BIGINT))) AS mid_max),
+        |b AS (SELECT s.doc_id, s.nll,
+        |    CASE WHEN s.nll <= cut.head_max THEN 'head'
+        |         WHEN s.nll <= cut.mid_max THEN 'middle'
+        |         ELSE 'tail' END AS bucket
+        |  FROM scores s CROSS JOIN cut)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(nll) AS nll_lo, max(nll) AS nll_hi
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "q74_bpe_pairs" ->
       """WITH w AS (
