@@ -853,6 +853,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q76_unsee" -> ((s, dir) => {
+      // Ledger.unsee's tombstone-subtraction kernel: ledger rows (with a
+      // re-append for every third url at a LATER wave) minus tombstones —
+      // a row dies when some tombstone of its url has t_wave >= wave, so
+      // re-appends AFTER the unsee survive while the original rows die.
+      // Pure integer wave fencing → the oracle replays it exactly.
+      def urlOf = concat(lit("http://h"), (col("doc_id") % 20).cast("string"),
+        lit(".test/d/"), col("doc_id").cast("string"))
+      val first = docs(s, dir).select(col("doc_id").as("url_hash"),
+        urlOf.as("canonical_url"), (col("doc_id") % 9).cast("int").as("wave"))
+      val reappended = docs(s, dir).where(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("url_hash"), urlOf.as("canonical_url"),
+          ((col("doc_id") % 5) + 5).cast("int").as("wave"))
+      // two tombstone generations; urls divisible by 12 carry both (the
+      // max-t_wave fold), and t_wave=7 kills more than t_wave=4
+      val tombstones = docs(s, dir).where(col("doc_id") % 4 === 0)
+        .select(col("doc_id").as("url_hash"), lit(4).cast("int").as("t_wave"))
+        .unionByName(docs(s, dir).where(col("doc_id") % 6 === 0)
+          .select(col("doc_id").as("url_hash"), lit(7).cast("int").as("t_wave")))
+      graft.frontier.Ledger
+        .applyTombstones(first.unionByName(reappended), tombstones)
+        .select(col("url_hash"), col("canonical_url"), col("wave").cast("long").as("wave"))
+        .orderBy("url_hash", "wave")
+    }),
+
     "q75_lm_buckets" -> ((s, dir) => {
       // the CCNet split closed end to end: LM scores (q70), cutoffs = the
       // EXACT 30th/60th percentiles of nll computed in-engine (histogram
@@ -1947,6 +1972,24 @@ object SparkEntry {
     "q69_cuckoo_unseen" ->
       """SELECT doc_id AS seed_idx, 'http://' || source || '.test/docs/' || doc_id AS canonical_url
         |FROM documents WHERE doc_id % 3 <> 0 ORDER BY seed_idx""".stripMargin,
+
+    "q76_unsee" ->
+      """WITH led AS (
+        |  SELECT doc_id AS url_hash,
+        |         'http://h' || (doc_id % 20) || '.test/d/' || doc_id AS canonical_url,
+        |         doc_id % 9 AS wave FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 'http://h' || (doc_id % 20) || '.test/d/' || doc_id,
+        |         doc_id % 5 + 5 FROM documents WHERE doc_id % 3 = 0),
+        |ts AS (
+        |  SELECT doc_id AS url_hash, 4 AS t_wave FROM documents WHERE doc_id % 4 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 7 FROM documents WHERE doc_id % 6 = 0),
+        |tmax AS (SELECT url_hash, max(t_wave) AS t_wave FROM ts GROUP BY url_hash)
+        |SELECT l.url_hash, l.canonical_url, CAST(l.wave AS BIGINT) AS wave
+        |FROM led l LEFT JOIN tmax t USING (url_hash)
+        |WHERE t.t_wave IS NULL OR l.wave > t.t_wave
+        |ORDER BY url_hash, wave""".stripMargin,
 
     "q75_lm_buckets" ->
       """WITH rt AS (

@@ -3,7 +3,7 @@ package graft.frontier
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.Bridge
-import graft.functions.{bloom_agg, bloom_merge_agg, BloomBank, BloomBankProbe}
+import graft.functions.{bloom_agg, bloom_merge_agg, cuckoo_agg, cuckoo_delete_keys, cuckoo_merge_agg, BloomBank, BloomBankProbe, CuckooBank, CuckooBankProbe, CuckooFilter}
 import graft.core.Fs
 
 /** Persistent seen-set ledger, the 10^10-scale layout the north rule names:
@@ -44,9 +44,12 @@ final class Ledger(
     val fpp: Double = 1e-2,
     val maxBankBytes: Long = 256L << 20,
     val compactEvery: Int = 8,
-    val bankSingleFileBytes: Long = 64L << 20) extends Serializable {
+    val bankSingleFileBytes: Long = 64L << 20,
+    val sketch: String = "bloom") extends Serializable {
 
   import Ledger._
+
+  require(sketch == "bloom" || sketch == "cuckoo", s"sketch: $sketch")
 
   /** Catalog name is derived from the root path so independent crawls in one
     * session never collide; the version suffix changes on compaction.
@@ -77,7 +80,7 @@ final class Ledger(
   def ensure(): Unit = {
     Fs.mkdirs(root)
     if (!Fs.exists(versionFile)) Fs.writeString(versionFile, "0")
-    val params = s"""{"buckets":$buckets,"expectedPerBucket":$expectedPerBucket,"fpp":$fpp}"""
+    val params = s"""{"buckets":$buckets,"expectedPerBucket":$expectedPerBucket,"fpp":$fpp,"sketch":"$sketch"}"""
     if (!Fs.exists(paramsFile)) Fs.writeString(paramsFile, params)
     else {
       val stored = Fs.readString(paramsFile).trim
@@ -104,11 +107,21 @@ final class Ledger(
     }
   }
 
+  private def tombstoneDir = s"$root/tombstones"
+
   /** The committed slice of the ledger (bucketed scan — no exchange needed
-    * on this side of a url_hash join).
+    * on this side of a url_hash join), minus tombstoned rows ([[unsee]]).
+    * The tombstone subtraction is a BROADCAST left join (tombstone batches
+    * are maintenance-sized), so the scan's bucket partitioning survives to
+    * the downstream url_hash anti-join; when no tombstones exist this is
+    * the plain scan — zero overhead on the normal wave loop.
     */
-  def committedFrame(upToWave: Int): DataFrame =
-    spark.table(tableName(currentVersion)).where(col("wave") <= upToWave)
+  def committedFrame(upToWave: Int): DataFrame = {
+    val base = spark.table(tableName(currentVersion)).where(col("wave") <= upToWave)
+    if (!Fs.exists(tombstoneDir)) base
+    else Ledger.applyTombstones(base,
+      spark.read.parquet(tombstoneDir).where(col("t_wave") <= upToWave))
+  }
 
   /** Append one wave's delta. `repartition(buckets, url_hash)` uses the same
     * murmur3-pmod layout as the table's bucketing, so every task holds
@@ -126,17 +139,44 @@ final class Ledger(
 
   private def bloomDir(wave: Int) = s"$root/blooms/wave=$wave"
 
-  /** Serialized bytes of one EMPTY per-bucket bloom — the bank-size
-    * estimator's unit when no previous bank exists (a bloom's serialized
-    * size is its bit array, fixed by (expectedPerBucket, fpp) regardless
-    * of fill, so this is the right order of magnitude pre-compression).
+  /** Serialized bytes of one EMPTY per-bucket sketch — the bank-size
+    * estimator's unit when no previous bank exists (both families'
+    * serialized size is fixed by (expectedPerBucket, fpp) regardless of
+    * fill, so this is the right order of magnitude pre-compression).
     */
-  private lazy val emptyBloomBytes: Long = {
-    val out = new java.io.ByteArrayOutputStream()
-    org.apache.spark.util.sketch.BloomFilter
-      .create(math.max(expectedPerBucket, 1024L), fpp).writeTo(out)
-    out.size().toLong
-  }
+  private lazy val emptyBloomBytes: Long =
+    if (sketch == "cuckoo")
+      CuckooFilter.create(math.max(expectedPerBucket, 1024L)).serialize().length.toLong
+    else {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.spark.util.sketch.BloomFilter
+        .create(math.max(expectedPerBucket, 1024L), fpp).writeTo(out)
+      out.size().toLong
+    }
+
+  /** Sketch-family dispatch: the bank build/merge/probe column factories.
+    * Bank files keep the `bloom` column name in either family (readers are
+    * family-blind; the params file is the source of truth).
+    */
+  private def sketchAggCol(keys: Column): Column =
+    if (sketch == "cuckoo") cuckoo_agg(keys, math.max(expectedPerBucket, 1024L))
+    else bloom_agg(keys, math.max(expectedPerBucket, 1024L), fpp)
+
+  private def sketchMergeAggCol(c: Column): Column =
+    if (sketch == "cuckoo") cuckoo_merge_agg(c) else bloom_merge_agg(c)
+
+  private def bankProbeCol(rows: Array[(Int, Array[Byte])]): Column =
+    if (sketch == "cuckoo") {
+      val bank = new CuckooBank(spark.sparkContext.broadcast(rows))
+      Bridge.column(CuckooBankProbe(bank,
+        Bridge.expression(bucketOf(col("url_hash"))),
+        Bridge.expression(col("url_hash"))))
+    } else {
+      val bank = new BloomBank(spark.sparkContext.broadcast(rows))
+      Bridge.column(BloomBankProbe(bank,
+        Bridge.expression(bucketOf(col("url_hash"))),
+        Bridge.expression(col("url_hash"))))
+    }
 
   private def bucketOf(c: Column): Column = pmod(c, lit(buckets)).cast("int")
 
@@ -173,12 +213,12 @@ final class Ledger(
         committedFrame(wave - 1).where(col("wave") > covered).select("url_hash"))
     val deltaBlooms = keys
       .groupBy(bucketOf(col("url_hash")).as("bucket"))
-      .agg(bloom_agg(col("url_hash"), math.max(expectedPerBucket, 1024L), fpp).as("bloom"))
+      .agg(sketchAggCol(col("url_hash")).as("bloom"))
     val merged = prevOpt match {
       case None => deltaBlooms
       case Some(prev) =>
         spark.read.parquet(bloomDir(prev)).unionByName(deltaBlooms)
-          .groupBy("bucket").agg(bloom_merge_agg(col("bloom")).as("bloom"))
+          .groupBy("bucket").agg(sketchMergeAggCol(col("bloom")).as("bloom"))
     }
     // SIZE-ADAPTIVE layout. Big bank (estimated > bankSingleFileBytes):
     // one FILE per bucket (dir partitioned by bucket) — the merge stays
@@ -207,6 +247,71 @@ final class Ledger(
       Fs.deleteTree(s"$root/blooms/$n")
   }
 
+  /** Maintenance op: UNSEE a batch of keys (purge fetch-error urls for
+    * retry, force-expire pages ahead of their refresh TTL) so the next
+    * [[filterUnseen]] lets them through again. The ledger table is
+    * append-only bucketed parquet — rewriting it per maintenance batch
+    * would cost a full-table job — so unsee writes TOMBSTONES instead:
+    * (url_hash, t_wave=`wave`) rows that [[committedFrame]] subtracts
+    * (a row dies when a tombstone of the same url carries `t_wave >=` its
+    * wave; a LATER re-crawl re-appends at wave > t_wave and is seen again —
+    * tombstones never outlive their purpose). [[compact]] applies
+    * tombstones physically and clears them.
+    *
+    * Sketch side: under `sketch="cuckoo"` the current bank is PATCHED with
+    * [[graft.functions.cuckoo_delete_keys]] — the deletable-sketch payoff:
+    * bank selectivity is restored immediately, where a bloom cannot
+    * unlearn. Under bloom the bank is left over-approximate — unseen keys
+    * probe positive, fall into the verify-anti-join, and pass because the
+    * tombstone removed them from [[committedFrame]]: exactness never
+    * depends on the patch (which is also why a crash mid-patch — no
+    * `_SUCCESS` — only degrades the pre-filter, see [[latestBloomWave]]).
+    *
+    * The input is restricted to currently-seen keys first (semi-join
+    * against [[committedFrame]]): the cuckoo delete contract allows
+    * deleting only inserted keys (deleting an absent key whose fingerprint
+    * collides would evict someone else's copy = bank false negative), and
+    * the restriction also makes unsee idempotent — a second unsee of the
+    * same key finds it already gone and writes nothing.
+    *
+    * `wave` is the caller's last COMMITTED wave; keys re-appended after it
+    * are not affected.
+    */
+  def unsee(keys: DataFrame, wave: Int): Unit = {
+    ensure()
+    // materialize BEFORE writing tombstones: `dead` reads committedFrame,
+    // which the tombstone append is about to change under it — a lazy
+    // recompute after the append would see the keys already gone and the
+    // bank patch would delete nothing
+    val dead = keys.select(col("url_hash").cast("long").as("url_hash")).distinct()
+      .join(committedFrame(wave).select("url_hash"), Seq("url_hash"), "left_semi")
+      .distinct() // committedFrame keeps at-least-once duplicate appends
+      .localCheckpoint(true)
+    dead.withColumn("t_wave", lit(wave).cast("int"))
+      .coalesce(1) // maintenance-sized batch; one tombstone file per unsee
+      .write.mode(SaveMode.Append).parquet(tombstoneDir)
+    if (sketch == "cuckoo") latestBloomWave(wave).foreach { w =>
+      // delete each dead key ONCE from its bucket's filter. Duplicate
+      // inserts (the same url in several wave deltas) may leave residual
+      // copies — the bank stays over-approximate, which is sound.
+      val bank = spark.read.parquet(bloomDir(w)).localCheckpoint(true) // free the dir for overwrite
+      val byBucket = dead.groupBy(bucketOf(col("url_hash")).as("bucket"))
+        .agg(collect_list(col("url_hash")).as("ks"))
+      val bankBytes = Fs.treeBytes(bloomDir(w), ".parquet")
+      val patched = bank.join(broadcast(byBucket), Seq("bucket"), "left")
+        .select(col("bucket").cast("int").as("bucket"),
+          when(col("ks").isNull, col("bloom"))
+            .otherwise(cuckoo_delete_keys(col("bloom"), col("ks"))).as("bloom"))
+      // same size-adaptive layout as writeBlooms: a big bank must patch and
+      // write bucket-parallel, a small one as a single file
+      if (bankBytes <= bankSingleFileBytes)
+        patched.coalesce(1).write.mode(SaveMode.Overwrite).parquet(bloomDir(w))
+      else
+        patched.repartition(col("bucket"))
+          .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(bloomDir(w))
+    }
+  }
+
   /** Exact unseen filter against the committed ledger: bloom-bank pre-filter
     * (negatives skip the join entirely), positives verified by the
     * bucket-aligned anti-join. Falls back to the plain anti-join when the
@@ -233,11 +338,8 @@ final class Ledger(
           candidates.join(antiRight, Seq("url_hash"), "left_anti")
         } else {
           val rows = spark.read.parquet(bloomDir(w)).collect()
-          val bank = new BloomBank(spark.sparkContext.broadcast(
-            rows.map(r => (r.getAs[Int]("bucket"), r.getAs[Array[Byte]]("bloom")))))
-          val maybeSeen = Bridge.column(BloomBankProbe(bank,
-            Bridge.expression(bucketOf(col("url_hash"))),
-            Bridge.expression(col("url_hash"))))
+          val maybeSeen = bankProbeCol(
+            rows.map(r => (r.getAs[Int]("bucket"), r.getAs[Array[Byte]]("bloom"))))
           val positives = candidates.where(maybeSeen)
             .join(antiRight, Seq("url_hash"), "left_anti")
           val negatives = candidates.where(!maybeSeen)
@@ -291,7 +393,14 @@ final class Ledger(
          |CLUSTERED BY (url_hash) SORTED BY (url_hash) INTO $buckets BUCKETS
          |LOCATION '${tableLocation(next)}'""".stripMargin)
     val all = spark.table(tableName(v))
-    val folded = all.where(col("wave") <= upToWave)
+    // tombstones ≤ upToWave are APPLIED here (their dead rows drop out of
+    // the fold) and cleared below; later ones pass through untouched
+    val hasTombstones = Fs.exists(tombstoneDir)
+    val inScope =
+      if (!hasTombstones) all.where(col("wave") <= upToWave)
+      else Ledger.applyTombstones(all.where(col("wave") <= upToWave),
+        spark.read.parquet(tombstoneDir).where(col("t_wave") <= upToWave))
+    val folded = inScope
       .groupBy(col("url_hash"), col("canonical_url"))
       .agg(max(col("wave")).as("wave"))
     folded.unionByName(all.where(col("wave") > upToWave))
@@ -303,6 +412,15 @@ final class Ledger(
     Fs.writeString(versionFile, next.toString)
     spark.sql(s"DROP TABLE IF EXISTS ${tableName(v)}")
     Fs.deleteTree(tableLocation(v))
+    if (hasTombstones) {
+      // consumed tombstones go; a crash BEFORE this point leaves them in
+      // place, which is idempotent — re-applying a tombstone against the
+      // compacted table matches nothing it hasn't already killed
+      val rest = spark.read.parquet(tombstoneDir)
+        .where(col("t_wave") > upToWave).localCheckpoint(true)
+      if (rest.isEmpty) Fs.deleteTree(tombstoneDir)
+      else rest.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tombstoneDir)
+    }
   }
 
   /** Wave-loop hook: compact every `compactEvery` committed waves. */
@@ -351,6 +469,24 @@ object Ledger {
         Scheduler.priorityOrderKey(col("age"), pmod(col("url_hash"), lit(1L << 40)))
           .as("seed_idx"),
         col("age"))
+
+  /** [[Ledger.unsee]]'s subtraction kernel over any (url_hash, …, wave)
+    * frame and (url_hash, t_wave) tombstones — split out so the
+    * wave-fencing arithmetic is testable and oracle-checkable without
+    * ledger state. A row survives unless SOME tombstone of its url carries
+    * `t_wave >= wave` (i.e. the row was committed at or before the unsee);
+    * re-appends after the unsee carry a later wave and survive. One
+    * BROADCAST left join against the max-t_wave per url (tombstone batches
+    * are maintenance-sized by contract), preserving the left side's
+    * (bucketed) partitioning.
+    */
+  def applyTombstones(committed: DataFrame, tombstones: DataFrame): DataFrame = {
+    val ts = tombstones.groupBy(col("url_hash"))
+      .agg(max(col("t_wave")).as("_ts_t_wave"))
+    committed.join(broadcast(ts), Seq("url_hash"), "left")
+      .where(col("_ts_t_wave").isNull || col("wave") > col("_ts_t_wave"))
+      .drop("_ts_t_wave")
+  }
 
   /** Recursive delete for state roots (benchmarks, tests). */
   def deleteTree(path: String): Unit = graft.core.Fs.deleteTree(path)

@@ -231,4 +231,96 @@ class LedgerSpec extends AnyFunSuite {
       .select("wave", "slot", "host_rev", "canonical_url").collect().toSeq
     assert(a == b)
   }
+
+  test("cuckoo-mode ledger: multi-wave filterUnseen stays exact") {
+    val root = java.nio.file.Files.createTempDirectory("ledgerck").toString
+    val l = new Ledger(spark, root, buckets = 8, expectedPerBucket = 4096,
+      sketch = "cuckoo")
+    var expectedSeen = Set.empty[Long]
+    for (w <- 0 until 4) {
+      val lo = w * 900
+      val cands = keyed(lo until (lo + 1000))
+      val unseen = l.filterUnseen(cands, w - 1)
+        .select("seed_idx").as[Long].collect().toSet
+      val want = (lo until (lo + 1000)).map(_.toLong).toSet -- expectedSeen
+      assert(unseen == want, s"wave $w exactness (cuckoo)")
+      val delta = cands.where(col("seed_idx").isin(unseen.toSeq: _*))
+        .select("url_hash", "canonical_url")
+      l.append(delta, w)
+      l.writeBlooms(delta, w)
+      expectedSeen ++= want
+    }
+    // params are persisted: re-opening in bloom mode must fail fast
+    val err = intercept[IllegalArgumentException] {
+      new Ledger(spark, root, buckets = 8, expectedPerBucket = 4096).ensure()
+    }
+    assert(err.getMessage.contains("sketch"))
+  }
+
+  test("unsee makes keys re-crawlable; a later re-append re-seens them") {
+    for (sk <- Seq("bloom", "cuckoo")) {
+      val root = java.nio.file.Files.createTempDirectory(s"unsee$sk").toString
+      val l = new Ledger(spark, root, buckets = 8, expectedPerBucket = 4096,
+        sketch = sk)
+      val all = keyed(0 until 1000)
+      l.append(all.select("url_hash", "canonical_url"), 0)
+      l.writeBlooms(all.select("url_hash", "canonical_url"), 0)
+      assert(l.filterUnseen(all, 0).count() == 0, s"$sk: everything seen")
+      // purge the 0-mod-5 slice (e.g. fetch errors queued for retry)
+      val purge = all.where(col("seed_idx") % 5 === 0)
+      l.unsee(purge.select("url_hash"), 0)
+      val back = l.filterUnseen(all, 0).select("seed_idx").as[Long].collect().toSet
+      assert(back == (0L until 1000L).filter(_ % 5 == 0).toSet, s"$sk: unseen set")
+      // idempotent: unseeing again changes nothing
+      l.unsee(purge.select("url_hash"), 0)
+      assert(l.filterUnseen(all, 0).count() == 200, s"$sk: idempotence")
+      // retry crawl re-appends at wave 1 → seen again (t_wave fencing)
+      l.append(purge.select("url_hash", "canonical_url"), 1)
+      l.writeBlooms(purge.select("url_hash", "canonical_url"), 1)
+      assert(l.filterUnseen(all, 1).count() == 0, s"$sk: re-seen after re-append")
+    }
+  }
+
+  test("unsee under cuckoo PATCHES the bank: selectivity restored in-sketch") {
+    val root = java.nio.file.Files.createTempDirectory("unseepatch").toString
+    val l = new Ledger(spark, root, buckets = 4, expectedPerBucket = 4096,
+      sketch = "cuckoo")
+    val all = keyed(0 until 1000)
+    l.append(all.select("url_hash", "canonical_url"), 0)
+    l.writeBlooms(all.select("url_hash", "canonical_url"), 0)
+    val purge = all.where(col("seed_idx") % 2 === 0)
+    l.unsee(purge.select("url_hash"), 0)
+    // read the patched bank straight off disk and probe the filters: the
+    // purged keys must be GONE FROM THE SKETCH (a bloom could only deliver
+    // the unseen answer via the anti-join; the cuckoo delivers it pre-join)
+    val bank = spark.read.parquet(s"$root/blooms/wave=0")
+      .collect().map(r => (r.getAs[Int]("bucket"),
+        graft.functions.CuckooFilter.deserialize(r.getAs[Array[Byte]]("bloom")))).toMap
+    val rows = all.select(pmod(col("url_hash"), lit(4)).cast("int").as("b"),
+        col("url_hash"), col("seed_idx"))
+      .as[(Int, Long, Long)].collect()
+    val (deadRows, aliveRows) = rows.partition(_._3 % 2 == 0)
+    assert(aliveRows.forall { case (b, k, _) => bank(b).mightContain(k) },
+      "survivors must stay positive")
+    val stillPos = deadRows.count { case (b, k, _) => bank(b).mightContain(k) }
+    assert(stillPos < 10, s"purged keys still in the sketch: $stillPos / ${deadRows.length}")
+  }
+
+  test("compact applies tombstones physically and clears them") {
+    val root = java.nio.file.Files.createTempDirectory("unseecompact").toString
+    val l = new Ledger(spark, root, buckets = 4, expectedPerBucket = 4096)
+    val all = keyed(0 until 600)
+    l.append(all.select("url_hash", "canonical_url"), 0)
+    l.writeBlooms(all.select("url_hash", "canonical_url"), 0)
+    val purge = all.where(col("seed_idx") % 3 === 0)
+    l.unsee(purge.select("url_hash"), 0)
+    assert(graft.core.Fs.exists(s"$root/tombstones"))
+    l.compact(upToWave = 0)
+    // tombstones consumed: dir gone, table physically shrunk
+    assert(!graft.core.Fs.exists(s"$root/tombstones"), "tombstones must clear")
+    assert(l.committedFrame(0).count() == 400)
+    val back = l.filterUnseen(all, 0).select("seed_idx").as[Long].collect().toSet
+    assert(back == (0L until 600L).filter(_ % 3 == 0).toSet,
+      "post-compaction unseen set")
+  }
 }
