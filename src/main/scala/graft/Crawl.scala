@@ -14,6 +14,7 @@ import graft.pipeline.TextPipeline
   * Usage:
   *   runMain graft.Crawl --pages <pageTableRoot> --out <dir>
   *     [--waves N] [--gap SECONDS] [--refresh-after K] [--rank-every K]
+  *     [--retry-after K]
   *     [--block-hosts h1,h2,…] [--block-path-words w1,w2,…] url1 url2 ...
   *
   * `--refresh-after K` turns on the batch refresh channel: committed urls
@@ -26,6 +27,11 @@ import graft.pipeline.TextPipeline
   * edges ([[Discover.edgesFromPages]]) persist, PageRank recomputes every
   * K waves, and later waves fetch high-authority urls first within each
   * host ([[graft.frontier.WaveLoop.run]]'s `edgesOf`).
+  *
+  * `--retry-after K` turns on the error-retry channel: urls that 404'd at
+  * wave W are tombstoned out of the seen ledger ([[graft.frontier.Ledger
+  * .unsee]]) and re-scheduled once at wave W+K; a second failure retires
+  * them (see [[graft.frontier.WaveLoop.run]]'s `retryErrorsAfter`).
   *
   * `--block-hosts` / `--block-path-words` turn on the URL quality gate
   * ([[graft.url.UrlGate]]): blocklisted domains (parent-domain matching)
@@ -45,13 +51,14 @@ object Crawl {
 
   final case class Args(pages: String, out: String, waves: Int, gapSeconds: Long,
       urls: Seq[String], refreshAfter: Option[Int] = None,
-      rankEvery: Option[Int] = None,
+      rankEvery: Option[Int] = None, retryAfter: Option[Int] = None,
       blockHosts: Seq[String] = Nil, blockPathWords: Seq[String] = Nil)
 
   def parseArgs(argv: Array[String]): Args = {
     var pages = ""; var out = ""; var waves = 3; var gap = 3L
     var refresh: Option[Int] = None
     var rankEvery: Option[Int] = None
+    var retryAfter: Option[Int] = None
     var blockHosts: Seq[String] = Nil
     var blockWords: Seq[String] = Nil
     val urls = Seq.newBuilder[String]
@@ -69,6 +76,7 @@ object Crawl {
         case "--gap" => gap = value("--gap").toLong
         case "--refresh-after" => refresh = Some(value("--refresh-after").toInt)
         case "--rank-every" => rankEvery = Some(value("--rank-every").toInt)
+        case "--retry-after" => retryAfter = Some(value("--retry-after").toInt)
         case "--block-hosts" =>
           blockHosts = value("--block-hosts").split(",").map(_.trim).filter(_.nonEmpty).toSeq
         case "--block-path-words" =>
@@ -79,12 +87,13 @@ object Crawl {
       }
     }
     val a = Args(pages, out, waves, gap, urls.result(), refresh, rankEvery,
-      blockHosts, blockWords)
+      retryAfter, blockHosts, blockWords)
     require(a.pages.nonEmpty, "--pages <pageTableRoot> is required")
     require(a.out.nonEmpty, "--out <dir> is required")
     require(a.urls.nonEmpty, "error: no URLs provided") // reference :227-228
     require(a.refreshAfter.forall(_ >= 1), "--refresh-after must be >= 1")
     require(a.rankEvery.forall(_ >= 1), "--rank-every must be >= 1")
+    require(a.retryAfter.forall(_ >= 1), "--retry-after must be >= 1")
     a
   }
 
@@ -101,6 +110,7 @@ object Crawl {
       Discover.fromPages(pages), maxWaves = a.waves, gapSeconds = a.gapSeconds,
       robots = Robots.AllowAll, pages = Some(pages), ledger = Some(ledger),
       refreshAfter = a.refreshAfter,
+      retryErrorsAfter = a.retryAfter,
       edgesOf = a.rankEvery.map(_ => Discover.edgesFromPages(pages)),
       rankEvery = a.rankEvery.getOrElse(4),
       urlGate = if (a.blockHosts.isEmpty && a.blockPathWords.isEmpty) None
@@ -109,9 +119,10 @@ object Crawl {
     // is one codegen'd map per row
     val order0 = WaveLoop.crawlOrder(spark, s"${a.out}/frontier")
       .select("canonical_url", "wave", "slot", "host_rev", "seed_idx")
-    // with the refresh channel on, a url legitimately appears once per
-    // re-crawl — the results table keeps its NEWEST fetch (one row per url)
-    val order = if (a.refreshAfter.isEmpty) order0 else {
+    // with the refresh (or retry) channel on, a url legitimately appears
+    // once per re-crawl — the results table keeps its NEWEST fetch (one
+    // row per url)
+    val order = if (a.refreshAfter.isEmpty && a.retryAfter.isEmpty) order0 else {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("canonical_url")).orderBy(col("wave").desc, col("slot"))
       order0.withColumn("__rn", row_number().over(w))

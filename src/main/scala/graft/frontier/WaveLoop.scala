@@ -90,7 +90,13 @@ object WaveLoop {
     *                    never speed it past it. State crosses waves only via
     *                    the metrics files, like everything else in the loop.
     */
-  /* Authority channel (`edgesOf`): scheduled wave → (src, dst) link
+  /* Error-retry channel (`retryErrorsAfter`): fetch errors (status 404)
+   * of wave K−n are tombstoned out of the seen ledger ([[Ledger.unsee]])
+   * and re-injected once as plain frontier rows at wave K; the `retried/`
+   * url_hash set caps injection at one attempt per url. See the inline
+   * comment at the channel for the full policy.
+   *
+   * Authority channel (`edgesOf`): scheduled wave → (src, dst) link
    * edges, persisted per wave under `edges/wave=K` (hashed to canonical
    * url_hash longs); every `rankEvery` waves the loop recomputes
    * [[Rank.pageRank]] over ALL committed edges, and later waves schedule
@@ -119,10 +125,13 @@ object WaveLoop {
       edgesOf: Option[DataFrame => DataFrame] = None,
       rankEvery: Int = 4,
       rankIters: Int = 3,
-      urlGate: Option[(DataFrame, Seq[String])] = None): Seq[WaveResult] = {
+      urlGate: Option[(DataFrame, Seq[String])] = None,
+      retryErrorsAfter: Option[Int] = None): Seq[WaveResult] = {
 
     require(refreshAfter.forall(_ => ledger.nonEmpty),
       "refreshAfter needs a ledger (last-fetch age lives in the ledger's wave column)")
+    require(retryErrorsAfter.forall(n => n >= 1 && ledger.nonEmpty && pages.nonEmpty),
+      "retryErrorsAfter needs n >= 1, a ledger (unsee lives there) and pages metrics (errors live there)")
 
     Fs.mkdirs(root)
     val already = committedWaves(root)
@@ -142,6 +151,41 @@ object WaveLoop {
       val refreshRows = (for { n <- refreshAfter; l <- ledger if wave > 0 }
         yield l.staleFrontier(wave - 1, n).select("url", "seed_idx").localCheckpoint(true))
         .filter(!_.isEmpty)
+      // error-retry channel: fetch errors (status 404) of wave K−n get ONE
+      // retry — tombstoned out of the seen set ([[Ledger.unsee]], the
+      // production caller of the deletable sketch) and re-injected as plain
+      // frontier rows that flow the NORMAL path: url gate → robots → seen
+      // filter (which now passes them) → in-wave dedup (so an organic
+      // rediscovery of the same url this wave schedules once, not twice).
+      // The `retried/` set caps attempts: a url that fails its retry too is
+      // never injected again (it stays tombstoned, so a LATER organic
+      // rediscovery may still try it — deliberate: links to it persisting
+      // in the graph is evidence it may have come back). Policy denials
+      // (451/452) are not errors and never retry; parse errors (422) are
+      // deterministic and never retry. Crash between the state writes and
+      // the wave commit degrades to tombstone-only (the resume recomputes
+      // an empty injection against the already-written retried/ set) —
+      // at-least-tombstoned, at-most-once-injected.
+      for {
+        n <- retryErrorsAfter; l <- ledger if wave >= n
+        dir = s"$root/metrics/wave=${wave - n}" if Fs.exists(dir)
+      } {
+        val errs0 = spark.read.parquet(dir)
+          .where(col("status") === Discover.StatusMiss)
+          .select("url", "seed_idx", "url_hash")
+        val retriedDir = s"$root/retried"
+        // materialize BEFORE mutating state: the anti-join reads retried/,
+        // which the append below is about to grow under it
+        val errs = (if (Fs.exists(retriedDir))
+            errs0.join(spark.read.parquet(retriedDir).select("url_hash"),
+              Seq("url_hash"), "left_anti")
+          else errs0).localCheckpoint(true)
+        if (!errs.isEmpty) {
+          errs.select("url_hash").write.mode(SaveMode.Append).parquet(retriedDir)
+          l.unsee(errs.select("url_hash"), wave - 1)
+          frontier = frontier.unionByName(errs.select("url", "seed_idx"))
+        }
+      }
       if (frontier.isEmpty && refreshRows.isEmpty) {
         exhausted = true
       } else {

@@ -74,6 +74,13 @@ class CrawlSpec extends AnyFunSuite {
     assert(r.refreshAfter.contains(4))
     assert(Crawl.parseArgs(Array("--pages", "/p", "--out", "/o",
       "http://a.test/")).refreshAfter.isEmpty)
+    // error-retry channel flag
+    assert(Crawl.parseArgs(Array("--pages", "/p", "--out", "/o",
+      "--retry-after", "2", "http://a.test/")).retryAfter.contains(2))
+    intercept[IllegalArgumentException] {
+      Crawl.parseArgs(Array("--pages", "/p", "--out", "/o",
+        "--retry-after", "0", "http://a.test/"))
+    }
     intercept[IllegalArgumentException] {
       Crawl.parseArgs(Array("--pages", "/p", "--out", "/o",
         "--refresh-after", "0", "http://a.test/"))

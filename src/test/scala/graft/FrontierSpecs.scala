@@ -529,6 +529,39 @@ class WaveLoopSpec extends AnyFunSuite {
       "wave 3 is refresh-only; its keys must be priority-packed")
   }
 
+  test("error retry: 404s re-fetch once via unsee, then stay retired") {
+    val seeds = (0 until 6).map(i => (s"http://r.test/p/$i", i.toLong))
+      .toDF("url", "seed_idx")
+    // p/4 and p/5 are missing → 404 at every attempt
+    val pages = (0 until 4).map(i => (s"http://r.test/p/$i", "<p>x</p>"))
+      .toDF("url", "html")
+    // discovery keeps re-emitting p/4 from any scheduled row: the organic
+    // channel collides with the retry injection (in-wave dedup must fold
+    // them) and keeps probing the seen filter after the retry is spent
+    def disc(sched: org.apache.spark.sql.DataFrame) =
+      sched.limit(1).select(lit("http://r.test/p/4").as("url"),
+        lit(100L).as("seed_idx"))
+    val root = java.nio.file.Files.createTempDirectory("wavesRetry").toString
+    val l = new graft.frontier.Ledger(spark, root + "/seenstate", buckets = 4,
+      expectedPerBucket = 4096)
+    WaveLoop.run(spark, root, seeds, disc, maxWaves = 4, pages = Some(pages),
+      ledger = Some(l), metricsParseStats = false, retryErrorsAfter = Some(1))
+    val order = WaveLoop.crawlOrder(spark, root)
+      .select("canonical_url", "wave").as[(String, Int)].collect().toSeq
+    val byUrl = order.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    // the two 404 urls retried exactly once (wave 1), never a third time —
+    // wave 2's organic p/4 rediscovery is blocked by its wave-1 re-append
+    assert(byUrl("http://r.test/p/4") == Seq(0, 1), byUrl.toString)
+    assert(byUrl("http://r.test/p/5") == Seq(0, 1), byUrl.toString)
+    for (i <- 0 until 4)
+      assert(byUrl(s"http://r.test/p/$i") == Seq(0), s"p/$i over-crawled")
+    // the retried set holds exactly the two error urls
+    assert(spark.read.parquet(s"$root/retried").distinct().count() == 2)
+    // and the wave-1 metrics show the retry attempts as 404s again
+    val m1 = spark.read.parquet(s"$root/metrics/wave=1")
+    assert(m1.where(col("status") === 404).count() == 2)
+  }
+
   test("resume: crash between data write and manifest → identical final state") {
     val rootA = java.nio.file.Files.createTempDirectory("wavesA").toString
     val rootB = java.nio.file.Files.createTempDirectory("wavesB").toString
