@@ -853,6 +853,45 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q78_host_rank" -> ((s, dir) => {
+      // host-level authority: url edges over 37 planted hosts collapse to
+      // the weighted host graph (self-loops dropped, weight = link
+      // multiplicity), then 3 weighted PageRank rounds. The engine runs
+      // the loop on xxhash64 host ids (never visible in the output); the
+      // oracle runs the same arithmetic on the host strings directly —
+      // identical scores because the collapse is exact. round(…,6) absorbs
+      // ulp-order sum noise (the q54 contract).
+      val edges = docs(s, dir)
+        .select(col("doc_id"), explode(sequence(lit(0L), lit(2L))).as("j"))
+        .select(
+          concat(lit("http://h"), (col("doc_id") % 37).cast("string"),
+            lit(".test/p/"), col("doc_id").cast("string")).as("src"),
+          concat(lit("http://h"), ((col("doc_id") * 7 + col("j") * 13) % 37).cast("string"),
+            lit(".test/q/"), col("doc_id").cast("string")).as("dst"))
+      graft.frontier.Rank.hostRank(edges, iters = 3)
+        .select(col("host"), round(col("score"), 6).as("score"))
+        .orderBy("host")
+    }),
+
+    "q77_temperature_mix" -> ((s, dir) => {
+      // temperature-based source balancing (n^0.5): a skewed synthetic
+      // source split (60/30/10 by doc_id) where flat sampling would keep
+      // the 60% head dominant — the temperature weights DOWN-sample the
+      // head (w≈0.79) and UP-sample the tail (w≈1.93). sqrt is IEEE
+      // correctly-rounded and the rest is once-rounded fixed-point +
+      // exact int→double promotions, so DuckDB replays the weights
+      // bit-for-bit; u is the replayable LCG (q56 pattern).
+      val src = when(col("doc_id") % 10 <= 5, lit("m0"))
+        .when(col("doc_id") % 10 <= 8, lit("m1")).otherwise(lit("m2"))
+      val u = pmod(col("doc_id") * 1103515245L + 12345L, lit(1000000L))
+        .cast("double") / 1000000.0d
+      graft.text.CorpusFilter.sampleByTemperature(
+          docs(s, dir).select(col("doc_id"), src.as("mix_src")),
+          "mix_src", targetDocs = 500L, u = u)
+        .select(col("doc_id"), col("mix_src"), col("copy"))
+        .orderBy("doc_id", "copy")
+    }),
+
     "q76_unsee" -> ((s, dir) => {
       // Ledger.unsee's tombstone-subtraction kernel: ledger rows (with a
       // re-append for every third url at a LATER wave) minus tombstones —
@@ -1972,6 +2011,56 @@ object SparkEntry {
     "q69_cuckoo_unseen" ->
       """SELECT doc_id AS seed_idx, 'http://' || source || '.test/docs/' || doc_id AS canonical_url
         |FROM documents WHERE doc_id % 3 <> 0 ORDER BY seed_idx""".stripMargin,
+
+    "q78_host_rank" ->
+      """WITH raw AS (
+        |  SELECT 'h' || (doc_id % 37) || '.test' AS sh,
+        |         'h' || ((doc_id*7 + j*13) % 37) || '.test' AS dh
+        |  FROM documents, unnest([0, 1, 2]) AS t(j)),
+        |hg AS (SELECT sh, dh, count(*) AS w FROM raw WHERE sh <> dh GROUP BY sh, dh),
+        |deg AS (SELECT sh, sum(w) AS outw FROM hg GROUP BY sh),
+        |nodes AS (SELECT sh AS n FROM hg UNION SELECT dh FROM hg),
+        |s0 AS (SELECT n, CAST(1.0 AS DOUBLE) AS score FROM nodes),
+        |c1 AS (SELECT hg.dh AS n, sum(s0.score * hg.w / deg.outw) AS c
+        |       FROM hg JOIN deg USING (sh) JOIN s0 ON s0.n = hg.sh GROUP BY hg.dh),
+        |s1 AS (SELECT nodes.n, 0.15 + 0.85 * coalesce(c1.c, 0) AS score
+        |       FROM nodes LEFT JOIN c1 USING (n)),
+        |c2 AS (SELECT hg.dh AS n, sum(s1.score * hg.w / deg.outw) AS c
+        |       FROM hg JOIN deg USING (sh) JOIN s1 ON s1.n = hg.sh GROUP BY hg.dh),
+        |s2 AS (SELECT nodes.n, 0.15 + 0.85 * coalesce(c2.c, 0) AS score
+        |       FROM nodes LEFT JOIN c2 USING (n)),
+        |c3 AS (SELECT hg.dh AS n, sum(s2.score * hg.w / deg.outw) AS c
+        |       FROM hg JOIN deg USING (sh) JOIN s2 ON s2.n = hg.sh GROUP BY hg.dh),
+        |s3 AS (SELECT nodes.n, 0.15 + 0.85 * coalesce(c3.c, 0) AS score
+        |       FROM nodes LEFT JOIN c3 USING (n))
+        |SELECT n AS host, round(score, 6) AS score FROM s3 ORDER BY host""".stripMargin,
+
+    "q77_temperature_mix" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 <= 5 THEN 'm0'
+        |         WHEN doc_id % 10 <= 8 THEN 'm1' ELSE 'm2' END AS mix_src
+        |  FROM documents),
+        |c AS (SELECT mix_src, count(*) AS n FROM d GROUP BY mix_src),
+        |s AS (SELECT mix_src, n,
+        |        CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1048576) AS BIGINT) AS s_fp
+        |      FROM c),
+        |t AS (SELECT sum(s_fp) AS t_fp FROM s),
+        |w AS (SELECT mix_src,
+        |        CAST(500 AS DOUBLE) * CAST(s_fp AS DOUBLE)
+        |          / (CAST(t_fp AS DOUBLE) * CAST(n AS DOUBLE)) AS wt
+        |      FROM s, t),
+        |j AS (SELECT doc_id, d.mix_src, wt,
+        |        CAST((doc_id * 1103515245 + 12345) % 1000000 AS DOUBLE) / 1000000.0 AS u
+        |      FROM d JOIN w USING (mix_src)),
+        |k AS (SELECT doc_id, mix_src,
+        |        CAST(floor(wt) + CASE WHEN u < wt - floor(wt) THEN 1 ELSE 0 END AS BIGINT)
+        |          AS copies
+        |      FROM j)
+        |SELECT doc_id, mix_src, CAST(t.c AS BIGINT) AS copy
+        |FROM k, unnest([1, 2, 3]) AS t(c)
+        |WHERE t.c <= copies
+        |ORDER BY doc_id, copy""".stripMargin,
 
     "q76_unsee" ->
       """WITH led AS (

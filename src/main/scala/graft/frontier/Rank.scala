@@ -28,20 +28,27 @@ import org.apache.spark.sql.functions._
   */
 object Rank {
 
+  /** `weightCol`: optional per-edge weight (e.g. the link multiplicity the
+    * host-graph collapse produces) — contributions become
+    * `score(u) × w(u,v) ∕ W(u)` with `W(u) = Σ_v w(u,v)`; None is the
+    * classic unweighted rank (w ≡ 1).
+    */
   def pageRank(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
-      iters: Int = 3, damping: Double = 0.85): DataFrame = {
+      iters: Int = 3, damping: Double = 0.85,
+      weightCol: Option[String] = None): DataFrame = {
     require(iters >= 1, s"iters: $iters")
     require(damping > 0.0 && damping < 1.0, s"damping: $damping")
     val spark = edges.sparkSession
     val sessionWidth = scala.util.Try(
       spark.conf.get("spark.sql.shuffle.partitions").toInt).getOrElse(32)
     val e = edges
-      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"),
+        weightCol.map(col(_).cast("long")).getOrElse(lit(1L)).as("w"))
       .localCheckpoint(true)
     val nEdges = e.count()
     val width = math.max(1L, math.min(sessionWidth.toLong, nEdges / 250000L + 1L)).toInt
     val deg = e.repartition(width, col("src"))
-      .groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .groupBy("src").agg(sum(col("w")).as("outw"))
     val withDeg = e.join(deg, "src").localCheckpoint(true) // read every round
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
@@ -53,7 +60,8 @@ object Rank {
     while (it < iters) {
       val contrib = withDeg
         .join(scores.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"), (col("score") / col("outdeg")).as("c"))
+        .select(col("dst").as("node"),
+          (col("score") * col("w") / col("outw")).as("c"))
         .repartition(width, col("node"))
         .groupBy("node").agg(sum(col("c")).as("c"))
       scores = nodes.join(contrib, Seq("node"), "left")
@@ -63,5 +71,43 @@ object Rank {
       it += 1
     }
     scores
+  }
+
+  /** Collapse the url-level link graph to the HOST graph: one row per
+    * (src_host, dst_host) with `weight` = link multiplicity. Self-loops
+    * (intra-host navigation chrome — headers, footers, pagination) are
+    * dropped: they dominate raw link counts on any real site yet carry no
+    * cross-site endorsement, and they would let every host pump its own
+    * authority. This is THE scale lever for authority at 100 TB: 10^10
+    * urls collapse to ~10^7 hosts, so the iterative rank runs on a graph
+    * three orders smaller than the url rank's — one groupBy of
+    * (host, host) string pairs, then 16-byte hashed rows in the loop.
+    */
+  def hostGraph(edges: DataFrame, srcUrlCol: String = "src",
+      dstUrlCol: String = "dst"): DataFrame =
+    edges.select(
+        graft.functions.host_of(col(srcUrlCol)).as("src_host"),
+        graft.functions.host_of(col(dstUrlCol)).as("dst_host"))
+      .where(col("src_host") =!= col("dst_host"))
+      .groupBy("src_host", "dst_host").agg(count(lit(1)).as("weight"))
+
+  /** Host-level authority: [[hostGraph]] → weighted [[pageRank]] over
+    * xxhash64 host ids (collision odds at 10^7 hosts ≈ 10^-6; ids never
+    * leave this function) → (host, score). The host score is what a crawl
+    * scheduler can actually hold: a ≤10^7-row broadcast-able priority
+    * table, where per-url ranks would be another 10^10-row state.
+    */
+  def hostRank(edges: DataFrame, srcUrlCol: String = "src",
+      dstUrlCol: String = "dst", iters: Int = 3,
+      damping: Double = 0.85): DataFrame = {
+    val hg = hostGraph(edges, srcUrlCol, dstUrlCol).localCheckpoint(true)
+    val scores = pageRank(
+      hg.select(xxhash64(col("src_host")).as("src"),
+        xxhash64(col("dst_host")).as("dst"), col("weight")),
+      iters = iters, damping = damping, weightCol = Some("weight"))
+    val hosts = hg.select(col("src_host").as("host"))
+      .union(hg.select(col("dst_host").as("host"))).distinct()
+    hosts.join(scores, xxhash64(col("host")) === col("node"))
+      .select(col("host"), col("score"))
   }
 }

@@ -99,12 +99,71 @@ object CorpusFilter {
     val w = weights.foldLeft(lit(defaultWeight)) { case (acc, (k, v)) =>
       when(col(sourceCol) === k, lit(v)).otherwise(acc)
     }
+    explodeByWeight(docs, w, u)
+  }
+
+  /** The floor + fractional-Bernoulli explode shared by the mixture
+    * samplers: each row kept `floor(w)` times plus one more iff
+    * `u < frac(w)` → E[copies] = w exactly.
+    */
+  private def explodeByWeight(docs: DataFrame, w: Column, u: Column): DataFrame =
     docs
       .withColumn("_copies",
         (floor(w) + when(u < (w - floor(w)), 1.0d).otherwise(0.0d)).cast("long"))
       .where(col("_copies") >= 1L) // filter FIRST: sequence(1, 0) counts DOWN
       .withColumn("copy", explode(sequence(lit(1L), col("_copies"))))
       .drop("_copies")
+
+  /** Temperature-based source balancing — the multilingual-LLM mixture
+    * rule (sample source s with probability ∝ n_s^alpha; alpha < 1
+    * flattens the head and lifts the tail — the XLM-R/mT5 recipe): emits
+    * one row per source with its expected-copies `weight` such that the
+    * sampled corpus totals `targetDocs` docs in temperature proportions:
+    * weight_s = targetDocs·s_fp ∕ (T·n_s), s_fp = floor(n_s^alpha·2^20)
+    * rounded ONCE (the BM25/LM fixed-point discipline), T = Σ s_fp an
+    * exact BIGINT. At alpha = 0.5 (the default) n^alpha is IEEE sqrt —
+    * correctly rounded, so the whole weight table is engine-reproducible
+    * (other alphas go through pow(), whose last ulp is libm's). The
+    * subsequent double arithmetic is a fixed sequence of exact int→double
+    * promotions (all values < 2^53) and correctly-rounded ops — identical
+    * in any IEEE engine. E[output size] = targetDocs exactly.
+    *
+    * Shape: one map-combinable count per source (the only corpus pass —
+    * checkpointed so the Σ does not re-scan), a ≤#sources-row total
+    * broadcast back via crossJoin; no driver round-trip.
+    */
+  def temperatureWeights(docs: DataFrame, sourceCol: String,
+      targetDocs: Long, alpha: Double = 0.5): DataFrame = {
+    require(targetDocs >= 0, s"targetDocs must be >= 0: $targetDocs")
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1]: $alpha")
+    val sCol =
+      if (alpha == 0.5) sqrt(col("n_docs").cast("double"))
+      else pow(col("n_docs").cast("double"), lit(alpha))
+    val scored = docs.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("s_fp", floor(sCol * (1L << 20)).cast("long"))
+      .localCheckpoint(true) // tiny (#sources rows); freezes the corpus pass
+    scored.crossJoin(broadcast(scored.agg(sum(col("s_fp")).as("t_fp"))))
+      .withColumn("weight",
+        (lit(targetDocs.toDouble) * col("s_fp").cast("double")) /
+          (col("t_fp").cast("double") * col("n_docs").cast("double")))
+  }
+
+  /** Sample the corpus at temperature `alpha` to an expected `targetDocs`
+    * total: [[temperatureWeights]] broadcast-joined back (one row per
+    * source) and realized by the same floor + fractional-Bernoulli explode
+    * as [[sampleBySource]]; `u` as there — a deterministic per-row
+    * uniform ([[uniformHash]] in production).
+    */
+  def sampleByTemperature(docs: DataFrame, sourceCol: String,
+      targetDocs: Long, u: Column, alpha: Double = 0.5): DataFrame = {
+    val w = temperatureWeights(docs, sourceCol, targetDocs, alpha)
+      .select(col("source").as("__mix_source"), col("weight").as("__mix_w"))
+    explodeByWeight(
+      docs.join(broadcast(w), docs(sourceCol) === col("__mix_source"))
+        .drop("__mix_source"),
+      col("__mix_w"), u)
+      .drop("__mix_w")
   }
 
   /** HOST-level quality verdicts (the RefinedWeb/C4 pattern: judge the

@@ -39,4 +39,67 @@ class RankSpec extends AnyFunSuite {
     assert(one.keySet == three.keySet)
     assert(one.exists { case (n, s) => math.abs(s - three(n)) > 1e-6 })
   }
+
+  /** Weighted reference: contributions score(u)·w(u,v)∕W(u). */
+  private def refRankW(edges: Seq[(Long, Long, Long)], iters: Int,
+      damping: Double = 0.85): Map[Long, Double] = {
+    val outw = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    var s = nodes.map(_ -> 1.0).toMap
+    for (_ <- 1 to iters) {
+      val contrib = edges.groupBy(_._2).view.mapValues(
+        _.map { case (u, _, w) => s(u) * w / outw(u) }.sum).toMap
+      s = nodes.map(n => n -> ((1 - damping) + damping * contrib.getOrElse(n, 0.0)))
+        .toMap
+    }
+    s
+  }
+
+  test("weighted pageRank matches the reference; weight 1 ≡ unweighted") {
+    val wEdges = Seq((1L, 2L, 5L), (1L, 3L, 1L), (2L, 3L, 2L), (3L, 1L, 4L))
+    val got = Rank.pageRank(wEdges.toDF("src", "dst", "w"), iters = 3,
+        weightCol = Some("w")).as[(Long, Double)].collect().toMap
+    val want = refRankW(wEdges, 3)
+    for ((n, s) <- want) assert(math.abs(got(n) - s) < 1e-9, s"node $n")
+    // the heavy 1→2 edge (5 of 1's weight 6) must beat the light 1→3 path
+    // in round-1 contribution terms: 2 collects 0.85·5/6 vs 3's 0.85·(1/6+1)
+    // — weights matter, so weighted ≠ unweighted on this graph
+    val unw = Rank.pageRank(wEdges.map(e => (e._1, e._2)).toDF("src", "dst"),
+      iters = 3).as[(Long, Double)].collect().toMap
+    assert(want.exists { case (n, s) => math.abs(s - unw(n)) > 1e-3 })
+    // and all-ones weights reproduce the unweighted scores exactly
+    val ones = Rank.pageRank(wEdges.map(e => (e._1, e._2, 1L)).toDF("src", "dst", "w"),
+      iters = 3, weightCol = Some("w")).as[(Long, Double)].collect().toMap
+    for ((n, s) <- unw) assert(got.contains(n) && math.abs(ones(n) - s) < 1e-12)
+  }
+
+  test("hostGraph collapses urls, drops self-loops, counts multiplicity") {
+    val edges = Seq(
+      ("http://a.test/1", "http://b.test/x"),
+      ("http://a.test/2", "http://b.test/y"), // same host pair → weight 2
+      ("http://a.test/3", "http://a.test/nav"), // self-loop → dropped
+      ("http://b.test/1", "http://c.test/z")).toDF("src", "dst")
+    val hg = Rank.hostGraph(edges).as[(String, String, Long)].collect().toSet
+    assert(hg == Set(("a.test", "b.test", 2L), ("b.test", "c.test", 1L)))
+  }
+
+  test("hostRank: authority follows the heavier edge out of a shared hub") {
+    // one hub linking COMPETING hosts: 10 links to a.test, 2 to b.test —
+    // the hub's mass splits 10/12 vs 2/12, so the collapse's multiplicity
+    // weights (not mere reachability) decide the order
+    val edges = ((0 until 10).map(i => (s"http://hub.test/p$i", s"http://a.test/t$i")) ++
+      (0 until 2).map(i => (s"http://hub.test/q$i", s"http://b.test/t$i"))).toDF("src", "dst")
+    val scores = Rank.hostRank(edges, iters = 3)
+      .as[(String, Double)].collect().toMap
+    assert(scores.keySet == Set("hub.test", "a.test", "b.test"))
+    assert(scores("a.test") > scores("b.test"), scores.toString)
+    // parity with the weighted reference over the collapsed graph
+    val hg = Rank.hostGraph(edges).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val ids = (hg.map(_._1) ++ hg.map(_._2)).distinct.zipWithIndex
+      .map { case (h, i) => h -> i.toLong }.toMap
+    val want = refRankW(hg.map(e => (ids(e._1), ids(e._2), e._3)).toSeq, 3)
+    for ((h, i) <- ids)
+      assert(math.abs(scores(h) - want(i)) < 1e-9, h)
+  }
 }

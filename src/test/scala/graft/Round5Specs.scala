@@ -112,6 +112,48 @@ class MixtureSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan)
     assert(!plan.contains("Join"), plan)
   }
+
+  test("temperature weights: sqrt proportions, E[total] = targetDocs") {
+    // skewed corpus: 8000 / 1500 / 500 docs per source
+    val docs = spark.range(10000).select(col("id"),
+      when(col("id") < 8000, "big").when(col("id") < 9500, "mid")
+        .otherwise("tail").as("source"))
+    val w = CorpusFilter.temperatureWeights(docs, "source", targetDocs = 5000L)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Double]("weight"))).toMap
+    // fixed-point reference: s_fp = floor(sqrt(n) * 2^20), w = K*s/(T*n)
+    val sfp = Map("big" -> 8000L, "mid" -> 1500L, "tail" -> 500L)
+      .view.mapValues(n => math.floor(math.sqrt(n.toDouble) * (1L << 20)).toLong).toMap
+    val t = sfp.values.sum
+    for ((src, n) <- Seq(("big", 8000L), ("mid", 1500L), ("tail", 500L))) {
+      assert(w(src)._1 == n)
+      assert(w(src)._2 == 5000.0 * sfp(src) / (t.toDouble * n), src)
+    }
+    // temperature lifts the tail above its flat share and cuts the head
+    assert(w("tail")._2 > w("mid")._2 && w("mid")._2 > w("big")._2)
+    assert(w("big")._2 < 0.4 && w("tail")._2 > 1.4)
+    // E[sampled total] = Σ n_s · w_s = targetDocs (up to fp rounding)
+    val e = Seq(("big", 8000L), ("mid", 1500L), ("tail", 500L))
+      .map { case (s, n) => n * w(s)._2 }.sum
+    assert(math.abs(e - 5000.0) < 1.0, s"E[total] = $e")
+    // realized sample lands near the expectation, deterministically
+    val out = CorpusFilter.sampleByTemperature(docs, "source", 5000L, u = u)
+    val got = out.count()
+    assert(math.abs(got - 5000.0) < 200, s"sampled $got, want ≈5000")
+    val again = CorpusFilter.sampleByTemperature(docs, "source", 5000L, u = u)
+    assert(again.select("id", "copy").except(out.select("id", "copy")).count() == 0)
+  }
+
+  test("temperature alpha = 1 degenerates to uniform rate K/N") {
+    val docs = spark.range(1000).select(col("id"),
+      when(col("id") % 4 === 0, "a").otherwise("b").as("source"))
+    val w = CorpusFilter.temperatureWeights(docs, "source",
+        targetDocs = 500L, alpha = 1.0)
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Double]("weight")).toMap
+    // n^1 proportions: every source samples at the same K/N rate
+    assert(math.abs(w("a") - 0.5) < 1e-6, w.toString)
+    assert(math.abs(w("b") - 0.5) < 1e-6, w.toString)
+  }
 }
 
 class PiiSpec extends AnyFunSuite {
