@@ -853,6 +853,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q79_anchor_text" -> ((s, dir) => {
+      // anchor-text aggregation: every page links its target (doc_id % 50)
+      // with a styled anchor whose text varies by doc_id % 3 — plus three
+      // traps: a commented-out anchor (not a link), an image-only anchor
+      // (extracted, then dropped by topAnchors — no text evidence), and a
+      // mailto (nulled by resolve). Top-2 per target by (count desc,
+      // anchor); counts and ranks are pure integers.
+      val base = concat(lit("http://tgt.test/p/"), col("doc_id").cast("string"))
+      val t = (col("doc_id") % 50).cast("string")
+      val html = concat(
+        lit("<html><body><!-- <a href=\"/t/99\">no</a> -->"),
+        lit("<a href=\"/t/"), t,
+        lit("\">go&amp;<b>x</b>\n "), (col("doc_id") % 3).cast("string"),
+        lit("</a><a href=\"/t/"), t,
+        lit("\"><img src=\"i.png\"/></a>"),
+        lit("<a href=\"mailto:a@b.c\">mail</a></body></html>"))
+      val anchors = graft.frontier.Anchors.fromPages(
+        docs(s, dir).select(base.as("url"), html.as("html")))
+      graft.frontier.Anchors.topAnchors(anchors, k = 2)
+        .select(col("link"), col("anchor"), col("n"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("link", "rank")
+    }),
+
     "q78_host_rank" -> ((s, dir) => {
       // host-level authority: url edges over 37 planted hosts collapse to
       // the weighted host graph (self-loops dropped, weight = link
@@ -2011,6 +2035,18 @@ object SparkEntry {
     "q69_cuckoo_unseen" ->
       """SELECT doc_id AS seed_idx, 'http://' || source || '.test/docs/' || doc_id AS canonical_url
         |FROM documents WHERE doc_id % 3 <> 0 ORDER BY seed_idx""".stripMargin,
+
+    "q79_anchor_text" ->
+      """WITH a AS (
+        |  SELECT 'http://tgt.test/t/' || (doc_id % 50) AS link,
+        |         'go&x ' || (doc_id % 3) AS anchor
+        |  FROM documents),
+        |c AS (SELECT link, anchor, count(*) AS n FROM a GROUP BY link, anchor),
+        |r AS (SELECT link, anchor, n,
+        |        row_number() OVER (PARTITION BY link ORDER BY n DESC, anchor) AS rank
+        |      FROM c)
+        |SELECT link, anchor, CAST(n AS BIGINT) AS n, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 2 ORDER BY link, rank""".stripMargin,
 
     "q78_host_rank" ->
       """WITH raw AS (

@@ -69,6 +69,11 @@ object Impl {
   def extractLinks(html: UTF8String): ArrayData =
     new GenericArrayData(HtmlText.extractLinks(html.toString).map(UTF8String.fromString).toArray[Any])
 
+  def extractAnchors(html: UTF8String): ArrayData =
+    new GenericArrayData(HtmlText.extractAnchors(html.toString).map { case (h, t) =>
+      InternalRow(UTF8String.fromString(h), UTF8String.fromString(t))
+    }.toArray[Any])
+
   def resolveUrl(base: UTF8String, ref: UTF8String): UTF8String = {
     val r = UrlKit.resolve(base.toString, ref.toString)
     if (r == null) null else UTF8String.fromString(r)
@@ -775,6 +780,25 @@ case class ExtractLinks(child: Expression)
     defineCodeGen(ctx, ev, c => s"graft.functions.Impl.extractLinks($c)")
   override protected def withNewChildInternal(c: Expression): ExtractLinks = copy(c)
   override def prettyName: String = "extract_links"
+}
+
+/** `<a href>` elements with their anchor text, in document order:
+  * ARRAY<STRUCT<href, anchor>>. The anchor-text twin of [[ExtractLinks]]
+  * (same comment-blind/raw-text-aware scanner; implicit close on nested
+  * opens, inner tags stripped, entities decoded, `\s` runs collapsed) —
+  * feeds the per-target anchor aggregation ([[graft.frontier.Anchors]]).
+  */
+case class ExtractAnchors(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("href", StringType, nullable = false),
+    StructField("anchor", StringType, nullable = false))), containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any = Impl.extractAnchors(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Impl.extractAnchors($c)")
+  override protected def withNewChildInternal(c: Expression): ExtractAnchors = copy(c)
+  override def prettyName: String = "extract_anchors"
 }
 
 /** RFC 3986 §5.2 reference resolution + canonicalization: (base, href) →

@@ -134,6 +134,9 @@ package object functions {
   /** All `<a href>` targets of an HTML document → ARRAY<STRING>. */
   def extract_links(c: Column): Column = col(ExtractLinks(expr(c)))
 
+  /** `<a href>` elements with anchor text: ARRAY<STRUCT<href, anchor>>. */
+  def extract_anchors(c: Column): Column = col(ExtractAnchors(expr(c)))
+
   /** RFC 3986 resolve(base, href) + canonicalize; NULL for non-http(s). */
   def resolve_url(base: Column, ref: Column): Column =
     col(ResolveUrl(expr(base), expr(ref)))
@@ -197,6 +200,7 @@ package object functions {
     reg.createOrReplaceTempFunction("token_count_bpe", es => TokenCountBpe(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("url_path", es => UrlPath(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("extract_links", es => ExtractLinks(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("extract_anchors", es => ExtractAnchors(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("resolve_url", es => ResolveUrl(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("repetition_stats", es => RepetitionStatsExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("pack_int8", es => PackInt8(es.head), "scala_udf")

@@ -313,6 +313,101 @@ object HtmlText {
     out.result()
   }
 
+  /** All (href, anchor-text) pairs of `<a href>` elements in document
+    * order — the web-search signal ("what the rest of the web calls this
+    * page") that a training-data pipeline aggregates into titles/queries
+    * for link targets. Same scanner discipline as [[extractLinks]]
+    * (comment-blind, quote-aware tag ends, raw-text bodies jumped), plus
+    * the anchor-body rules:
+    *
+    *  - text runs to the matching `</a>`, with inner tag spans (`<b>`,
+    *    `<img …>`, comments) removed and raw-text bodies skipped;
+    *  - a nested `<a` OPEN tag closes the current anchor first (browsers'
+    *    implicit-close rule — anchors cannot nest), and the scan resumes
+    *    at that tag so the new anchor is captured too;
+    *  - entities decode, then java-regex `\s` runs collapse to single
+    *    spaces and trim (the repo's pinned separator class) — an
+    *    image-only/empty anchor yields "".
+    */
+  def extractAnchors(html: String): Vector[(String, String)] = {
+    if (html == null) return Vector.empty
+    val out = Vector.newBuilder[(String, String)]
+    val n = html.length
+    var i = 0
+    while (i < n) {
+      val lt = html.indexOf('<', i)
+      if (lt < 0) i = n
+      else if (html.startsWith("<!--", lt)) {
+        val end = html.indexOf("-->", lt + 4)
+        i = if (end < 0) n else end + 3
+      } else if (lt + 2 < n && (html.charAt(lt + 1) == 'a' || html.charAt(lt + 1) == 'A')
+          && Character.isWhitespace(html.charAt(lt + 2))) {
+        val gt = tagEnd(html, lt + 1)
+        if (gt < 0) i = n
+        else {
+          val href = findHref(html, lt + 2, gt)
+          if (href == null) i = gt + 1
+          else {
+            val sb = new java.lang.StringBuilder
+            var j = gt + 1
+            var open = true
+            while (open && j < n) {
+              val lt2 = html.indexOf('<', j)
+              if (lt2 < 0) { sb.append(html, j, n); j = n }
+              else {
+                sb.append(html, j, lt2)
+                if (html.startsWith("<!--", lt2)) {
+                  val e = html.indexOf("-->", lt2 + 4)
+                  j = if (e < 0) n else e + 3
+                } else {
+                  val gt2 = tagEnd(html, lt2 + 1)
+                  if (gt2 < 0) j = n
+                  else {
+                    val inner = html.substring(lt2 + 1, gt2)
+                    val body = inner.stripPrefix("/").stripSuffix("/")
+                    val sp = body.indexWhere(ch =>
+                      ch == ' ' || ch == '\t' || ch == '\n' || ch == '\r')
+                    val name = (if (sp < 0) body else body.substring(0, sp))
+                      .toLowerCase(java.util.Locale.ROOT)
+                    if (name == "a") {
+                      open = false
+                      // implicit close on a nested open: resume AT the new
+                      // `<a` so the outer loop captures it as its own anchor
+                      j = if (inner.startsWith("/")) gt2 + 1 else lt2
+                    } else if (!inner.startsWith("/") && !inner.endsWith("/") &&
+                        RawTextTags.contains(name)) {
+                      val e = closeOf(html, gt2 + 1, name)
+                      j = if (e < 0) n else e
+                    } else j = gt2 + 1
+                  }
+                }
+              }
+            }
+            val text = decodeEntities(sb.toString)
+              .replaceAll("\\s+", " ").trim
+            out += ((decodeEntities(href), text))
+            i = j
+          }
+        }
+      } else {
+        val gt = tagEnd(html, lt + 1)
+        if (gt < 0) i = n
+        else {
+          val inner = html.substring(lt + 1, gt)
+          val body = inner.stripPrefix("/").stripSuffix("/")
+          val sp = body.indexWhere(ch => ch == ' ' || ch == '\t' || ch == '\n' || ch == '\r')
+          val name = (if (sp < 0) body else body.substring(0, sp))
+            .toLowerCase(java.util.Locale.ROOT)
+          if (!inner.startsWith("/") && !inner.endsWith("/") && RawTextTags.contains(name)) {
+            val end = closeOf(html, gt + 1, name)
+            i = if (end < 0) n else end
+          } else i = gt + 1
+        }
+      }
+    }
+    out.result()
+  }
+
   final case class Directives(noindex: Boolean, nofollow: Boolean, canonical: String)
 
   /** Page-level crawl directives — the two signals a polite crawler must

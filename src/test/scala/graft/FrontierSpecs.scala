@@ -579,3 +579,45 @@ class WaveLoopSpec extends AnyFunSuite {
     assert(a == b)
   }
 }
+
+class AnchorsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import graft.frontier.Anchors
+
+  test("fromPages: resolve + scheme-null drop; empty anchors kept") {
+    val pages = Seq(
+      ("http://s.test/p/1",
+        """<a href="/t/a">Alpha <b>Site</b></a><a href="mailto:x@y.z">m</a>""" +
+        """<a href="/t/a"><img src="i.png"/></a>"""),
+      ("http://s.test/p/2", """<a href="t/b">beta</a>""")).toDF("url", "html")
+    val got = Anchors.fromPages(pages).as[(String, String)].collect().toSet
+    assert(got == Set(
+      ("http://s.test/t/a", "Alpha Site"),
+      ("http://s.test/t/a", ""),
+      ("http://s.test/p/t/b", "beta")))
+  }
+
+  test("topAnchors: frequency order, lexicographic ties, k cut, one exchange") {
+    val anchors = (Seq.fill(3)(("L1", "big")) ++ Seq.fill(2)(("L1", "also")) ++
+      Seq.fill(2)(("L1", "tied")) ++ Seq(("L1", "rare"), ("L2", "only"), ("L2", ""))
+      ).toDF("link", "anchor")
+    val top = Anchors.topAnchors(anchors, k = 2)
+    val got = top.select("link", "anchor", "n", "rank")
+      .as[(String, String, Long, Int)].collect().toSet
+    // ties at n=2 break lexicographically: "also" < "tied"
+    assert(got == Set(("L1", "big", 3L, 1), ("L1", "also", 2L, 2),
+      ("L2", "only", 1L, 1)))
+    top.collect()
+    // AQE's dump repeats the plan ("Initial Plan" section) — count the
+    // final section only
+    val finalPlan = top.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val shuffles = finalPlan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles == 1,
+      s"want ONE exchange (repartition serves groupBy AND window):\n$finalPlan")
+    // and Spark's WindowGroupLimit pushdown fires on the rank filter
+    assert(finalPlan.contains("WindowGroupLimit"), finalPlan)
+  }
+}

@@ -83,6 +83,34 @@ class HtmlTextSpec extends AnyFunSuite {
       == Vector("/q?a>b"))
   }
 
+  test("extractAnchors: inner tags strip, entities decode, ws collapses") {
+    assert(HtmlText.extractAnchors(
+      "<a href=\"/a\">click <b>here</b>\n now &amp; go</a>")
+      == Vector(("/a", "click here now & go")))
+    // image-only anchor: kept with empty text (aggregation drops it)
+    assert(HtmlText.extractAnchors("<a href=\"/i\"><img src=\"x.png\"/></a>")
+      == Vector(("/i", "")))
+    // comment inside the anchor body is not text; comment outside hides
+    // the whole anchor
+    assert(HtmlText.extractAnchors(
+      "<!-- <a href=\"/no\">x</a> --><a href=\"/y\">a<!-- z -->b</a>")
+      == Vector(("/y", "ab")))
+    // raw-text inside the body is data, not markup to strip blindly
+    assert(HtmlText.extractAnchors(
+      "<a href=\"/s\">t<script>if (1 < 2) x('</a>');</script>u</a>")
+      == Vector(("/s", "tu")))
+  }
+
+  test("extractAnchors: nested <a implicitly closes; unclosed runs to end") {
+    assert(HtmlText.extractAnchors("<a href=\"/1\">one<a href=\"/2\">two</a>")
+      == Vector(("/1", "one"), ("/2", "two")))
+    assert(HtmlText.extractAnchors("<a href=\"/e\">tail text")
+      == Vector(("/e", "tail text")))
+    // href-less anchors don't emit; hrefs still decode entities
+    assert(HtmlText.extractAnchors("<a name=\"x\">t</a><a href=\"/p?a=1&amp;b=2\">q</a>")
+      == Vector(("/p?a=1&b=2", "q")))
+  }
+
   test("preprocess: collapse spaces/tabs, blank lines, python strip") {
     assert(HtmlText.preprocess(" \t a  b\tc \n\n\n d \n") == "a b c \n d")
     assert(HtmlText.preprocess("x") == "x")
