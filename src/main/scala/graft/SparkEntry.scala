@@ -853,6 +853,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q80_trap_cap" -> ((s, dir) => {
+      // crawl-trap cap: 500 planted calendar/session urls all fold to ONE
+      // template (digit runs → N, the hex session id → H) and get capped
+      // at 30 by discovery order, while 20 hosts of /article/N templates
+      // (25 urls each) pass untouched. The fold is three replayable
+      // regexes; the cap is the salted skew-proof rank.
+      val normal = docs(s, dir).select(
+        concat(lit("http://h"), (col("doc_id") % 20).cast("string"),
+          lit(".test/article/"), col("doc_id").cast("string")).as("canonical_url"),
+        col("doc_id").as("seed_idx"))
+      val trap = docs(s, dir).select(
+        concat(lit("http://trap.test/cal/"), col("doc_id").cast("string"), lit("/"),
+          ((col("doc_id") * 7) % 97).cast("string"),
+          lit("/view?sid=deadbeef"), col("doc_id").cast("string")).as("canonical_url"),
+        (col("doc_id") + 10000L).as("seed_idx"))
+      val (kept, _) = graft.url.Traps.capPerTemplate(
+        normal.unionByName(trap), maxPerTemplate = 30L)
+      kept.select(col("canonical_url"), col("seed_idx"), col("template"),
+          col("template_pos").cast("long").as("template_pos"))
+        .orderBy("template", "template_pos")
+    }),
+
     "q79_anchor_text" -> ((s, dir) => {
       // anchor-text aggregation: every page links its target (doc_id % 50)
       // with a styled anchor whose text varies by doc_id % 3 — plus three
@@ -2035,6 +2057,30 @@ object SparkEntry {
     "q69_cuckoo_unseen" ->
       """SELECT doc_id AS seed_idx, 'http://' || source || '.test/docs/' || doc_id AS canonical_url
         |FROM documents WHERE doc_id % 3 <> 0 ORDER BY seed_idx""".stripMargin,
+
+    "q80_trap_cap" ->
+      """WITH u AS (
+        |  SELECT 'http://h' || (doc_id % 20) || '.test/article/' || doc_id AS canonical_url,
+        |         'h' || (doc_id % 20) || '.test' AS h,
+        |         '/article/' || doc_id AS pq,
+        |         doc_id AS seed_idx
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'http://trap.test/cal/' || doc_id || '/' || (doc_id*7 % 97)
+        |           || '/view?sid=deadbeef' || doc_id,
+        |         'trap.test',
+        |         '/cal/' || doc_id || '/' || (doc_id*7 % 97) || '/view?sid=deadbeef' || doc_id,
+        |         doc_id + 10000
+        |  FROM documents),
+        |t AS (SELECT canonical_url, seed_idx,
+        |        h || ' ' || regexp_replace(regexp_replace(pq, '[0-9a-f]{8,}', 'H', 'g'),
+        |                                   '[0-9]+', 'N', 'g') AS template
+        |      FROM u),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY template ORDER BY seed_idx)
+        |                AS BIGINT) AS template_pos
+        |      FROM t)
+        |SELECT canonical_url, seed_idx, template, template_pos FROM r
+        |WHERE template_pos <= 30 ORDER BY template, template_pos""".stripMargin,
 
     "q79_anchor_text" ->
       """WITH a AS (

@@ -621,3 +621,49 @@ class AnchorsSpec extends AnyFunSuite {
     assert(finalPlan.contains("WindowGroupLimit"), finalPlan)
   }
 }
+
+class TrapsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import graft.url.Traps
+
+  test("urlTemplate folds digits, long hex, and query strings") {
+    val got = Seq(
+      "http://a.test/article/12345",
+      "http://a.test/cal/2026/8/17",
+      "http://a.test/s/deadbeefcafe1234/view",
+      "http://a.test/p?page=7&sid=0123456789abcdef",
+      "http://a.test/hex7/abc123") // 6-char run: NOT a hash
+      .toDF("u").select(Traps.urlTemplate(col("u"))).as[String].collect().toSeq
+    assert(got == Seq(
+      "a.test /article/N",
+      "a.test /cal/N/N/N",
+      "a.test /s/H/view",
+      "a.test /p?page=N&sid=H",
+      "a.test /hexN/abcN")) // 6-char 'abc123' is no hash: only digit runs fold
+  }
+
+  test("capPerTemplate: trap capped at k by order, normals untouched, exact split") {
+    val rows = ((0 until 200).map(i => (s"http://t.test/cal/$i/x", i.toLong)) ++
+      (0 until 5).map(i => (s"http://ok.test/about$i/page", 1000L + i)))
+      .toDF("canonical_url", "seed_idx")
+    val (kept, deferred) = Traps.capPerTemplate(rows, maxPerTemplate = 10L)
+    assert(kept.count() + deferred.count() == 205)
+    val keptTrap = kept.where(col("template") === "t.test /cal/N/x")
+      .select("seed_idx").as[Long].collect().sorted.toSeq
+    assert(keptTrap == (0L until 10L)) // FIRST by discovery order
+    assert(deferred.select("template").distinct().as[String].collect().toSeq ==
+      Seq("t.test /cal/N/x")) // only the trap overflows
+    // the 5 'about<i>' urls share ONE template (aboutN/page) but sit
+    // under the cap — all kept
+    val okKept = kept.where(col("canonical_url").contains("ok.test")).count()
+    assert(okKept == 5)
+  }
+
+  test("templateStats counts per template") {
+    val rows = ((0 until 7).map(i => (s"http://t.test/a/$i", i.toLong)) ++
+      Seq(("http://t.test/static", 100L))).toDF("canonical_url", "seed_idx")
+    val stats = Traps.templateStats(rows).as[(String, Long)].collect().toMap
+    assert(stats == Map("t.test /a/N" -> 7L, "t.test /static" -> 1L))
+  }
+}
