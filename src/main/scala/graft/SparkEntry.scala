@@ -853,6 +853,53 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q81_frontier_capstone" -> ((s, dir) => {
+      // round-5b capstone — the production frontier configuration composed
+      // end to end: trap-capped frontier (q80 shapes) → HOST-level
+      // authority priorities (q78 graph over the same 20 hosts; the trap
+      // host has no authority and sinks to priority 0) → packed order
+      // keys → salted politeness schedule. Everything integer or
+      // round(…,6)-fenced, so DuckDB replays the whole chain.
+      val normal = docs(s, dir).select(
+        concat(lit("http://h"), (col("doc_id") % 20).cast("string"),
+          lit(".test/article/"), col("doc_id").cast("string")).as("canonical_url"),
+        col("doc_id").as("seed_idx"))
+      val trap = docs(s, dir).select(
+        concat(lit("http://trap.test/cal/"), col("doc_id").cast("string"), lit("/"),
+          ((col("doc_id") * 7) % 97).cast("string"),
+          lit("/view?sid=deadbeef"), col("doc_id").cast("string")).as("canonical_url"),
+        (col("doc_id") + 10000L).as("seed_idx"))
+      val (kept, _) = graft.url.Traps.capPerTemplate(
+        normal.unionByName(trap), maxPerTemplate = 30L)
+      val edges = docs(s, dir)
+        .select(col("doc_id"), explode(sequence(lit(0L), lit(2L))).as("j"))
+        .select(
+          concat(lit("http://h"), (col("doc_id") % 20).cast("string"),
+            lit(".test/p/"), col("doc_id").cast("string")).as("src"),
+          concat(lit("http://h"), ((col("doc_id") * 7 + col("j") * 13) % 20).cast("string"),
+            lit(".test/q/"), col("doc_id").cast("string")).as("dst"))
+      val pri = graft.frontier.Rank.hostRank(edges, iters = 3)
+        .select(col("host"), round(col("score"), 6).as("score"))
+        .withColumn("priority",
+          // FIXTURE-ONLY total order (≤20 hosts at sf oracle scale): a
+          // global unpartitioned window is a single-task sort — never copy
+          // into a production path; production packs floor(score × 100)
+          // directly (the WaveLoop authority channel).
+          (lit(21) - row_number().over(Window.orderBy(col("score").desc, col("host"))))
+            .cast("long"))
+      val f = kept.select(col("canonical_url"), col("seed_idx"))
+        .withColumn("host", graft.functions.host_of(col("canonical_url")))
+        .join(pri.select(col("host"), col("priority")), Seq("host"), "left")
+        .withColumn("host_rev", graft.functions.host_reverse(col("host")))
+        .withColumn("order_key",
+          Scheduler.priorityOrderKey(col("priority"), col("seed_idx")))
+      Scheduler.schedule(f, gapSeconds = 3L, salted = true, orderCol = "order_key")
+        .select(col("host_rev"), col("canonical_url"), col("seed_idx"),
+          coalesce(col("priority"), lit(0L)).as("priority"),
+          col("host_pos"), col("slot"))
+        .orderBy("host_rev", "host_pos")
+    }),
+
     "q80_trap_cap" -> ((s, dir) => {
       // crawl-trap cap: 500 planted calendar/session urls all fold to ONE
       // template (digit runs → N, the hex session id → H) and get capped
@@ -2057,6 +2104,64 @@ object SparkEntry {
     "q69_cuckoo_unseen" ->
       """SELECT doc_id AS seed_idx, 'http://' || source || '.test/docs/' || doc_id AS canonical_url
         |FROM documents WHERE doc_id % 3 <> 0 ORDER BY seed_idx""".stripMargin,
+
+    "q81_frontier_capstone" ->
+      """WITH u AS (
+        |  SELECT 'http://h' || (doc_id % 20) || '.test/article/' || doc_id AS canonical_url,
+        |         'h' || (doc_id % 20) || '.test' AS h,
+        |         '/article/' || doc_id AS pq,
+        |         doc_id AS seed_idx
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'http://trap.test/cal/' || doc_id || '/' || (doc_id*7 % 97)
+        |           || '/view?sid=deadbeef' || doc_id,
+        |         'trap.test',
+        |         '/cal/' || doc_id || '/' || (doc_id*7 % 97) || '/view?sid=deadbeef' || doc_id,
+        |         doc_id + 10000
+        |  FROM documents),
+        |tt AS (SELECT canonical_url, h, seed_idx,
+        |        h || ' ' || regexp_replace(regexp_replace(pq, '[0-9a-f]{8,}', 'H', 'g'),
+        |                                   '[0-9]+', 'N', 'g') AS template
+        |      FROM u),
+        |kept AS (SELECT * FROM (
+        |        SELECT *, row_number() OVER (PARTITION BY template ORDER BY seed_idx) AS tp
+        |        FROM tt) WHERE tp <= 30),
+        |raw AS (
+        |  SELECT 'h' || (doc_id % 20) || '.test' AS sh,
+        |         'h' || ((doc_id*7 + j*13) % 20) || '.test' AS dh
+        |  FROM documents, unnest([0, 1, 2]) AS t(j)),
+        |hg AS (SELECT sh, dh, count(*) AS w FROM raw WHERE sh <> dh GROUP BY sh, dh),
+        |deg AS (SELECT sh, sum(w) AS outw FROM hg GROUP BY sh),
+        |nodes AS (SELECT sh AS n FROM hg UNION SELECT dh FROM hg),
+        |s0 AS (SELECT n, CAST(1.0 AS DOUBLE) AS score FROM nodes),
+        |c1 AS (SELECT hg.dh AS n, sum(s0.score * hg.w / deg.outw) AS c
+        |       FROM hg JOIN deg USING (sh) JOIN s0 ON s0.n = hg.sh GROUP BY hg.dh),
+        |s1 AS (SELECT nodes.n, 0.15 + 0.85 * coalesce(c1.c, 0) AS score
+        |       FROM nodes LEFT JOIN c1 USING (n)),
+        |c2 AS (SELECT hg.dh AS n, sum(s1.score * hg.w / deg.outw) AS c
+        |       FROM hg JOIN deg USING (sh) JOIN s1 ON s1.n = hg.sh GROUP BY hg.dh),
+        |s2 AS (SELECT nodes.n, 0.15 + 0.85 * coalesce(c2.c, 0) AS score
+        |       FROM nodes LEFT JOIN c2 USING (n)),
+        |c3 AS (SELECT hg.dh AS n, sum(s2.score * hg.w / deg.outw) AS c
+        |       FROM hg JOIN deg USING (sh) JOIN s2 ON s2.n = hg.sh GROUP BY hg.dh),
+        |s3 AS (SELECT nodes.n, 0.15 + 0.85 * coalesce(c3.c, 0) AS score
+        |       FROM nodes LEFT JOIN c3 USING (n)),
+        |pri AS (SELECT n AS host,
+        |         CAST(21 - row_number() OVER (ORDER BY round(score, 6) DESC, n)
+        |           AS BIGINT) AS priority
+        |        FROM s3),
+        |f AS (SELECT kept.canonical_url, kept.seed_idx, kept.h AS host,
+        |        pri.priority,
+        |        'test.' || split_part(kept.h, '.', 1) AS host_rev,
+        |        CAST((1048575 - least(coalesce(pri.priority, 0), 1048575)) * 1099511627776
+        |             + kept.seed_idx AS BIGINT) AS order_key
+        |      FROM kept LEFT JOIN pri ON pri.host = kept.h),
+        |sch AS (SELECT *, CAST(row_number() OVER (PARTITION BY host_rev ORDER BY order_key)
+        |              AS BIGINT) AS host_pos FROM f)
+        |SELECT host_rev, canonical_url, seed_idx,
+        |  coalesce(priority, 0) AS priority, host_pos,
+        |  (host_pos - 1) * 3 AS slot
+        |FROM sch ORDER BY host_rev, host_pos""".stripMargin,
 
     "q80_trap_cap" ->
       """WITH u AS (
