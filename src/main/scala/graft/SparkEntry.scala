@@ -2244,8 +2244,12 @@ object SparkEntry {
         |        CAST(floor(wt) + CASE WHEN u < wt - floor(wt) THEN 1 ELSE 0 END AS BIGINT)
         |          AS copies
         |      FROM j)
+        |-- fixture copy ceiling: the max temperature weight here is ~1.93
+        |-- (tail source), so copies <= 2; the [1..8] list is headroom, and
+        |-- any fixture change pushing a weight past 8 must widen it (the
+        |-- engine side explodes sequence(1, copies) with no cap)
         |SELECT doc_id, mix_src, CAST(t.c AS BIGINT) AS copy
-        |FROM k, unnest([1, 2, 3]) AS t(c)
+        |FROM k, unnest([1, 2, 3, 4, 5, 6, 7, 8]) AS t(c)
         |WHERE t.c <= copies
         |ORDER BY doc_id, copy""".stripMargin,
 

@@ -81,10 +81,13 @@ final class Ledger(
     Fs.mkdirs(root)
     if (!Fs.exists(versionFile)) Fs.writeString(versionFile, "0")
     val params = s"""{"buckets":$buckets,"expectedPerBucket":$expectedPerBucket,"fpp":$fpp,"sketch":"$sketch"}"""
+    // roots written before the sketch field existed carry the 3-field form;
+    // they are bit-identical to sketch="bloom" and must stay openable
+    val legacyParams = s"""{"buckets":$buckets,"expectedPerBucket":$expectedPerBucket,"fpp":$fpp}"""
     if (!Fs.exists(paramsFile)) Fs.writeString(paramsFile, params)
     else {
       val stored = Fs.readString(paramsFile).trim
-      require(stored == params,
+      require(stored == params || (sketch == "bloom" && stored == legacyParams),
         s"ledger at $root was created with $stored; this instance has $params — " +
           "sketch parameters are part of the on-disk format and cannot change on resume")
     }
@@ -287,6 +290,11 @@ final class Ledger(
       .join(committedFrame(wave).select("url_hash"), Seq("url_hash"), "left_semi")
       .distinct() // committedFrame keeps at-least-once duplicate appends
       .localCheckpoint(true)
+    // empty batch (second unsee of the same keys, or keys never seen):
+    // writing a 0-row tombstone file would flip committedFrame onto the
+    // subtraction path for nothing, and the cuckoo arm would rewrite the
+    // whole bank through a no-op patch — bail before any state changes
+    if (dead.isEmpty) return
     dead.withColumn("t_wave", lit(wave).cast("int"))
       .coalesce(1) // maintenance-sized batch; one tombstone file per unsee
       .write.mode(SaveMode.Append).parquet(tombstoneDir)
@@ -294,8 +302,25 @@ final class Ledger(
       // delete each dead key ONCE from its bucket's filter. Duplicate
       // inserts (the same url in several wave deltas) may leave residual
       // copies — the bank stays over-approximate, which is sound.
+      //
+      // The patch set must honor the delete contract AGAINST THIS BANK:
+      // when the bank lags the table (w < wave — the latest bank write
+      // crashed or was skipped), keys committed in (w, wave] were never
+      // inserted into bank w, and deleting an absent key can evict a
+      // colliding LIVE fingerprint = bank false negative = silently lost
+      // dedup. Restrict to keys the bank actually covers (raw table rows
+      // at wave ≤ w — pre-tombstone view, since the tombstones just
+      // written would empty the normal w == wave case); the uncovered
+      // remainder simply stays unpatched, which is over-approximate and
+      // sound.
+      val coveredDead =
+        if (w >= wave) dead
+        else dead.join(
+          spark.table(tableName(currentVersion)).where(col("wave") <= w)
+            .select("url_hash"),
+          Seq("url_hash"), "left_semi").localCheckpoint(true)
       val bank = spark.read.parquet(bloomDir(w)).localCheckpoint(true) // free the dir for overwrite
-      val byBucket = dead.groupBy(bucketOf(col("url_hash")).as("bucket"))
+      val byBucket = coveredDead.groupBy(bucketOf(col("url_hash")).as("bucket"))
         .agg(collect_list(col("url_hash")).as("ks"))
       val bankBytes = Fs.treeBytes(bloomDir(w), ".parquet")
       val patched = bank.join(broadcast(byBucket), Seq("bucket"), "left")

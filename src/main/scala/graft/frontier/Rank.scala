@@ -31,7 +31,10 @@ object Rank {
   /** `weightCol`: optional per-edge weight (e.g. the link multiplicity the
     * host-graph collapse produces) — contributions become
     * `score(u) × w(u,v) ∕ W(u)` with `W(u) = Σ_v w(u,v)`; None is the
-    * classic unweighted rank (w ≡ 1).
+    * classic unweighted rank (w ≡ 1). Weights are carried as DOUBLE so
+    * fractional weights work; integer-valued weights lose nothing
+    * (integer-valued double sums below 2^53 are exact in any order — the
+    * oracle-parity property the multiplicity path relies on).
     */
   def pageRank(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
       iters: Int = 3, damping: Double = 0.85,
@@ -43,7 +46,7 @@ object Rank {
       spark.conf.get("spark.sql.shuffle.partitions").toInt).getOrElse(32)
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"),
-        weightCol.map(col(_).cast("long")).getOrElse(lit(1L)).as("w"))
+        weightCol.map(col(_).cast("double")).getOrElse(lit(1.0d)).as("w"))
       .localCheckpoint(true)
     val nEdges = e.count()
     val width = math.max(1L, math.min(sessionWidth.toLong, nEdges / 250000L + 1L)).toInt

@@ -157,15 +157,16 @@ object WaveLoop {
       // frontier rows that flow the NORMAL path: url gate → robots → seen
       // filter (which now passes them) → in-wave dedup (so an organic
       // rediscovery of the same url this wave schedules once, not twice).
-      // The `retried/` set caps attempts: a url that fails its retry too is
-      // never injected again (it stays tombstoned, so a LATER organic
-      // rediscovery may still try it — deliberate: links to it persisting
-      // in the graph is evidence it may have come back). Policy denials
-      // (451/452) are not errors and never retry; parse errors (422) are
-      // deterministic and never retry. Crash between the state writes and
-      // the wave commit degrades to tombstone-only (the resume recomputes
-      // an empty injection against the already-written retried/ set) —
-      // at-least-tombstoned, at-most-once-injected.
+      // The `retried/` set caps attempts at ONE: the retry attempt itself
+      // re-appends the url at the retry wave (> its tombstone's t_wave),
+      // so after a failed retry the url is seen again AND retired — no
+      // further attempts through either channel (operators wanting more
+      // can call Ledger.unsee directly). Policy denials (451/452) are not
+      // errors and never retry; parse errors (422) are deterministic and
+      // never retry. State-write order is unsee FIRST, retired/ second:
+      // unsee is idempotent, so a crash between them resumes into a full
+      // retry (errs recomputes, the unsee no-ops, injection proceeds) —
+      // at-least-tombstoned, at-most-once-retired.
       for {
         n <- retryErrorsAfter; l <- ledger if wave >= n
         dir = s"$root/metrics/wave=${wave - n}" if Fs.exists(dir)
@@ -181,8 +182,8 @@ object WaveLoop {
               Seq("url_hash"), "left_anti")
           else errs0).localCheckpoint(true)
         if (!errs.isEmpty) {
-          errs.select("url_hash").write.mode(SaveMode.Append).parquet(retriedDir)
           l.unsee(errs.select("url_hash"), wave - 1)
+          errs.select("url_hash").write.mode(SaveMode.Append).parquet(retriedDir)
           frontier = frontier.unionByName(errs.select("url", "seed_idx"))
         }
       }

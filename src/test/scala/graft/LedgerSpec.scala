@@ -306,6 +306,58 @@ class LedgerSpec extends AnyFunSuite {
     assert(stillPos < 10, s"purged keys still in the sketch: $stillPos / ${deadRows.length}")
   }
 
+  test("unsee on a LAGGING cuckoo bank patches only covered keys") {
+    val root = java.nio.file.Files.createTempDirectory("unseelag").toString
+    val l = new Ledger(spark, root, buckets = 4, expectedPerBucket = 4096,
+      sketch = "cuckoo")
+    val w0 = keyed(0 until 500)
+    val w1 = keyed(500 until 900)
+    l.append(w0.select("url_hash", "canonical_url"), 0)
+    l.writeBlooms(w0.select("url_hash", "canonical_url"), 0)
+    l.append(w1.select("url_hash", "canonical_url"), 1) // NO writeBlooms: bank lags
+    // unsee a mix of wave-0 (bank-covered) and wave-1 (uncovered) keys
+    val purge = keyed(400 until 600)
+    l.unsee(purge.select("url_hash"), 1)
+    // wave-1 keys were never inserted into bank 0 — deleting them could
+    // evict colliding live fingerprints; they must remain PRESENT-or-absent
+    // untouched, i.e. every wave-0 survivor still probes positive
+    val bank = spark.read.parquet(s"$root/blooms/wave=0")
+      .collect().map(r => (r.getAs[Int]("bucket"),
+        graft.functions.CuckooFilter.deserialize(r.getAs[Array[Byte]]("bloom")))).toMap
+    val survivors = keyed(0 until 400)
+      .select(pmod(col("url_hash"), lit(4)).cast("int"), col("url_hash"))
+      .as[(Int, Long)].collect()
+    assert(survivors.forall { case (b, k) => bank(b).mightContain(k) },
+      "lagging-bank patch must not touch uncovered keys' fingerprints")
+    // and exactness holds end to end: purged keys pass, others filtered
+    val back = l.filterUnseen(keyed(0 until 900), 1)
+      .select("seed_idx").as[Long].collect().toSet
+    assert(back == (400L until 600L).toSet)
+  }
+
+  test("legacy 3-field params file opens as bloom, rejects cuckoo") {
+    val root = java.nio.file.Files.createTempDirectory("ledgerlegacy").toString
+    graft.core.Fs.mkdirs(root)
+    graft.core.Fs.writeString(s"$root/_ledger_params",
+      """{"buckets":8,"expectedPerBucket":4096,"fpp":0.01}""")
+    new Ledger(spark, root, buckets = 8, expectedPerBucket = 4096).ensure() // ok
+    intercept[IllegalArgumentException] {
+      new Ledger(spark, root, buckets = 8, expectedPerBucket = 4096,
+        sketch = "cuckoo").ensure()
+    }
+  }
+
+  test("unsee of never-seen keys is a no-op: no tombstones, no bank rewrite") {
+    val root = java.nio.file.Files.createTempDirectory("unseenoop").toString
+    val l = new Ledger(spark, root, buckets = 4, expectedPerBucket = 4096)
+    l.append(keyed(0 until 100).select("url_hash", "canonical_url"), 0)
+    l.writeBlooms(keyed(0 until 100).select("url_hash", "canonical_url"), 0)
+    l.unsee(keyed(5000 until 5050).select("url_hash"), 0)
+    assert(!graft.core.Fs.exists(s"$root/tombstones"),
+      "empty unsee must not create tombstone state")
+    assert(l.filterUnseen(keyed(0 until 100), 0).count() == 0)
+  }
+
   test("compact applies tombstones physically and clears them") {
     val root = java.nio.file.Files.createTempDirectory("unseecompact").toString
     val l = new Ledger(spark, root, buckets = 4, expectedPerBucket = 4096)

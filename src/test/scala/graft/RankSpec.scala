@@ -73,6 +73,20 @@ class RankSpec extends AnyFunSuite {
     for ((n, s) <- unw) assert(got.contains(n) && math.abs(ones(n) - s) < 1e-12)
   }
 
+  test("fractional weights are honored, not truncated") {
+    // 0.7/0.3 out of node 1: a long-cast would zero both and every score
+    // would collapse to 0.15
+    val e = Seq((1L, 2L, 0.7), (1L, 3L, 0.3), (2L, 1L, 1.0), (3L, 1L, 1.0))
+      .toDF("src", "dst", "w")
+    val got = Rank.pageRank(e, iters = 2, weightCol = Some("w"))
+      .as[(Long, Double)].collect().toMap
+    // round 1: s2 = 0.15 + 0.85·0.7, s3 = 0.15 + 0.85·0.3
+    assert(got(2L) > got(3L), got.toString)
+    assert(got.values.forall(_ > 0.15 - 1e-12))
+    assert(math.abs(got(2L) - got(3L) - 0.85 * 0.4 * 1.85) < 1e-9,
+      got.toString) // round-2 gap: d·(w2−w3)·s1(1) with s1(1) = 0.15+0.85·2
+  }
+
   test("hostGraph collapses urls, drops self-loops, counts multiplicity") {
     val edges = Seq(
       ("http://a.test/1", "http://b.test/x"),
