@@ -318,7 +318,15 @@ object Bench {
       "boilerplate" -> ((s: SparkSession, d: String) =>
         SparkEntry.queries("q73_boilerplate")(s, d)),
       "bpe_pairs" -> ((s: SparkSession, d: String) =>
-        SparkEntry.queries("q74_bpe_pairs")(s, d)))
+        SparkEntry.queries("q74_bpe_pairs")(s, d)),
+      "temperature_mix" -> ((s: SparkSession, d: String) =>
+        SparkEntry.queries("q77_temperature_mix")(s, d)),
+      "host_rank" -> ((s: SparkSession, d: String) =>
+        SparkEntry.queries("q78_host_rank")(s, d)),
+      "anchor_text" -> ((s: SparkSession, d: String) =>
+        SparkEntry.queries("q79_anchor_text")(s, d)),
+      "trap_cap" -> ((s: SparkSession, d: String) =>
+        SparkEntry.queries("q80_trap_cap")(s, d)))
     val extras = extraQueries.map { case (name, fn) =>
       val sec = try {
         force(fn(spark, sfDir))

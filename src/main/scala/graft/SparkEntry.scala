@@ -853,6 +853,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q82_link_density" -> ((s, dir) => {
+      // link-density boilerplate signal: every page carries two nav links
+      // ('nav0'/'nav1', 8 anchor chars), every fourth page a 3-link menu
+      // block (15 more) — densities are exact integer ppm over the text's
+      // non-whitespace chars, so the oracle computes them arithmetically
+      // without parsing (the anchors kernel is oracle-gated by q79).
+      val html = concat(
+        lit("<html><body><p>"), col("text"), lit("</p>"),
+        lit("<a href=\"/n/0\">nav0</a> <a href=\"/n/1\">nav1</a>"),
+        when(col("doc_id") % 4 === 0,
+          lit("<div><a href=\"/m/0\">menu0</a><a href=\"/m/1\">menu1</a>" +
+            "<a href=\"/m/2\">menu2</a></div>")).otherwise(lit("")),
+        lit("</body></html>"))
+      graft.text.CorpusFilter.linkDensity(
+          docs(s, dir).select(col("doc_id"), html.as("html"), col("text")),
+          "html", "text")
+        .select(col("doc_id"), col("n_links"), col("anchor_chars"),
+          col("text_chars"), col("link_density_ppm"))
+        .orderBy("doc_id")
+    }),
+
     "q81_frontier_capstone" -> ((s, dir) => {
       // round-5b capstone — the production frontier configuration composed
       // end to end: trap-capped frontier (q80 shapes) → HOST-level
@@ -2104,6 +2125,20 @@ object SparkEntry {
     "q69_cuckoo_unseen" ->
       """SELECT doc_id AS seed_idx, 'http://' || source || '.test/docs/' || doc_id AS canonical_url
         |FROM documents WHERE doc_id % 3 <> 0 ORDER BY seed_idx""".stripMargin,
+
+    "q82_link_density" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0 THEN 5 ELSE 2 END AS n_links,
+        |    CASE WHEN doc_id % 4 = 0 THEN 23 ELSE 8 END AS anchor_chars,
+        |    len(regexp_replace(text, '\s', '', 'g')) AS text_chars
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_links AS BIGINT) AS n_links,
+        |  CAST(anchor_chars AS BIGINT) AS anchor_chars,
+        |  CAST(text_chars AS BIGINT) AS text_chars,
+        |  CAST(anchor_chars * 1000000 // greatest(text_chars + anchor_chars, 1)
+        |    AS BIGINT) AS link_density_ppm
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "q81_frontier_capstone" ->
       """WITH u AS (

@@ -166,6 +166,29 @@ object CorpusFilter {
       .drop("__mix_w")
   }
 
+  /** Per-document LINK DENSITY — the Kohlschütter boilerplate heuristic
+    * (Boilerpipe, WSDM '10): navigation/footer chrome is mostly anchor
+    * text, prose is mostly not. Given the raw html and its extracted
+    * text, emits `n_links`, `anchor_chars` (non-whitespace chars across
+    * all anchor texts — one row-local fold over the codegen'd
+    * extract_anchors array, no shuffle), `text_chars`, and
+    * `link_density_ppm` = anchor_chars·10^6 ∕ (text_chars + anchor_chars)
+    * as an exact integer division — engine-reproducible, and the
+    * threshold is the caller's ([[Thresholds]]-style gates compose it).
+    */
+  def linkDensity(docs: DataFrame, htmlCol: String, textCol: String): DataFrame = {
+    val anchors = graft.functions.extract_anchors(col(htmlCol).cast("string"))
+    val anchorChars = aggregate(anchors, lit(0L),
+      (acc, a) => acc + length(regexp_replace(a.getField("anchor"), "\\s", "")))
+    docs
+      .withColumn("n_links", size(anchors).cast("long"))
+      .withColumn("anchor_chars", anchorChars)
+      .withColumn("text_chars",
+        length(regexp_replace(col(textCol), "\\s", "")).cast("long"))
+      .withColumn("link_density_ppm",
+        expr("anchor_chars * 1000000 DIV greatest(text_chars + anchor_chars, 1)"))
+  }
+
   /** HOST-level quality verdicts (the RefinedWeb/C4 pattern: judge the
     * DOMAIN by its documents' aggregate quality, then drop the whole
     * domain): over a [[withGate]]-shaped frame (`passed`, `n_tokens`

@@ -144,6 +144,24 @@ class MixtureSpec extends AnyFunSuite {
     assert(again.select("id", "copy").except(out.select("id", "copy")).count() == 0)
   }
 
+  test("linkDensity: nav-heavy page scores high, prose page low") {
+    val rows = Seq(
+      // prose: 40 non-ws text chars, one 4-char anchor → ppm = 4e6/44
+      (1L, "<p>x</p><a href=\"/a\">link</a>", "w" * 40),
+      // nav page: tiny text, three 6-char anchors
+      (2L, "<a href=\"/1\">nav on</a><a href=\"/2\">nav tw</a><a href=\"/3\">nav th</a>",
+        "hi all"),
+      // no links at all
+      (3L, "<p>plain</p>", "some words here")).toDF("doc_id", "html", "text")
+    val got = CorpusFilter.linkDensity(rows, "html", "text")
+      .select("doc_id", "n_links", "anchor_chars", "text_chars", "link_density_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got(0) == ((1L, 1L, 4L, 40L, 4L * 1000000 / 44)))
+    assert(got(1) == ((2L, 3L, 15L, 5L, 15L * 1000000 / 20))) // 'nav on' = 5 non-ws
+    assert(got(2) == ((3L, 0L, 0L, 13L, 0L)))
+    assert(got(1)._5 > 500000L && got(0)._5 < 100000L) // the verdict gap
+  }
+
   test("temperature alpha = 1 degenerates to uniform rate K/N") {
     val docs = spark.range(1000).select(col("id"),
       when(col("id") % 4 === 0, "a").otherwise("b").as("source"))
