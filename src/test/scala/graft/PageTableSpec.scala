@@ -123,4 +123,29 @@ class PageTableSpec extends AnyFunSuite {
     val scan = lean.queryExecution.executedPlan.toString
     assert(!scan.contains("html"), s"html column not pruned:\n$scan")
   }
+
+  test("incremental corpus rebuild: pipeline(v1) \u222a pipeline(changes) == pipeline(v2)") {
+    // THE 100 TB maintenance pattern: after an append, reprocess ONLY the
+    // change set and union with the prior results — never re-run the text
+    // pipeline over the whole corpus. The pipeline is row-local, so the
+    // identity is exact (same kernels, bit-identical rows), and changesOf
+    // reads only the delta's files (PageTableSpec pins that above).
+    val root = java.nio.file.Files.createTempDirectory("pagetableI").toString
+    val v1 = PageTable.commit(spark, root, pagesDf(60))
+    val delta = pagesDf(90).where(col("url").contains("/d/1"))
+    assert(delta.count() > 0)
+    val v2 = PageTable.append(spark, root, delta)
+    def pipe(df: org.apache.spark.sql.DataFrame) =
+      graft.pipeline.TextPipeline.results(
+        df.select(col("url"), col("html").cast("string").as("html")))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("url"), col("full_text"), size(col("chunks")).as("nc"),
+          size(col("embeddings")).as("ne"))
+        .as[(String, String, Int, Int)].collect().sorted.toSeq
+    val full = key(pipe(PageTable.readAsOf(spark, root, v2)))
+    val incremental = key(
+      pipe(PageTable.readAsOf(spark, root, v1))
+        .unionByName(pipe(PageTable.changesOf(spark, root, v2))))
+    assert(full == incremental)
+  }
 }
