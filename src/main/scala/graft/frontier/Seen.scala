@@ -107,6 +107,35 @@ object Seen {
     negatives.unionByName(positives)
   }
 
+  /** [[filterUnseenBucketed]] with a CALLER-SUPPLIED bank — for pipelines
+    * that build the per-bucket blooms INSIDE an upstream job (e.g. as
+    * `observe()` aggregates riding a staging write: the bloom partials
+    * compute in the write's own tasks, so the bank costs ZERO extra jobs
+    * and zero extra passes over the data — the layout that closed the
+    * bench's bank-build job boundary). CONTRACT: the bank must contain AT
+    * LEAST every `seenLedger` key — negatives bypass the anti-join, so a
+    * bank MISSING seen keys mints false negatives = silently lost dedup
+    * (the worst seen-set failure; same invariant as [[Ledger]]'s
+    * `_SUCCESS`-gated banks). The safe direction is over-approximation:
+    * a bank built from MORE keys (e.g. the whole staged frame instead of
+    * the seen half) only costs extra anti-join traffic, never answers.
+    * Pass rows as (bucket, serialized bloom).
+    */
+  def filterUnseenWithBank(candidates: DataFrame, seenLedger: DataFrame,
+      bankRows: Array[(Int, Array[Byte])], buckets: Int): DataFrame = {
+    val spark = candidates.sparkSession
+    if (bankRows.isEmpty) return candidates
+    val bucketOf = (c: Column) => pmod(c, lit(buckets)).cast("int")
+    val bank = new BloomBank(spark.sparkContext.broadcast(bankRows))
+    val maybeSeen = Bridge.column(BloomBankProbe(bank,
+      Bridge.expression(bucketOf(col("url_hash"))),
+      Bridge.expression(col("url_hash"))))
+    val positives = candidates.where(maybeSeen)
+      .join(seenLedger.select("url_hash"), Seq("url_hash"), "left_anti")
+    val negatives = candidates.where(!maybeSeen)
+    negatives.unionByName(positives)
+  }
+
   /** Cuckoo-bank twin of [[filterUnseenBucketed]] — the OTHER sketch family
     * the north rule names ("partitioned bloom/cuckoo URL-seen set"). Same
     * dataflow (per-bucket sketch aggregate → one broadcast bank → probe

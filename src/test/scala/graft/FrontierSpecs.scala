@@ -175,6 +175,51 @@ class SeenSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("filterUnseenWithBank: observe-built bank is exact, zero extra jobs") {
+    val cands = (0 until 3000).map(i => (s"http://h${i % 9}.test/$i", i.toLong))
+      .toDF("url", "seed_idx")
+    val keyed0 = Seen.withUrlKeys(cands)
+    // build the bank as observe() aggregates riding a write — the bench's
+    // layout: 8 per-bucket blooms over the even-hash half, computed inside
+    // the write job's tasks
+    val staged = java.nio.file.Files.createTempDirectory("seenobs").toString + "/staged"
+    val obs = org.apache.spark.sql.Observation()
+    val seenCond = pmod(col("url_hash"), lit(2)) === 0
+    val aggs = (0 until 8).map { b =>
+      graft.functions.bloom_agg(
+        when(seenCond && pmod(col("url_hash"), lit(8)) === b, col("url_hash")),
+        4096L, 1e-2).as(s"bloom_$b")
+    }
+    keyed0.select("url_hash", "seed_idx", "canonical_url", "host_rev")
+      .observe(obs, aggs.head, aggs.tail: _*)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staged)
+    val bankRows = (0 until 8).map(b =>
+      (b, obs.get(s"bloom_$b").asInstanceOf[Array[Byte]])).toArray
+    val keyed = spark.read.parquet(staged)
+    val seen = keyed.where(seenCond).select("url_hash", "canonical_url")
+    val got = Seen.filterUnseenWithBank(keyed, seen, bankRows, buckets = 8)
+      .select("seed_idx").as[Long].collect().toSet
+    val want = keyed.where(!seenCond).select("seed_idx").as[Long].collect().toSet
+    assert(got == want)
+    // the safe direction is OVER-approximation: a bank built from ALL keys
+    // (not just the seen half) sends extra rows to the anti-join but stays
+    // exact — the under-filled direction is the contract violation
+    val obs2 = org.apache.spark.sql.Observation()
+    val aggsAll = (0 until 8).map { b =>
+      graft.functions.bloom_agg(
+        when(pmod(col("url_hash"), lit(8)) === b, col("url_hash")), 8192L, 1e-2)
+        .as(s"bloom_$b")
+    }
+    keyed.observe(obs2, aggsAll.head, aggsAll.tail: _*)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(staged + "_all")
+    val fatBank = (0 until 8).map(b =>
+      (b, obs2.get(s"bloom_$b").asInstanceOf[Array[Byte]])).toArray
+    val fat = Seen.filterUnseenWithBank(keyed, seen, fatBank, buckets = 8)
+      .select("seed_idx").as[Long].collect().toSet
+    assert(fat == want)
+  }
+
   test("filterUnseen is EXACT (bloom is only a pre-filter)") {
     val cands = (0 until 2000).map(i => (s"http://h${i % 7}.test/$i", i.toLong))
       .toDF("url", "seed_idx")
