@@ -74,24 +74,19 @@ object BenchQueries {
     val buckets = 64
     val expectedPerBucket = (400000L * reps) / 64 + 1024
     val seenCond = pmod(col("url_hash"), lit(2)) === 0
-    val bloomObs = (0 until buckets).map { b =>
-      graft.functions.bloom_agg(
-        when(seenCond && pmod(col("url_hash"), lit(buckets)) === b, col("url_hash")),
-        math.max(expectedPerBucket, 1024L), 1e-2).as(s"bloom_$b")
-    }
     frontier.Seen.withUrlKeys(frontierFromLineitem(s, dir, reps))
       // stage ONLY the downstream columns: url==canonical_url here and host
       // is derivable from host_rev — staging them would be pure string
       // bytes through a bandwidth-bound pipeline
       .select("url_hash", "seed_idx", "canonical_url", "host_rev")
-      .observe(obs, min(col("seed_idx")).as("lo"),
-        (max(col("seed_idx")).as("hi") +: bloomObs): _*)
+      .observe(obs, min(col("seed_idx")).as("lo"), max(col("seed_idx")).as("hi"),
+        graft.functions.bloom_bank_agg(when(seenCond, col("url_hash")),
+          buckets, expectedPerBucket, 1e-2).as("bank"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staged)
     val observed = obs.get
     val range = Some((observed("lo").asInstanceOf[Long], observed("hi").asInstanceOf[Long]))
-    val bankRows = (0 until buckets).map { b =>
-      (b, observed(s"bloom_$b").asInstanceOf[Array[Byte]])
-    }.toArray
+    val bankRows = observed("bank").asInstanceOf[scala.collection.Seq[Array[Byte]]]
+      .zipWithIndex.map { case (bytes, b) => (b, bytes) }.toArray
     val keyed = s.read.parquet(staged)
     val seen = keyed.where(seenCond)
       .select("url_hash", "canonical_url")

@@ -142,6 +142,83 @@ final class Ledger(
 
   private def bloomDir(wave: Int) = s"$root/blooms/wave=$wave"
 
+  /** [[append]] + [[writeBlooms]] in ONE pass over the delta: the
+    * per-bucket delta blooms ride the bucketed table append as `observe()`
+    * aggregates (partials computed inside the append's own tasks), and the
+    * merge with the previous bank happens on the driver — legal exactly
+    * when the bank is SMALL (≤ `bankSingleFileBytes`, the same threshold
+    * that already switches the bank to a single file), because bloom OR is
+    * bitwise-commutative, so the driver-side merge is byte-identical to
+    * the distributed `bloom_merge_agg`. Falls back to the two-pass
+    * append + writeBlooms when any precondition fails: cuckoo sketches
+    * (fingerprint re-insertion is not order-invariant), a coverage gap
+    * (healing must read the table), or a bank past the driver threshold
+    * (the merge must stay distributed). The wave loop calls this — at
+    * steady state it saves one full delta read + aggregate job per wave.
+    */
+  def appendWithBlooms(delta: DataFrame, wave: Int): Unit = {
+    ensure()
+    val prevOpt = latestBloomWave(wave - 1)
+    val covered = prevOpt.getOrElse(-1)
+    val estBank = prevOpt.map(w => Fs.treeBytes(bloomDir(w), ".parquet"))
+      .getOrElse(buckets.toLong * emptyBloomBytes)
+    if (sketch != "bloom" || covered < wave - 1 || estBank > bankSingleFileBytes) {
+      append(delta, wave)
+      writeBlooms(delta, wave)
+      return
+    }
+    val obs = org.apache.spark.sql.Observation()
+    delta.select(col("url_hash"), col("canonical_url"), lit(wave).cast("int").as("wave"))
+      // ONE whole-bank aggregate (bucket computed once per row): the
+      // N-separate-bloom_agg form evaluated N when() children per row and
+      // measurably slowed the append it was riding
+      .observe(obs, graft.functions.bloom_bank_agg(col("url_hash"), buckets,
+        expectedPerBucket, fpp).as("bank"))
+      .repartition(buckets, col("url_hash"))
+      .write.mode(SaveMode.Append).format("parquet")
+      .bucketBy(buckets, "url_hash").sortBy("url_hash")
+      .saveAsTable(tableName(currentVersion))
+    val observed = obs.get
+    if (observed.isEmpty) {
+      // an EMPTY delta write surfaces no observed metrics — the append
+      // above was a no-op; let writeBlooms carry the bank label forward
+      // (its delta aggregate over zero rows handles this case already)
+      writeBlooms(delta, wave)
+      return
+    }
+    def des(b: Array[Byte]) = org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(b))
+    def ser(f: org.apache.spark.util.sketch.BloomFilter): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(); f.writeTo(out); out.toByteArray
+    }
+    val prevRows: Map[Int, Array[Byte]] = prevOpt match {
+      case None => Map.empty
+      case Some(w) => spark.read.parquet(bloomDir(w)).collect()
+        .map(r => r.getAs[Int]("bucket") -> r.getAs[Array[Byte]]("bloom")).toMap
+    }
+    val deltaBank = observed("bank").asInstanceOf[scala.collection.Seq[Array[Byte]]]
+    val merged = (0 until buckets).map { b =>
+      val d = deltaBank(b)
+      prevRows.get(b) match {
+        case Some(p) => (b, ser(des(p).mergeInPlace(des(d))))
+        case None => (b, d)
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("bucket",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("bloom",
+        org.apache.spark.sql.types.BinaryType, nullable = false)))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          merged.map { case (b, by) => org.apache.spark.sql.Row(b, by) }, 1),
+        schema)
+      .write.mode(SaveMode.Overwrite).parquet(bloomDir(wave))
+    for (n <- Fs.childNames(s"$root/blooms")
+         if n.startsWith("wave=") && n.stripPrefix("wave=").toIntOption.exists(_ < wave - 1))
+      Fs.deleteTree(s"$root/blooms/$n")
+  }
+
   /** Serialized bytes of one EMPTY per-bucket sketch — the bank-size
     * estimator's unit when no previous bank exists (both families'
     * serialized size is fixed by (expectedPerBucket, fpp) regardless of

@@ -357,8 +357,10 @@ object WaveLoop {
       // here re-appends on resume — harmless, the wave column fences it
       ledger.foreach { l =>
         val delta = spark.read.parquet(s"$root/seen/wave=$wave")
-        l.append(delta, wave)
-        l.writeBlooms(delta, wave)
+        // one delta pass: the per-bucket delta blooms ride the append as
+        // observed aggregates (falls back to append + writeBlooms for
+        // cuckoo banks / gaps / big banks — see Ledger.appendWithBlooms)
+        l.appendWithBlooms(delta, wave)
       }
 
       // metrics + per-partition lineage from the COMMITTED files

@@ -84,6 +84,15 @@ package object functions {
   def bloom_agg(keys: Column, expectedItems: Long, fpp: Double = 1e-3): Column =
     col(BloomAgg(expr(keys), expectedItems, fpp).toAggregateExpression())
 
+  /** Whole-bank bloom aggregate: keys → ARRAY<BINARY> of `buckets`
+    * serialized blooms (index = pmod(key, buckets)); one child eval per
+    * row, so it can ride an `observe()` cheaply.
+    */
+  def bloom_bank_agg(keys: Column, buckets: Int, expectedPerBucket: Long,
+      fpp: Double = 1e-2): Column =
+    col(BloomBankAgg(expr(keys), buckets, math.max(expectedPerBucket, 1024L), fpp)
+      .toAggregateExpression())
+
   /** Merge aggregate over serialized blooms of identical shape → BINARY. */
   def bloom_merge_agg(blooms: Column): Column =
     col(BloomMergeAgg(expr(blooms)).toAggregateExpression())

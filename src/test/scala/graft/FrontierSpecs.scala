@@ -185,16 +185,12 @@ class SeenSpec extends AnyFunSuite {
     val staged = java.nio.file.Files.createTempDirectory("seenobs").toString + "/staged"
     val obs = org.apache.spark.sql.Observation()
     val seenCond = pmod(col("url_hash"), lit(2)) === 0
-    val aggs = (0 until 8).map { b =>
-      graft.functions.bloom_agg(
-        when(seenCond && pmod(col("url_hash"), lit(8)) === b, col("url_hash")),
-        4096L, 1e-2).as(s"bloom_$b")
-    }
     keyed0.select("url_hash", "seed_idx", "canonical_url", "host_rev")
-      .observe(obs, aggs.head, aggs.tail: _*)
+      .observe(obs, graft.functions.bloom_bank_agg(
+        when(seenCond, col("url_hash")), 8, 4096L, 1e-2).as("bank"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staged)
-    val bankRows = (0 until 8).map(b =>
-      (b, obs.get(s"bloom_$b").asInstanceOf[Array[Byte]])).toArray
+    val bankRows = obs.get("bank").asInstanceOf[scala.collection.Seq[Array[Byte]]]
+      .zipWithIndex.map { case (bytes, b) => (b, bytes) }.toArray
     val keyed = spark.read.parquet(staged)
     val seen = keyed.where(seenCond).select("url_hash", "canonical_url")
     val got = Seen.filterUnseenWithBank(keyed, seen, bankRows, buckets = 8)
@@ -205,16 +201,12 @@ class SeenSpec extends AnyFunSuite {
     // (not just the seen half) sends extra rows to the anti-join but stays
     // exact — the under-filled direction is the contract violation
     val obs2 = org.apache.spark.sql.Observation()
-    val aggsAll = (0 until 8).map { b =>
-      graft.functions.bloom_agg(
-        when(pmod(col("url_hash"), lit(8)) === b, col("url_hash")), 8192L, 1e-2)
-        .as(s"bloom_$b")
-    }
-    keyed.observe(obs2, aggsAll.head, aggsAll.tail: _*)
+    keyed.observe(obs2, graft.functions.bloom_bank_agg(
+        col("url_hash"), 8, 8192L, 1e-2).as("bank"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(staged + "_all")
-    val fatBank = (0 until 8).map(b =>
-      (b, obs2.get(s"bloom_$b").asInstanceOf[Array[Byte]])).toArray
+    val fatBank = obs2.get("bank").asInstanceOf[scala.collection.Seq[Array[Byte]]]
+      .zipWithIndex.map { case (bytes, b) => (b, bytes) }.toArray
     val fat = Seen.filterUnseenWithBank(keyed, seen, fatBank, buckets = 8)
       .select("seed_idx").as[Long].collect().toSet
     assert(fat == want)

@@ -232,6 +232,42 @@ class LedgerSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("appendWithBlooms ≡ append+writeBlooms: same answers, same bank bytes") {
+    val rootA = java.nio.file.Files.createTempDirectory("ledgerObsA").toString
+    val rootB = java.nio.file.Files.createTempDirectory("ledgerObsB").toString
+    val a = new Ledger(spark, rootA, buckets = 8, expectedPerBucket = 4096)
+    val b = new Ledger(spark, rootB, buckets = 8, expectedPerBucket = 4096)
+    for (w <- 0 until 3) {
+      val delta = keyed((w * 700) until (w * 700 + 900))
+        .select("url_hash", "canonical_url")
+      a.append(delta, w); a.writeBlooms(delta, w)
+      b.appendWithBlooms(delta, w)
+      // bank parity: every bucket present in the two-pass bank is
+      // byte-identical in the fused bank (bloom OR is bitwise-commutative,
+      // so driver-side merge == distributed merge exactly); the fused bank
+      // may additionally carry empty blooms for untouched buckets, which
+      // probe false just like an absent row
+      val bankA = spark.read.parquet(s"$rootA/blooms/wave=$w").collect()
+        .map(r => r.getAs[Int]("bucket") -> r.getAs[Array[Byte]]("bloom")).toMap
+      val bankB = spark.read.parquet(s"$rootB/blooms/wave=$w").collect()
+        .map(r => r.getAs[Int]("bucket") -> r.getAs[Array[Byte]]("bloom")).toMap
+      for ((bk, bytes) <- bankA)
+        assert(java.util.Arrays.equals(bytes, bankB(bk)), s"wave $w bucket $bk")
+    }
+    val probe = keyed(0 until 3000)
+    val ua = a.filterUnseen(probe, 2).select("seed_idx").as[Long].collect().toSet
+    val ub = b.filterUnseen(probe, 2).select("seed_idx").as[Long].collect().toSet
+    assert(ua == ub && ub == (2300L until 3000L).toSet)
+    // fallback routing: a cuckoo ledger takes the two-pass path and stays
+    // exact (appendWithBlooms must never run the driver merge on cuckoo)
+    val rootC = java.nio.file.Files.createTempDirectory("ledgerObsC").toString
+    val c = new Ledger(spark, rootC, buckets = 8, expectedPerBucket = 4096,
+      sketch = "cuckoo")
+    c.appendWithBlooms(keyed(0 until 500).select("url_hash", "canonical_url"), 0)
+    assert(c.filterUnseen(keyed(0 until 800), 0)
+      .select("seed_idx").as[Long].collect().toSet == (500L until 800L).toSet)
+  }
+
   test("cuckoo-mode ledger: multi-wave filterUnseen stays exact") {
     val root = java.nio.file.Files.createTempDirectory("ledgerck").toString
     val l = new Ledger(spark, root, buckets = 8, expectedPerBucket = 4096,
