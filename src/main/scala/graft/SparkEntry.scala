@@ -874,6 +874,38 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q83_canonical_collapse" -> ((s, dir) => {
+      // rel=canonical URL collapse: groups of 4 urls on one host — the
+      // target page (declares nothing, except every 5th group where it
+      // declares a NEVER-FETCHED /a/missing target — the rep falls back
+      // to the min member), an absolute declarer, a ROOT-RELATIVE
+      // declarer (exercises RFC 3986 resolution), and a mailto declarer
+      // (non-http target → self-canonical, broken declarations never
+      // delete pages).
+      val g = (col("doc_id") / 4).cast("long")
+      val self = concat(lit("http://h"), (g % 20).cast("string"),
+        lit(".test/a/"), col("doc_id").cast("string"))
+      val html = concat(
+        lit("<html><head>"),
+        when(col("doc_id") % 4 === 0 && g % 5 === 0,
+          concat(lit("<link rel=\"canonical\" href=\"/a/missing"),
+            g.cast("string"), lit("\">")))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit("<link rel=\"canonical\" href=\"http://h"),
+              (g % 20).cast("string"), lit(".test/a/"),
+              (g * 4).cast("string"), lit("\">")))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit("<link rel='canonical' href='/a/"),
+              (g * 4).cast("string"), lit("'>")))
+          .when(col("doc_id") % 4 === 3,
+            lit("<link rel=\"canonical\" href=\"mailto:x@y.test\">"))
+          .otherwise(lit("")),
+        lit("</head><body><p>b</p></body></html>"))
+      graft.url.Canonical.collapse(
+          docs(s, dir).select(self.as("url"), html.as("html")))
+        .orderBy("canonical_url")
+    }),
+
     "q81_frontier_capstone" -> ((s, dir) => {
       // round-5b capstone — the production frontier configuration composed
       // end to end: trap-capped frontier (q80 shapes) → HOST-level
@@ -2139,6 +2171,27 @@ object SparkEntry {
         |  CAST(anchor_chars * 1000000 // greatest(text_chars + anchor_chars, 1)
         |    AS BIGINT) AS link_density_ppm
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q83_canonical_collapse" ->
+      """WITH p AS (
+        |  SELECT doc_id, doc_id // 4 AS g,
+        |    'http://h' || ((doc_id // 4) % 20) || '.test/a/' || doc_id AS url
+        |  FROM documents),
+        |t AS (
+        |  SELECT url,
+        |    CASE
+        |      WHEN doc_id % 4 = 0 AND g % 5 = 0
+        |        THEN 'http://h' || (g % 20) || '.test/a/missing' || g
+        |      WHEN doc_id % 4 = 1 OR doc_id % 4 = 2
+        |        THEN 'http://h' || (g % 20) || '.test/a/' || (g * 4)
+        |      ELSE url END AS canonical_url
+        |  FROM p)
+        |SELECT canonical_url,
+        |  coalesce(max(CASE WHEN url = canonical_url THEN url END), min(url)) AS rep_url,
+        |  count(*) AS members,
+        |  coalesce(max(CASE WHEN url = canonical_url THEN 1 ELSE 0 END), 0) = 1
+        |    AS target_fetched
+        |FROM t GROUP BY canonical_url ORDER BY canonical_url""".stripMargin,
 
     "q81_frontier_capstone" ->
       """WITH u AS (
