@@ -906,6 +906,34 @@ object SparkEntry {
         .orderBy("canonical_url")
     }),
 
+    "q84_sitemap_refresh" -> ((s, dir) => {
+      // sitemap-lastmod conditional refresh: per doc a 2-entry sitemap —
+      // /a/{id} stamped date-only (even ids) or T12:30:45Z (odd ids),
+      // /b/{id} unstamped. Fetch log: /a fetched 2024-01-15 (id%3=0,
+      // stale iff lastmod newer) or 2024-02-01 (id%3=1, never stale);
+      // id%3=2 never fetched. /b fetched 2024-01-10 for even ids — a null
+      // lastmod can justify a first fetch but never a re-fetch.
+      val day = lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0")
+      val lm = when(col("doc_id") % 2 === 0, concat(lit("2024-01-"), day))
+        .otherwise(concat(lit("2024-01-"), day, lit("T12:30:45Z")))
+      val xml = concat(
+        lit("<urlset><url><loc> http://s.test/a/"), col("doc_id").cast("string"),
+        lit(" </loc><lastmod>"), lm, lit("</lastmod></url>"),
+        lit("<url><loc>http://s.test/b/"), col("doc_id").cast("string"),
+        lit("</loc></url></urlset>"))
+      val fetchedA = docs(s, dir).where(col("doc_id") % 3 < 2).select(
+        concat(lit("http://s.test/a/"), col("doc_id").cast("string")).as("url"),
+        when(col("doc_id") % 3 === 0, to_timestamp(lit("2024-01-15 00:00:00")))
+          .otherwise(to_timestamp(lit("2024-02-01 00:00:00"))).as("fetched_at"))
+      val fetchedB = docs(s, dir).where(col("doc_id") % 2 === 0).select(
+        concat(lit("http://s.test/b/"), col("doc_id").cast("string")).as("url"),
+        to_timestamp(lit("2024-01-10 00:00:00")).as("fetched_at"))
+      graft.frontier.Sitemap.staleBySitemap(
+          docs(s, dir).select(xml.as("xml")),
+          fetchedA.unionByName(fetchedB))
+        .orderBy("url")
+    }),
+
     "q81_frontier_capstone" -> ((s, dir) => {
       // round-5b capstone — the production frontier configuration composed
       // end to end: trap-capped frontier (q80 shapes) → HOST-level
@@ -2192,6 +2220,38 @@ object SparkEntry {
         |  coalesce(max(CASE WHEN url = canonical_url THEN 1 ELSE 0 END), 0) = 1
         |    AS target_fetched
         |FROM t GROUP BY canonical_url ORDER BY canonical_url""".stripMargin,
+
+    "q84_sitemap_refresh" ->
+      """WITH a AS (
+        |  SELECT 'http://s.test/a/' || doc_id AS url,
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN CAST('2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+        |             AS TIMESTAMP)
+        |      ELSE CAST('2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+        |             || ' 12:30:45' AS TIMESTAMP) END AS lastmod,
+        |    doc_id % 3 AS m
+        |  FROM documents),
+        |b AS (
+        |  SELECT 'http://s.test/b/' || doc_id AS url,
+        |    CAST(NULL AS TIMESTAMP) AS lastmod, doc_id
+        |  FROM documents),
+        |u AS (
+        |  SELECT url, lastmod,
+        |    CASE WHEN m = 0 THEN CAST('2024-01-15 00:00:00' AS TIMESTAMP)
+        |         WHEN m = 1 THEN CAST('2024-02-01 00:00:00' AS TIMESTAMP)
+        |    END AS fetched_at
+        |  FROM a
+        |  UNION ALL
+        |  SELECT url, lastmod,
+        |    CASE WHEN doc_id % 2 = 0 THEN CAST('2024-01-10 00:00:00' AS TIMESTAMP)
+        |    END AS fetched_at
+        |  FROM b)
+        |SELECT url, lastmod, fetched_at,
+        |  CASE WHEN fetched_at IS NULL THEN 'never_fetched'
+        |       ELSE 'modified' END AS reason
+        |FROM u
+        |WHERE fetched_at IS NULL OR (lastmod IS NOT NULL AND lastmod > fetched_at)
+        |ORDER BY url""".stripMargin,
 
     "q81_frontier_capstone" ->
       """WITH u AS (

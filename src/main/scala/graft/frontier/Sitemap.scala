@@ -1,7 +1,8 @@
 package graft.frontier
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.canonicalize_url
 
 /** Sitemap extraction (sitemaps.org protocol): a crawl's OTHER discovery
   * channel besides page links — `robots.txt` points at sitemap.xml files
@@ -24,4 +25,69 @@ object Sitemap {
 
   /** Count without materializing the array downstream. */
   def locCount(xml: Column): Column = size(locs(xml))
+
+  /** `<url>` entries WITH their change metadata:
+    * `array<struct<loc: string, lastmod: string>>` in document order —
+    * `lastmod` is the raw W3C-datetime text ("" when the element is
+    * absent; parse with [[lastmodTs]]). Loose top-level `<loc>`s outside
+    * a `<url>` wrapper (sitemapindex files) are [[locs]]' job — an index
+    * entry's `<lastmod>` stamps the sub-sitemap file, not any page.
+    */
+  def entries(xml: Column): Column =
+    transform(
+      regexp_extract_all(xml, lit("(?s)<url>(.*?)</url>"), lit(1)),
+      b => struct(
+        trim(regexp_extract(b, "<loc>([^<]+)</loc>", 1)).as("loc"),
+        trim(regexp_extract(b, "<lastmod>([^<]+)</lastmod>", 1)).as("lastmod")))
+
+  /** Tolerant W3C-datetime parse → TIMESTAMP or null — NEVER a task
+    * failure (the ANSI to_timestamp lesson from the WARC reader: one
+    * malformed date on real crawl data must not kill a job). Accepts the
+    * numeric-offset form (converted), `Z`/naive forms (read as UTC —
+    * session timezone is pinned UTC engine-wide), and date-only; anything
+    * else (including garbage) is null = "unknown", which [[staleBySitemap]]
+    * treats as not-provably-stale.
+    */
+  def lastmodTs(c: Column): Column = {
+    val s = trim(c)
+    coalesce(
+      try_to_timestamp(s, lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+      try_to_timestamp(s, lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")),
+      try_to_timestamp(regexp_replace(regexp_replace(s, "[Tt]", " "), "[Zz]$", "")))
+  }
+
+  /** Conditional-refresh scheduling from sitemap change stamps — the
+    * polite alternative to blind TTL re-crawls (refresh only what the
+    * site SAYS changed, fetch what was never seen): explode sitemap
+    * bodies to (url, lastmod), keep the NEWEST stamp per url (a url may
+    * appear in many sitemap files), left-join the fetch log, and emit the
+    * rows worth scheduling: never-fetched urls (`reason = never_fetched`)
+    * and fetched urls whose lastmod is strictly newer (`modified`). A
+    * null/unparseable/absent lastmod can justify a FIRST fetch but never
+    * a re-fetch — "unknown" is not evidence of change.
+    *
+    * Scale shape: one explode + one map-combinable max-groupBy on the
+    * sitemap side (the small side — sitemap entries, not pages), then ONE
+    * equi-join against the fetch log. `fetched` must carry one row per
+    * url (the page table's current view does); duplicate urls there would
+    * duplicate output rows.
+    */
+  def staleBySitemap(sitemaps: DataFrame, fetched: DataFrame,
+      xmlCol: String = "xml", urlCol: String = "url",
+      tsCol: String = "fetched_at"): DataFrame = {
+    val ent = sitemaps
+      .select(explode(entries(col(xmlCol))).as("e"))
+      .select(canonicalize_url(col("e.loc")).as("url"),
+        lastmodTs(col("e.lastmod")).as("lastmod"))
+      .where(col("url").isNotNull)
+      .groupBy("url").agg(max(col("lastmod")).as("lastmod"))
+    val log = fetched.select(canonicalize_url(col(urlCol)).as("url"),
+      col(tsCol).as("fetched_at"))
+    ent.join(log, Seq("url"), "left")
+      .where(col("fetched_at").isNull ||
+        (col("lastmod").isNotNull && col("lastmod") > col("fetched_at")))
+      .withColumn("reason",
+        when(col("fetched_at").isNull, lit("never_fetched"))
+          .otherwise(lit("modified")))
+  }
 }
