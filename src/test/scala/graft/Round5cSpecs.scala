@@ -124,3 +124,83 @@ class SitemapRefreshSpec extends AnyFunSuite {
       ("http://s.test/new", "never_fetched")))
   }
 }
+
+class StreamingDedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import graft.streaming.StreamingDedup
+
+  // fully-disjoint word sets per base — zero shared shingles between
+  // distinct bases, so the only LSH collisions are exact copies (every
+  // band hits); no probabilistic flakiness in the assertions
+  private def textOf(i: Long): String =
+    (0 until 12).map(j => s"t${i % 10}base${j}w").mkString(" ")
+
+  private def batchDf(ids: Seq[Long]) =
+    ids.map(i => (i, textOf(i))).toDF("id", "text")
+
+  test("stream of 3 micro-batches ≡ the same 3 batch cycles, row-identical") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val tmp = java.nio.file.Files.createTempDirectory("sdedup").toString
+    val b0 = (0L until 10L) // 10 distinct texts
+    val b1 = (10L until 20L) // exact copies of batch 0's texts
+    val b2 = Seq(25L, 26L) // mod-10 bases 5 and 6 — copies of batch-0 docs
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingDedup.run(
+      input.toDF().toDF("id", "text"),
+      s"$tmp/ledger", s"$tmp/out", s"$tmp/ckpt", "id", "text")
+    try {
+      input.addData(b0.map(i => (i, textOf(i))))
+      q.processAllAvailable()
+      input.addData(b1.map(i => (i, textOf(i))))
+      q.processAllAvailable()
+      input.addData(b2.map(i => (i, textOf(i))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = StreamingDedup.readResults(spark, s"$tmp/out")
+      .select("id", "n_hit_bands", "dup_of", "novel", "batch")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]), r.getBoolean(3),
+        r.getLong(4))).toSet
+
+    // batch twin: the SAME cycle, called directly
+    val tmpB = java.nio.file.Files.createTempDirectory("sdedupB").toString
+    val batched = Seq(b0, b1, b2.toSeq).zipWithIndex.flatMap { case (ids, k) =>
+      val out = StreamingDedup.screenAndCommit(
+        batchDf(ids.toSeq), s"$tmpB/ledger", k.toLong, "id", "text")
+      val rows = out.collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]), r.getBoolean(3), k.toLong))
+      out.unpersist()
+      rows
+    }.toSet
+    assert(streamed == batched)
+
+    // semantics: batch-0 docs all novel; batch-1 copies dup_of their twin
+    // with every band hitting; batch-2's 25 duplicates base 5 (25%10),
+    // 26 duplicates base 6 — both already in the ledger from batch 0
+    assert(batched.count(_._4) == 10)
+    for (i <- 10L until 20L)
+      assert(batched.contains((i, 8L, Some(i - 10), false, 1L)))
+    assert(batched.contains((25L, 8L, Some(5L), false, 2L)))
+    assert(batched.contains((26L, 8L, Some(6L), false, 2L)))
+  }
+
+  test("micro-batch replay is idempotent: same verdicts, no ledger growth") {
+    val tmp = java.nio.file.Files.createTempDirectory("sdedupR").toString
+    StreamingDedup.screenAndCommit(batchDf(0L until 5L), s"$tmp/ledger", 0L,
+      "id", "text").unpersist()
+    val first = StreamingDedup.screenAndCommit(batchDf(5L until 10L),
+      s"$tmp/ledger", 1L, "id", "text")
+    val firstRows = first.collect().toSet; first.unpersist()
+    val ledgerRows = StreamingDedup.readLedger(spark, s"$tmp/ledger").count()
+    // the replay: same batch id — screens EXCLUDING its own fence dir, so
+    // its docs are not duplicates of themselves; overwrite, not append
+    val again = StreamingDedup.screenAndCommit(batchDf(5L until 10L),
+      s"$tmp/ledger", 1L, "id", "text")
+    assert(again.collect().toSet == firstRows)
+    again.unpersist()
+    assert(StreamingDedup.readLedger(spark, s"$tmp/ledger").count() == ledgerRows)
+  }
+}
