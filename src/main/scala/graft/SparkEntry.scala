@@ -934,6 +934,32 @@ object SparkEntry {
         .orderBy("url")
     }),
 
+    "q85_redirects" -> ((s, dir) => {
+      // redirect-chain resolution by pointer doubling: 7 chains of
+      // 1/2/3/5/8/9/12 hops into distinct terminals, a 3-cycle, and plain
+      // urls. maxHops=8 → the 9- and 12-hop chains and the cycle come
+      // back unresolved; the exactly-8-hop chain resolves AT the cap.
+      // Hop counts are exact (doubling sums them), so the whole output is
+      // integer/string arithmetic any engine replays.
+      import s.implicits._
+      val lens = Seq(1, 2, 3, 5, 8, 9, 12)
+      val edges = lens.zipWithIndex.flatMap { case (l, i) =>
+        (0 until l).map { j =>
+          (s"http://r.test/c$i/n$j",
+            if (j == l - 1) s"http://t.test/f$i"
+            else s"http://r.test/c$i/n${j + 1}")
+        }
+      } ++ (0 until 3).map(j =>
+        (s"http://r.test/loop/n$j", s"http://r.test/loop/n${(j + 1) % 3}"))
+      val edgeDf = edges.toDF("src", "dst")
+      val urls = edgeDf.select(col("src").as("url"))
+        .union(edgeDf.select(col("dst").as("url")))
+        .union((0 until 5).map(k => s"http://plain.test/p$k").toDF("url"))
+        .distinct()
+      graft.frontier.Redirects.resolve(urls, edgeDf, maxHops = 8)
+        .orderBy("url")
+    }),
+
     "q81_frontier_capstone" -> ((s, dir) => {
       // round-5b capstone — the production frontier configuration composed
       // end to end: trap-capped frontier (q80 shapes) → HOST-level
@@ -2251,6 +2277,40 @@ object SparkEntry {
         |       ELSE 'modified' END AS reason
         |FROM u
         |WHERE fetched_at IS NULL OR (lastmod IS NOT NULL AND lastmod > fetched_at)
+        |ORDER BY url""".stripMargin,
+
+    "q85_redirects" ->
+      """WITH RECURSIVE ln(i, l) AS (
+        |  SELECT * FROM (VALUES (0,1),(1,2),(2,3),(3,5),(4,8),(5,9),(6,12))),
+        |ce AS (
+        |  SELECT 'http://r.test/c' || i || '/n' || j AS src,
+        |    CASE WHEN j = l - 1 THEN 'http://t.test/f' || i
+        |         ELSE 'http://r.test/c' || i || '/n' || (j + 1) END AS dst
+        |  FROM ln, unnest(range(12)) AS t(j) WHERE j < l),
+        |le AS (
+        |  SELECT 'http://r.test/loop/n' || j AS src,
+        |    'http://r.test/loop/n' || ((j + 1) % 3) AS dst
+        |  FROM unnest(range(3)) AS t(j)),
+        |edges AS (SELECT * FROM ce UNION ALL SELECT * FROM le),
+        |urls AS (
+        |  SELECT src AS url FROM edges UNION SELECT dst FROM edges
+        |  UNION SELECT 'http://plain.test/p' || k FROM unnest(range(5)) AS t(k)),
+        |walk(url, cur, hops) AS (
+        |  SELECT url, url, 0 FROM urls
+        |  UNION ALL
+        |  SELECT w.url, e.dst, w.hops + 1
+        |  FROM walk w JOIN edges e ON w.cur = e.src
+        |  WHERE w.hops < 8),
+        |last AS (
+        |  SELECT url, cur, hops FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY url ORDER BY hops DESC) AS rn
+        |    FROM walk) WHERE rn = 1),
+        |srcs AS (SELECT DISTINCT src FROM edges)
+        |SELECT l.url,
+        |  CASE WHEN s.src IS NULL THEN l.cur END AS final_url,
+        |  CAST(CASE WHEN s.src IS NULL THEN l.hops END AS BIGINT) AS hops,
+        |  s.src IS NULL AS resolved
+        |FROM last l LEFT JOIN srcs s ON l.cur = s.src
         |ORDER BY url""".stripMargin,
 
     "q81_frontier_capstone" ->
