@@ -960,6 +960,23 @@ object SparkEntry {
         .orderBy("url")
     }),
 
+    "q86_containment" -> ((s, dir) => {
+      // asymmetric containment dedup (the excerpt channel Jaccard misses):
+      // every 7th doc also appears as a 25-token prefix excerpt (id +
+      // 300000) — its 18 distinct 8-grams all hit the parent, so the
+      // excerpt side scores 1000000 ppm while the parent side stays low;
+      // exact-duplicate texts in the raw table score 1000000 both ways.
+      // Counts + integer ppm only: exact in any engine.
+      val corpus = docs(s, dir).select(col("doc_id").as("id"), col("text"))
+        .unionByName(docs(s, dir).where(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 300000L).as("id"),
+            concat_ws(" ", slice(
+              filter(split(col("text"), "\\s+"), t => t =!= ""), 1, 25)).as("text")))
+      graft.dedup.Dedup.containmentPairs(corpus, "id", "text",
+          n = 8, minPpm = 900000L)
+        .orderBy("contained_id", "container_id")
+    }),
+
     "q81_frontier_capstone" -> ((s, dir) => {
       // round-5b capstone — the production frontier configuration composed
       // end to end: trap-capped frontier (q80 shapes) → HOST-level
@@ -2312,6 +2329,36 @@ object SparkEntry {
         |  s.src IS NULL AS resolved
         |FROM last l LEFT JOIN srcs s ON l.cur = s.src
         |ORDER BY url""".stripMargin,
+
+    "q86_containment" ->
+      """WITH corpus AS (
+        |  SELECT doc_id AS id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 300000 AS id,
+        |    array_to_string(
+        |      list_filter(string_split_regex(text, '\s+'), x -> x <> '')[1:25], ' ')
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |tok AS (
+        |  SELECT id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM corpus),
+        |g AS (
+        |  SELECT id, unnest(CASE WHEN len(t) < 8 THEN CAST([] AS VARCHAR[])
+        |    ELSE list_distinct(list_transform(range(0, len(t) - 7),
+        |           i -> array_to_string(t[i+1:i+8], ' '))) END) AS gram
+        |  FROM tok),
+        |tot AS (SELECT id, count(*) AS n_total FROM g GROUP BY id),
+        |inter AS (
+        |  SELECT a.id AS contained_id, b.id AS container_id, count(*) AS n_inter
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.id <> b.id
+        |  GROUP BY 1, 2)
+        |SELECT i.contained_id, i.container_id,
+        |  CAST(i.n_inter AS BIGINT) AS n_inter,
+        |  CAST(t.n_total AS BIGINT) AS n_total,
+        |  CAST((1000000 * i.n_inter) // t.n_total AS BIGINT) AS ppm
+        |FROM inter i JOIN tot t ON t.id = i.contained_id
+        |WHERE (1000000 * i.n_inter) // t.n_total >= 900000
+        |ORDER BY contained_id, container_id""".stripMargin,
 
     "q81_frontier_capstone" ->
       """WITH u AS (

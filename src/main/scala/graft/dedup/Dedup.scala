@@ -224,6 +224,47 @@ object Dedup {
       .drop("t_a", "t_b")
   }
 
+  /** ASYMMETRIC n-gram containment pairs — the dedup channel Jaccard
+    * misses: a short document wholly quoted inside a longer one (excerpt,
+    * syndicated lede, boilerplate clone inside an aggregator) has tiny
+    * Jaccard but containment ≈ 1 on the SHORT side. Broder '97 defines
+    * both; production pipelines gate on containment for exactly this
+    * excerpt case.
+    *
+    * containment(A→B) = |grams(A) ∩ grams(B)| / |grams(A)|, reported as
+    * integer ppm (floor) so any engine replays it exactly. Emits ORDERED
+    * pairs (contained_id, container_id) — both orientations score
+    * independently, each against its own denominator.
+    *
+    * Scale shape: one distinct-gram explode (codegen `ngram_hash_keys`,
+    * 8-byte keys on the wire), `maxDocFreq` drops boilerplate grams
+    * before the self-join (the q55/q21 cap story — a gram in m docs emits
+    * m² join rows), and the equi-self-join exchanges (id, gram-hash)
+    * pairs only; texts never shuffle. In-row totals come from a
+    * projection, no second aggregate over the explode.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minPpm: Long = 900000L, maxDocFreq: Int = 0): DataFrame = {
+    require(n >= 1 && n <= 64, s"n out of range: $n")
+    require(minPpm >= 0L && minPpm <= 1000000L, s"minPpm out of range: $minPpm")
+    def keys(c: Column) = graft.functions.ngram_hash_keys(c, n)
+    val totals = docs.select(col(idCol).as("id"),
+      size(keys(col(textCol))).cast("long").as("n_total"))
+    val grams = capHotBuckets(
+      docs.select(col(idCol).as("id"), explode(keys(col(textCol))).as("gh")),
+      Seq("gh"), maxDocFreq)
+    val inter = grams.as("a")
+      .join(grams.as("b"),
+        col("a.gh") === col("b.gh") && col("a.id") =!= col("b.id"))
+      .groupBy(col("a.id").as("contained_id"), col("b.id").as("container_id"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(totals.withColumnRenamed("id", "contained_id"), Seq("contained_id"))
+      .withColumn("ppm", expr("(1000000 * n_inter) DIV n_total"))
+      .where(col("ppm") >= minPpm)
+      .select("contained_id", "container_id", "n_inter", "n_total", "ppm")
+  }
+
   /** Embedding-cosine near-dup pairs over an ARRAY<FLOAT> column, EXACT
     * within LSH buckets: candidates = id pairs sharing ≥1 SRP bucket across
     * `tables` independent tables; each candidate's cosine is computed exactly

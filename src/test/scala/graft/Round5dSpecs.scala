@@ -56,6 +56,36 @@ class RedirectsSpec extends AnyFunSuite {
     assert(row.getLong(2) == 64L && row.getBoolean(3))
   }
 
+  test("containment is asymmetric: the excerpt side scores, the parent side doesn't") {
+    val parent = (1 to 40).map(i => s"w$i").mkString(" ")
+    val excerpt = (1 to 12).map(i => s"w$i").mkString(" ") // 12 tokens → 5 distinct 8-grams
+    val other = (100 to 140).map(i => s"v$i").mkString(" ")
+    val docs = Seq((1L, parent), (2L, excerpt), (3L, other)).toDF("id", "text")
+    val out = graft.dedup.Dedup.containmentPairs(docs, "id", "text",
+      n = 8, minPpm = 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // excerpt→parent: all 5 of the excerpt's grams hit → 1000000 ppm
+    assert(out((2L, 1L)) == ((5L, 5L, 1000000L)))
+    // parent→excerpt: 5 of the parent's 33 grams hit → floor ppm
+    assert(out((1L, 2L)) == ((5L, 33L, 1000000L * 5 / 33)))
+    assert(!out.contains((3L, 1L)) && !out.contains((1L, 3L)))
+  }
+
+  test("containment maxDocFreq cap drops boilerplate grams before the self-join") {
+    val boiler = (1 to 8).map(i => s"b$i").mkString(" ")
+    // 5 docs all sharing ONE boilerplate 8-gram, otherwise disjoint
+    val docs = (0 until 5).map { d =>
+      (d.toLong, boiler + " " + (0 until 20).map(i => s"d${d}x$i").mkString(" "))
+    }.toDF("id", "text")
+    val uncapped = graft.dedup.Dedup.containmentPairs(docs, "id", "text",
+      n = 8, minPpm = 0L).count()
+    assert(uncapped == 20L) // 5×4 ordered pairs via the shared gram
+    val capped = graft.dedup.Dedup.containmentPairs(docs, "id", "text",
+      n = 8, minPpm = 0L, maxDocFreq = 4).count()
+    assert(capped == 0L)
+  }
+
   test("pass-through columns and row multiplicity survive") {
     val edges = chain("m.test", 2).toDF("src", "dst")
     val urls = Seq(("http://m.test/n0", 7L), ("http://m.test/n0", 9L))
