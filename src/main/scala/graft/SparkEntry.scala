@@ -977,6 +977,41 @@ object SparkEntry {
         .orderBy("contained_id", "container_id")
     }),
 
+    "q87_image_dhash" -> ((s, dir) => {
+      // image near-dup via REAL-decode dHash: assets 2b/2b+1 share the
+      // quadratic pixel field (b·37 + 11x² + 7y² + 5xy + 3xb) mod 256 (a
+      // pseudo-random field, so the 64 hash bits carry real entropy); the
+      // odd twin brightens the FIRST GRID COLUMN by +60 mod 256, flipping
+      // at most the gx=0 bit per grid row → planted pair hamming ≤ 8.
+      // maxDist=8 catches all 100 planted pairs plus a handful of
+      // arithmetic coincidences; the oracle replays the identical integer
+      // cell pooling, so the full pair set is value-exact. A wrong
+      // unfilter, stride, or pooling boundary cannot fake this.
+      import s.implicits._
+      val ids = docs(s, dir).select(col("doc_id"))
+        .where(col("doc_id") < 200).as[Long]
+      val assets = ids.map { i =>
+        val b = (i / 2).toInt
+        val odd = (i % 2).toInt
+        val w = 18 + (b % 3) * 9
+        val cw = w / 9
+        val px = Array.tabulate(w * 8) { j =>
+          val x = j % w
+          val y = j / w
+          ((b * 37 + 11 * x * x + 7 * y * y + 5 * x * y + 3 * x * b
+            + (if (odd == 1 && x < cw) 60 else 0)) % 256).toByte
+        }
+        graft.multimodal.Multimodal.Asset(i, "image",
+          graft.multimodal.Png.encode(w, 8, 1, px), s"http://img.test/$i")
+      }
+      val sigs = graft.multimodal.Multimodal.dhash64(assets)
+        .where(col("status") === 200)
+        .select(col("asset_id").as("id"), col("dhash").as("sig"))
+      graft.dedup.Dedup.simHashNearDupsFromSigs(sigs, maxDist = 8)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+        .orderBy("id_a", "id_b")
+    }),
+
     "q81_frontier_capstone" -> ((s, dir) => {
       // round-5b capstone — the production frontier configuration composed
       // end to end: trap-capped frontier (q80 shapes) → HOST-level
@@ -2359,6 +2394,38 @@ object SparkEntry {
         |FROM inter i JOIN tot t ON t.id = i.contained_id
         |WHERE (1000000 * i.n_inter) // t.n_total >= 900000
         |ORDER BY contained_id, container_id""".stripMargin,
+
+    "q87_image_dhash" ->
+      """WITH a AS (
+        |  SELECT doc_id AS aid, doc_id // 2 AS b, doc_id % 2 AS odd,
+        |    18 + ((doc_id // 2) % 3) * 9 AS w
+        |  FROM documents WHERE doc_id < 200),
+        |px AS (
+        |  SELECT aid, gy, gx,
+        |    (b * 37 + 11 * (gx * (w // 9) + k) * (gx * (w // 9) + k)
+        |      + 7 * gy * gy + 5 * (gx * (w // 9) + k) * gy
+        |      + 3 * (gx * (w // 9) + k) * b
+        |      + CASE WHEN odd = 1 AND gx = 0 THEN 60 ELSE 0 END) % 256 AS v
+        |  FROM a, unnest(range(8)) s(gy), unnest(range(9)) t(gx),
+        |    unnest(range(4)) u(k)
+        |  WHERE k < w // 9),
+        |cells AS (
+        |  SELECT aid, gy, gx, sum(v) // count(*) AS c
+        |  FROM px GROUP BY aid, gy, gx),
+        |bits AS (
+        |  SELECT l.aid,
+        |    sum(CASE WHEN l.c > r.c AND l.gy * 8 + l.gx < 63
+        |        THEN 1 << (l.gy * 8 + l.gx) ELSE 0 END) AS lo,
+        |    max(CASE WHEN l.gy * 8 + l.gx = 63 AND l.c > r.c THEN 1 ELSE 0 END)
+        |      AS hi
+        |  FROM cells l JOIN cells r
+        |    ON l.aid = r.aid AND l.gy = r.gy AND r.gx = l.gx + 1
+        |  GROUP BY l.aid)
+        |SELECT x.aid AS id_a, y.aid AS id_b,
+        |  CAST(bit_count(xor(x.lo, y.lo)) + abs(x.hi - y.hi) AS BIGINT) AS hamming
+        |FROM bits x JOIN bits y ON x.aid < y.aid
+        |WHERE bit_count(xor(x.lo, y.lo)) + abs(x.hi - y.hi) <= 8
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q81_frontier_capstone" ->
       """WITH u AS (

@@ -225,4 +225,73 @@ object Multimodal {
       }
     }
   }
+
+  /** Per-asset 64-bit difference hash + decode status. */
+  final case class ImageHash(asset_id: Long, dhash: Long, status: Int)
+
+  /** dHash — the standard perceptual fingerprint for IMAGE near-dup
+    * (the pHash family's cheapest member; widely documented, e.g.
+    * Krawetz's "Kind of Like That"): pool the decoded image (channel 0)
+    * onto a 9×8 grid of integer block means, then bit (gy·8+gx) =
+    * cell(gx,gy) > cell(gx+1,gy). Resize/recompress/brightness-preserving
+    * edits leave most bits intact, so crawl-harvested image variants pair
+    * at small Hamming distance — plug the sigs straight into
+    * [[graft.dedup.Dedup.simHashNearDupsFromSigs]] (any 64-bit
+    * similarity-preserving signature rides the same block-rotation join;
+    * that is the whole point of the FromSigs split).
+    *
+    * Grid blocks use floor boundaries (gx·w/9 … (gx+1)·w/9) and integer
+    * floor means — every step is integer arithmetic, so an oracle can
+    * replay the hash from planted pixel formulas exactly. Same init-once
+    * `mapPartitions` + per-row 422 containment as [[pngFeatures]]
+    * (a corrupt PNG yields a status row, never a task failure; callers
+    * MUST filter status == 200 before pairing — 422 rows share dhash 0).
+    * Images below the 9×8 grid reject as 422 (a hash of upsampled noise
+    * pairs everything with everything).
+    */
+  def dhash64(assets: Dataset[Asset]): Dataset[ImageHash] = {
+    import assets.sparkSession.implicits._
+    assets.filter(_.modality == "image").mapPartitions { it =>
+      // >>> per-partition codec init would go here (once, not per row) <<<
+      it.map { a =>
+        try {
+          val (w, h, ch, px) = Png.decode(a.bytes)
+          require(w >= 9 && h >= 8, s"below dhash grid: ${w}x$h")
+          val cells = Array.ofDim[Long](8, 9)
+          var gy = 0
+          while (gy < 8) {
+            val y0 = gy * h / 8; val y1 = (gy + 1) * h / 8
+            var gx = 0
+            while (gx < 9) {
+              val x0 = gx * w / 9; val x1 = (gx + 1) * w / 9
+              var sum = 0L; var cnt = 0L
+              var y = y0
+              while (y < y1) {
+                var x = x0
+                while (x < x1) { sum += px((y * w + x) * ch) & 0xff; cnt += 1; x += 1 }
+                y += 1
+              }
+              cells(gy)(gx) = sum / cnt
+              gx += 1
+            }
+            gy += 1
+          }
+          var hash = 0L
+          gy = 0
+          while (gy < 8) {
+            var gx = 0
+            while (gx < 8) {
+              if (cells(gy)(gx) > cells(gy)(gx + 1)) hash |= 1L << (gy * 8 + gx)
+              gx += 1
+            }
+            gy += 1
+          }
+          ImageHash(a.asset_id, hash, graft.frontier.Discover.StatusOk)
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            ImageHash(a.asset_id, 0L, graft.frontier.Discover.StatusParseError)
+        }
+      }
+    }
+  }
 }

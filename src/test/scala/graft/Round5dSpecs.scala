@@ -86,6 +86,38 @@ class RedirectsSpec extends AnyFunSuite {
     assert(capped == 0L)
   }
 
+  test("dhash64 matches a hand-computed hash, including non-divisible pooling") {
+    import graft.multimodal.{Multimodal, Png}
+    // w=10, h=8: grid column boundaries 0,1,2,3,4,5,6,7,8,10 — the last
+    // cell is 2px wide (floor boundaries), pixel = 7x so cells strictly
+    // increase → every gy*8+gx bit is 0... cells: c(gx)=mean of 7x over
+    // block; strictly increasing → cell(gx) > cell(gx+1) never → hash 0.
+    // Reverse ramp (70-7x) makes every comparison true → all 64 bits set.
+    def img(id: Long, f: Int => Int): Multimodal.Asset = {
+      val px = Array.tabulate(10 * 8)(j => (f(j % 10) & 0xff).toByte)
+      Multimodal.Asset(id, "image", Png.encode(10, 8, 1, px), "http://t/i")
+    }
+    val ds = spark.createDataset(Seq(
+      img(1L, x => 7 * x), img(2L, x => 70 - 7 * x)))(
+      org.apache.spark.sql.Encoders.product[Multimodal.Asset])
+    val out = Multimodal.dhash64(ds).collect().map(h => h.asset_id -> h.dhash).toMap
+    assert(out(1L) == 0L)
+    assert(out(2L) == -1L) // all 64 bits
+  }
+
+  test("dhash64 contains malformed and sub-grid images as 422 rows") {
+    import graft.multimodal.{Multimodal, Png}
+    val good = Multimodal.Asset(1L, "image",
+      Png.encode(9, 8, 1, Array.tabulate(72)(_.toByte)), "u")
+    val garbage = Multimodal.Asset(2L, "image", Array[Byte](1, 2, 3), "u")
+    val tiny = Multimodal.Asset(3L, "image",
+      Png.encode(4, 4, 1, Array.tabulate(16)(_.toByte)), "u")
+    val ds = spark.createDataset(Seq(good, garbage, tiny))(
+      org.apache.spark.sql.Encoders.product[Multimodal.Asset])
+    val st = Multimodal.dhash64(ds).collect().map(h => h.asset_id -> h.status).toMap
+    assert(st == Map(1L -> 200, 2L -> 422, 3L -> 422))
+  }
+
   test("pass-through columns and row multiplicity survive") {
     val edges = chain("m.test", 2).toDF("src", "dst")
     val urls = Seq(("http://m.test/n0", 7L), ("http://m.test/n0", 9L))
