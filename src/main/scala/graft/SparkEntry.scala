@@ -1012,6 +1012,24 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "q88_hits" -> ((s, dir) => {
+      // HITS hubs & authorities over an arithmetic link graph: quadratic
+      // dst map (non-uniform in-degree), a planted authority magnet (every
+      // 5th doc links to node 7) and extra hub edges for every 7th doc.
+      // Fixed-point L1 normalization → every iteration is exact integer
+      // arithmetic both engines replay bit-for-bit (2 iterations).
+      val d = docs(s, dir).select(col("doc_id"))
+      val edges = d.select(col("doc_id").as("src"),
+          ((col("doc_id") * col("doc_id") + col("doc_id") * 3 + 11) % 500).as("dst"))
+        .unionByName(d.where(col("doc_id") % 5 === 0)
+          .select(col("doc_id").as("src"), lit(7L).as("dst")))
+        .unionByName(d.where(col("doc_id") % 7 === 0)
+          .select(col("doc_id").as("src"), ((col("doc_id") * 2 + 1) % 500).as("dst")))
+        .distinct()
+      graft.frontier.Rank.hits(edges, iters = 2)
+        .orderBy("node")
+    }),
+
     "q81_frontier_capstone" -> ((s, dir) => {
       // round-5b capstone — the production frontier configuration composed
       // end to end: trap-capped frontier (q80 shapes) → HOST-level
@@ -2426,6 +2444,43 @@ object SparkEntry {
         |FROM bits x JOIN bits y ON x.aid < y.aid
         |WHERE bit_count(xor(x.lo, y.lo)) + abs(x.hi - y.hi) <= 8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q88_hits" ->
+      """WITH e AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT doc_id AS src,
+        |      (doc_id * doc_id + 3 * doc_id + 11) % 500 AS dst FROM documents
+        |    UNION ALL
+        |    SELECT doc_id, 7 FROM documents WHERE doc_id % 5 = 0
+        |    UNION ALL
+        |    SELECT doc_id, (2 * doc_id + 1) % 500 FROM documents
+        |    WHERE doc_id % 7 = 0)),
+        |n AS (SELECT DISTINCT node FROM
+        |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS hub FROM n),
+        |a1r AS (SELECT e.dst AS node, sum(h0.hub) AS raw
+        |  FROM e JOIN h0 ON h0.node = e.src GROUP BY e.dst),
+        |a1 AS (SELECT n.node,
+        |    coalesce((1000000 * r.raw) // (SELECT sum(raw) FROM a1r), 0) AS auth
+        |  FROM n LEFT JOIN a1r r USING (node)),
+        |h1r AS (SELECT e.src AS node, sum(a1.auth) AS raw
+        |  FROM e JOIN a1 ON a1.node = e.dst GROUP BY e.src),
+        |h1 AS (SELECT n.node,
+        |    coalesce((1000000 * r.raw) // (SELECT sum(raw) FROM h1r), 0) AS hub
+        |  FROM n LEFT JOIN h1r r USING (node)),
+        |a2r AS (SELECT e.dst AS node, sum(h1.hub) AS raw
+        |  FROM e JOIN h1 ON h1.node = e.src GROUP BY e.dst),
+        |a2 AS (SELECT n.node,
+        |    coalesce((1000000 * r.raw) // (SELECT sum(raw) FROM a2r), 0) AS auth
+        |  FROM n LEFT JOIN a2r r USING (node)),
+        |h2r AS (SELECT e.src AS node, sum(a2.auth) AS raw
+        |  FROM e JOIN a2 ON a2.node = e.dst GROUP BY e.src),
+        |h2 AS (SELECT n.node,
+        |    coalesce((1000000 * r.raw) // (SELECT sum(raw) FROM h2r), 0) AS hub
+        |  FROM n LEFT JOIN h2r r USING (node))
+        |SELECT n.node, a2.auth, h2.hub
+        |FROM n JOIN a2 USING (node) JOIN h2 USING (node)
+        |ORDER BY node""".stripMargin,
 
     "q81_frontier_capstone" ->
       """WITH u AS (

@@ -76,6 +76,73 @@ object Rank {
     scores
   }
 
+  /** HITS hubs & authorities (Kleinberg '99) — the complementary authority
+    * signal to [[pageRank]]: a GOOD HUB (link directory, sitemap page,
+    * curated index) scores high for pointing at good authorities even when
+    * nothing points back at it, which is exactly the page a crawler wants
+    * to re-visit for discovery; PageRank structurally under-ranks such
+    * pages. auth ← Σ_in hub, hub ← Σ_out auth, L1-normalized per half-step.
+    *
+    * FIXED-POINT arithmetic throughout (the q70/q77 discipline): scores
+    * are integers scaled to `scale`, each normalization is one exact
+    * integer sum + a floor DIV — so Long sums are order-independent and
+    * any engine replays every iteration bit-for-bit (the float form's
+    * L2 norm would make scores reduction-order-dependent). Headroom:
+    * raw ≤ scale × max-degree × |V| ≪ 2^63 for any realistic graph.
+    *
+    * Scale shape mirrors [[pageRank]]: edges staged once, per-round rows
+    * are (node LONG, score LONG) = 16 bytes, map-side-combinable sums
+    * keyed by dst then src, per-round localCheckpoint truncates lineage,
+    * and each normalization total rides a one-row broadcast crossJoin —
+    * never a driver collect.
+    */
+  def hits(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
+      iters: Int = 2, scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1 && iters <= 16, s"iters: $iters")
+    require(scale >= 1000L, s"scale: $scale")
+    val spark = edges.sparkSession
+    val sessionWidth = scala.util.Try(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt).getOrElse(32)
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .localCheckpoint(true)
+    val nEdges = e.count()
+    val width = math.max(1L, math.min(sessionWidth.toLong, nEdges / 250000L + 1L)).toInt
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .repartition(width, col("node"))
+      .distinct()
+      .localCheckpoint(true)
+    def normalize(raw: DataFrame, outCol: String): DataFrame = {
+      val tot = raw.agg(sum(col("raw")).as("tot"))
+      nodes.join(
+          raw.crossJoin(broadcast(tot))
+            .select(col("node"),
+              when(col("tot") > 0, expr(s"($scale * raw) DIV tot"))
+                .otherwise(lit(0L)).as(outCol)),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col(outCol), lit(0L)).as(outCol))
+        .localCheckpoint(true)
+    }
+    var hub = nodes.withColumn("hub", lit(scale))
+    var auth = nodes.withColumn("auth", lit(0L))
+    var it = 0
+    while (it < iters) {
+      auth = normalize(
+        e.join(hub.withColumnRenamed("node", "src"), "src")
+          .select(col("dst").as("node"), col("hub"))
+          .repartition(width, col("node"))
+          .groupBy("node").agg(sum(col("hub")).as("raw")), "auth")
+      hub = normalize(
+        e.join(auth.withColumnRenamed("node", "dst"), "dst")
+          .select(col("src").as("node"), col("auth"))
+          .repartition(width, col("node"))
+          .groupBy("node").agg(sum(col("auth")).as("raw")), "hub")
+      it += 1
+    }
+    auth.join(hub, Seq("node"))
+  }
+
   /** Collapse the url-level link graph to the HOST graph: one row per
     * (src_host, dst_host) with `weight` = link multiplicity. Self-loops
     * (intra-host navigation chrome — headers, footers, pagination) are

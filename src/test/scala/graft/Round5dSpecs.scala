@@ -118,6 +118,18 @@ class RedirectsSpec extends AnyFunSuite {
     assert(st == Map(1L -> 200, 2L -> 422, 3L -> 422))
   }
 
+  test("HITS fixed-point scores match hand arithmetic") {
+    val edges = Seq((1L, 10L), (1L, 11L), (2L, 10L)).toDF("src", "dst")
+    val out = graft.frontier.Rank.hits(edges, iters = 1).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // a1 raw: 10←h(1)+h(2)=2e6, 11←1e6; tot 3e6 → 666666/333333 (floor DIV)
+    // h1 raw: 1←999999, 2←666666; tot 1666665 → 600000/400000 (exact)
+    assert(out(10L) == ((666666L, 0L)))
+    assert(out(11L) == ((333333L, 0L)))
+    assert(out(1L) == ((0L, 600000L)))
+    assert(out(2L) == ((0L, 400000L)))
+  }
+
   test("pass-through columns and row multiplicity survive") {
     val edges = chain("m.test", 2).toDF("src", "dst")
     val urls = Seq(("http://m.test/n0", 7L), ("http://m.test/n0", 9L))
