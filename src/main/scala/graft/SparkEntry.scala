@@ -1030,6 +1030,22 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    "q89_trustrank" -> ((s, dir) => {
+      // TrustRank over the q54 graph: teleport restricted to the vetted
+      // seeds {0,10,…,210} — nodes reachable only from unvetted regions
+      // score ~0 (the spam-demotion contract). Same 3 unrolled iterations
+      // + round(…,6) ulp fence as q54.
+      val d = docs(s, dir)
+      val edges = d
+        .select(col("doc_id").as("src"), explode(sequence(lit(0L), lit(2L))).as("j"))
+        .select(col("src"), ((col("src") * 7 + col("j") * 13) % 211).as("dst"))
+      val seeds = d.where(col("doc_id") < 211 && col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("node"))
+      graft.frontier.Rank.trustRank(edges, seeds, iters = 3)
+        .select(col("node"), round(col("score"), 6).as("score"))
+        .orderBy("node")
+    }),
+
     "q81_frontier_capstone" -> ((s, dir) => {
       // round-5b capstone — the production frontier configuration composed
       // end to end: trap-capped frontier (q80 shapes) → HOST-level
@@ -2481,6 +2497,28 @@ object SparkEntry {
         |SELECT n.node, a2.auth, h2.hub
         |FROM n JOIN a2 USING (node) JOIN h2 USING (node)
         |ORDER BY node""".stripMargin,
+
+    "q89_trustrank" ->
+      """WITH e AS (SELECT doc_id AS src, (doc_id*7 + j*13) % 211 AS dst
+        |           FROM documents, unnest([0, 1, 2]) AS t(j)),
+        |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        |nodes AS (SELECT src AS n FROM e UNION SELECT dst FROM e),
+        |b AS (SELECT n, CASE WHEN n < 211 AND n % 10 = 0
+        |        THEN CAST(1.0 AS DOUBLE) ELSE 0.0 END AS base FROM nodes),
+        |s0 AS (SELECT n, base AS score FROM b),
+        |c1 AS (SELECT e.dst AS n, sum(s0.score / deg.outdeg) AS c
+        |       FROM e JOIN deg USING (src) JOIN s0 ON s0.n = e.src GROUP BY e.dst),
+        |s1 AS (SELECT b.n, 0.15 * b.base + 0.85 * coalesce(c1.c, 0) AS score
+        |       FROM b LEFT JOIN c1 USING (n)),
+        |c2 AS (SELECT e.dst AS n, sum(s1.score / deg.outdeg) AS c
+        |       FROM e JOIN deg USING (src) JOIN s1 ON s1.n = e.src GROUP BY e.dst),
+        |s2 AS (SELECT b.n, 0.15 * b.base + 0.85 * coalesce(c2.c, 0) AS score
+        |       FROM b LEFT JOIN c2 USING (n)),
+        |c3 AS (SELECT e.dst AS n, sum(s2.score / deg.outdeg) AS c
+        |       FROM e JOIN deg USING (src) JOIN s2 ON s2.n = e.src GROUP BY e.dst),
+        |s3 AS (SELECT b.n, 0.15 * b.base + 0.85 * coalesce(c3.c, 0) AS score
+        |       FROM b LEFT JOIN c3 USING (n))
+        |SELECT n AS node, round(score, 6) AS score FROM s3 ORDER BY node""".stripMargin,
 
     "q81_frontier_capstone" ->
       """WITH u AS (

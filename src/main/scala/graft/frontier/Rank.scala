@@ -76,6 +76,64 @@ object Rank {
     scores
   }
 
+  /** TrustRank (Gyöngyi et al., VLDB '04) — PageRank with the teleport
+    * restricted to a TRUSTED SEED set: trust flows only out of
+    * hand-vetted hosts, so link-farm clusters that pump each other (and
+    * would pump plain PageRank) score ~0 unless something trusted links
+    * into them. This is the standard spam-demotion channel of a crawl
+    * scheduler; compose its scores into the same priority slot as
+    * [[pageRank]]/[[hostRank]].
+    *
+    * `score ← (1 − d)·seed(v) + d × Σ_{u→v} score(u)/outdeg(u)`, starting
+    * from the seed indicator — the unnormalized convention of [[pageRank]]
+    * (dividing by |S| only rescales every iterate linearly; relative order
+    * is what the scheduler consumes). Same loop shape: staged edges,
+    * 16-byte rows, per-round right-sized shuffles + localCheckpoint;
+    * dangling mass leaks, as documented on [[pageRank]].
+    */
+  def trustRank(edges: DataFrame, seeds: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", seedCol: String = "node",
+      iters: Int = 3, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters: $iters")
+    require(damping > 0.0 && damping < 1.0, s"damping: $damping")
+    val spark = edges.sparkSession
+    val sessionWidth = scala.util.Try(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt).getOrElse(32)
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .localCheckpoint(true)
+    val nEdges = e.count()
+    val width = math.max(1L, math.min(sessionWidth.toLong, nEdges / 250000L + 1L)).toInt
+    val deg = e.repartition(width, col("src"))
+      .groupBy("src").agg(count(lit(1)).cast("double").as("outw"))
+    val withDeg = e.join(deg, "src").localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .repartition(width, col("node"))
+      .distinct()
+      .join(seeds.select(col(seedCol).cast("long").as("node"),
+        lit(true).as("__seed")).distinct(), Seq("node"), "left")
+      .select(col("node"),
+        when(col("__seed"), lit(1.0d)).otherwise(lit(0.0d)).as("base"))
+      .localCheckpoint(true)
+    var scores = nodes.select(col("node"), col("base").as("score"))
+    var it = 0
+    while (it < iters) {
+      val contrib = withDeg
+        .join(scores.select(col("node").as("src"), col("score")), "src")
+        .select(col("dst").as("node"), (col("score") / col("outw")).as("c"))
+        .repartition(width, col("node"))
+        .groupBy("node").agg(sum(col("c")).as("c"))
+      scores = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(1.0d - damping) * col("base")
+            + lit(damping) * coalesce(col("c"), lit(0.0d))).as("score"))
+        .localCheckpoint(true)
+      it += 1
+    }
+    scores
+  }
+
   /** HITS hubs & authorities (Kleinberg '99) — the complementary authority
     * signal to [[pageRank]]: a GOOD HUB (link directory, sitemap page,
     * curated index) scores high for pointing at good authorities even when

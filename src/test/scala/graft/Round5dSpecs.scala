@@ -130,6 +130,19 @@ class RedirectsSpec extends AnyFunSuite {
     assert(out(2L) == ((0L, 400000L)))
   }
 
+  test("TrustRank: link farms with no trusted in-links score zero") {
+    // trusted seed 1 → 2 → 3; spam farm 10 ↔ 11 pumping each other
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 10L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val out = graft.frontier.Rank.trustRank(edges, seeds, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val base = 1.0 - 0.85 // the engine computes (1 − d), not the literal 0.15
+    assert(out(1L) == base) // seed: base only (nothing links in)
+    assert(out(2L) == 0.85 * base) // d × seed's base after convergence step
+    assert(out(10L) == 0.0 && out(11L) == 0.0) // the farm never sees trust
+    assert(out(3L) > 0.0)
+  }
+
   test("pass-through columns and row multiplicity survive") {
     val edges = chain("m.test", 2).toDF("src", "dst")
     val urls = Seq(("http://m.test/n0", 7L), ("http://m.test/n0", 9L))
