@@ -339,7 +339,17 @@ object Bench {
       "anchor_text" -> ((s: SparkSession, d: String) =>
         SparkEntry.queries("q79_anchor_text")(s, d)),
       "trap_cap" -> ((s: SparkSession, d: String) =>
-        SparkEntry.queries("q80_trap_cap")(s, d)))
+        SparkEntry.queries("q80_trap_cap")(s, d)),
+      "redirects" -> ((s: SparkSession, d: String) =>
+        SparkEntry.queries("q85_redirects")(s, d)),
+      "containment" -> ((s: SparkSession, d: String) =>
+        SparkEntry.queries("q86_containment")(s, d)),
+      "image_dhash" -> ((s: SparkSession, d: String) =>
+        SparkEntry.queries("q87_image_dhash")(s, d)),
+      "hits_rank" -> ((s: SparkSession, d: String) =>
+        SparkEntry.queries("q88_hits")(s, d)),
+      "trustrank" -> ((s: SparkSession, d: String) =>
+        SparkEntry.queries("q89_trustrank")(s, d)))
     val extras = extraQueries.map { case (name, fn) =>
       val sec = try {
         force(fn(spark, sfDir))

@@ -1046,6 +1046,46 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    "q90_revisit_rates" -> ((s, dir) => {
+      // revisit classification between two snapshots (Cho & Garcia-Molina
+      // change-rate estimation): prev = every doc; cur drops %11 (gone),
+      // mutates %3 (modified), adds /n/ urls for %13 (new). Digest compare
+      // (md5) ⟺ string equality, so the oracle replays the statuses
+      // directly; per-host rollup with integer-ppm change rate.
+      val host = concat(lit("h"), (col("doc_id") % 20).cast("string"), lit(".test"))
+      val url = concat(lit("http://"), host, lit("/p/"), col("doc_id").cast("string"))
+      val body = concat(lit("<html><body>v"), col("doc_id").cast("string"),
+        lit("</body></html>"))
+      val prev = docs(s, dir).select(url.as("url"), body.as("html"))
+      val cur = docs(s, dir).where(col("doc_id") % 11 =!= 0)
+        .select(url.as("url"),
+          when(col("doc_id") % 3 === 0, concat(body, lit("!")))
+            .otherwise(body).as("html"))
+        .unionByName(docs(s, dir).where(col("doc_id") % 13 === 0)
+          .select(concat(lit("http://"), host, lit("/n/"),
+            col("doc_id").cast("string")).as("url"), body.as("html")))
+      graft.frontier.Revisit.changeRates(prev, cur)
+        .orderBy("host")
+    }),
+
+    "q91_reciprocity" -> ((s, dir) => {
+      // reciprocal-link nepotism (Davison '00): host graph from two
+      // arithmetic url-edge maps (7a+3 and 11a+5 mod 20) — the 7a+3 map's
+      // fixed points of a = 7(7a+3)+3 give natural webring pairs
+      // (h2↔h17, h7↔h12); counts + integer ppm replay anywhere.
+      val srcUrl = concat(lit("http://h"), (col("doc_id") % 20).cast("string"),
+        lit(".test/p/"), col("doc_id").cast("string"))
+      val dst1 = concat(lit("http://h"), ((col("doc_id") * 7 + 3) % 20).cast("string"),
+        lit(".test/x"))
+      val dst2 = concat(lit("http://h"), ((col("doc_id") * 11 + 5) % 20).cast("string"),
+        lit(".test/x"))
+      val edges = docs(s, dir).select(srcUrl.as("src"), dst1.as("dst"))
+        .unionByName(docs(s, dir).where(col("doc_id") % 2 === 0)
+          .select(srcUrl.as("src"), dst2.as("dst")))
+      graft.frontier.Rank.reciprocity(graft.frontier.Rank.hostGraph(edges))
+        .orderBy("host")
+    }),
+
     "q81_frontier_capstone" -> ((s, dir) => {
       // round-5b capstone — the production frontier configuration composed
       // end to end: trap-capped frontier (q80 shapes) → HOST-level
@@ -2519,6 +2559,48 @@ object SparkEntry {
         |s3 AS (SELECT b.n, 0.15 * b.base + 0.85 * coalesce(c3.c, 0) AS score
         |       FROM b LEFT JOIN c3 USING (n))
         |SELECT n AS node, round(score, 6) AS score FROM s3 ORDER BY node""".stripMargin,
+
+    "q90_revisit_rates" ->
+      """WITH st AS (
+        |  SELECT 'h' || (doc_id % 20) || '.test' AS host,
+        |    CASE WHEN doc_id % 11 = 0 THEN 'gone'
+        |         WHEN doc_id % 3 = 0 THEN 'modified'
+        |         ELSE 'unchanged' END AS status
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'h' || (doc_id % 20) || '.test', 'new'
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |r AS (SELECT host,
+        |    sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS n_new,
+        |    sum(CASE WHEN status = 'gone' THEN 1 ELSE 0 END) AS n_gone,
+        |    sum(CASE WHEN status = 'modified' THEN 1 ELSE 0 END) AS n_modified,
+        |    sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS n_unchanged
+        |  FROM st GROUP BY host)
+        |SELECT host, CAST(n_new AS BIGINT) AS n_new,
+        |  CAST(n_gone AS BIGINT) AS n_gone,
+        |  CAST(n_modified AS BIGINT) AS n_modified,
+        |  CAST(n_unchanged AS BIGINT) AS n_unchanged,
+        |  CAST(CASE WHEN n_modified + n_unchanged > 0
+        |    THEN (1000000 * n_modified) // (n_modified + n_unchanged)
+        |    END AS BIGINT) AS change_ppm
+        |FROM r ORDER BY host""".stripMargin,
+
+    "q91_reciprocity" ->
+      """WITH he AS (
+        |  SELECT 'h' || (doc_id % 20) || '.test' AS s,
+        |    'h' || ((doc_id * 7 + 3) % 20) || '.test' AS d FROM documents
+        |  UNION ALL
+        |  SELECT 'h' || (doc_id % 20) || '.test',
+        |    'h' || ((doc_id * 11 + 5) % 20) || '.test'
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |e AS (SELECT DISTINCT s, d FROM he WHERE s <> d),
+        |rev AS (SELECT d AS s, s AS d, true AS r FROM e),
+        |j AS (SELECT e.s, CASE WHEN rev.r THEN 1 ELSE 0 END AS rc
+        |      FROM e LEFT JOIN rev ON e.s = rev.s AND e.d = rev.d)
+        |SELECT s AS host, CAST(count(*) AS BIGINT) AS n_out_partners,
+        |  CAST(sum(rc) AS BIGINT) AS n_reciprocal,
+        |  CAST((1000000 * sum(rc)) // count(*) AS BIGINT) AS reciprocity_ppm
+        |FROM j GROUP BY s ORDER BY host""".stripMargin,
 
     "q81_frontier_capstone" ->
       """WITH u AS (

@@ -219,6 +219,31 @@ object Rank {
       .where(col("src_host") =!= col("dst_host"))
       .groupBy("src_host", "dst_host").agg(count(lit(1)).as("weight"))
 
+  /** Reciprocal-link ("nepotism") ratio per host — Davison '00's classic
+    * link-spam heuristic: organic endorsement is mostly one-way, while
+    * link-exchange schemes reciprocate, so a host whose out-partners
+    * mostly link BACK is running a scheme (or a webring). Feed the ppm
+    * into the same demotion slot as [[trustRank]] — the two catch
+    * different farms (trustRank needs a trusted seed set; this needs
+    * none).
+    *
+    * Input is the [[hostGraph]] pair table (already collapsed — the 10^7
+    * scale story is inherited); the reverse-pair probe is one self
+    * equi-join on the pair key, then a map-side-combinable rollup.
+    */
+  def reciprocity(hostEdges: DataFrame, srcCol: String = "src_host",
+      dstCol: String = "dst_host"): DataFrame = {
+    val e = hostEdges.select(col(srcCol).as("s"), col(dstCol).as("d"))
+    val rev = e.select(col("d").as("s"), col("s").as("d"), lit(true).as("__r"))
+      .distinct()
+    e.join(rev, Seq("s", "d"), "left")
+      .groupBy(col("s").as("host"))
+      .agg(count(lit(1)).as("n_out_partners"),
+        sum(when(col("__r"), 1L).otherwise(0L)).as("n_reciprocal"))
+      .withColumn("reciprocity_ppm",
+        expr("(1000000 * n_reciprocal) DIV n_out_partners"))
+  }
+
   /** Host-level authority: [[hostGraph]] → weighted [[pageRank]] over
     * xxhash64 host ids (collision odds at 10^7 hosts ≈ 10^-6; ids never
     * leave this function) → (host, score). The host score is what a crawl

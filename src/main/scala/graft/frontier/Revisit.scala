@@ -1,0 +1,57 @@
+package graft.frontier
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Revisit classification between two crawl snapshots — the measurement
+  * half of the freshness literature (Cho & Garcia-Molina's change-rate
+  * estimation): every url is `new` / `gone` / `modified` / `unchanged`,
+  * and per-host change rates feed the refresh scheduler (a host whose
+  * pages never change earns a long TTL; a news host earns a short one —
+  * the empirical prior behind [[Ledger.staleFrontier]]'s fixed TTL and
+  * the q84 sitemap-lastmod channel when sites publish no lastmod).
+  *
+  * Scale shape: page bytes are DIGESTED per side before the join — the
+  * full-outer join moves (url, 32-char digest) rows, never html — and the
+  * host rollup is one map-side-combinable count pivot. Change fraction is
+  * integer ppm over REVISITED pages only (new/gone say nothing about
+  * mutation rate).
+  */
+object Revisit {
+
+  /** (url, status) for every url in either snapshot. Digest compare (md5),
+    * not byte compare: collisions are ignorable and the join payload stays
+    * constant-width regardless of page size.
+    */
+  def classify(prev: DataFrame, cur: DataFrame, urlCol: String = "url",
+      htmlCol: String = "html"): DataFrame = {
+    val p = prev.select(col(urlCol).as("url"),
+      md5(col(htmlCol).cast("string")).as("__pd"))
+    val c = cur.select(col(urlCol).as("url"),
+      md5(col(htmlCol).cast("string")).as("__cd"))
+    p.join(c, Seq("url"), "full_outer")
+      .select(col("url"),
+        when(col("__pd").isNull, lit("new"))
+          .when(col("__cd").isNull, lit("gone"))
+          .when(col("__pd") === col("__cd"), lit("unchanged"))
+          .otherwise(lit("modified")).as("status"))
+  }
+
+  /** Per-host rollup of [[classify]]: counts per status + `change_ppm` =
+    * modified ∕ (modified + unchanged) in integer ppm (floor) — the
+    * mutation-rate estimate over pages seen in BOTH snapshots.
+    */
+  def changeRates(prev: DataFrame, cur: DataFrame, urlCol: String = "url",
+      htmlCol: String = "html"): DataFrame =
+    classify(prev, cur, urlCol, htmlCol)
+      .groupBy(graft.functions.host_of(col("url")).as("host"))
+      .agg(
+        sum(when(col("status") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("status") === "gone", 1L).otherwise(0L)).as("n_gone"),
+        sum(when(col("status") === "modified", 1L).otherwise(0L)).as("n_modified"),
+        sum(when(col("status") === "unchanged", 1L).otherwise(0L)).as("n_unchanged"))
+      .withColumn("change_ppm",
+        when(col("n_modified") + col("n_unchanged") > 0,
+          expr("(1000000 * n_modified) DIV (n_modified + n_unchanged)"))
+          .otherwise(lit(null).cast("long")))
+}

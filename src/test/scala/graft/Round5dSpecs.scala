@@ -143,6 +143,47 @@ class RedirectsSpec extends AnyFunSuite {
     assert(out(3L) > 0.0)
   }
 
+  test("revisit classification covers all four statuses; ppm over revisits only") {
+    import graft.frontier.Revisit
+    val prev = Seq(
+      ("http://a.test/1", "x"), ("http://a.test/2", "y"),
+      ("http://a.test/3", "z"), ("http://b.test/1", "q")).toDF("url", "html")
+    val cur = Seq(
+      ("http://a.test/1", "x"), // unchanged
+      ("http://a.test/2", "y2"), // modified
+      ("http://a.test/9", "w"), // new
+      ("http://c.test/1", "n")) // new host (b.test/1 gone)
+      .toDF("url", "html")
+    val cls = Revisit.classify(prev, cur).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cls == Map(
+      "http://a.test/1" -> "unchanged", "http://a.test/2" -> "modified",
+      "http://a.test/3" -> "gone", "http://a.test/9" -> "new",
+      "http://b.test/1" -> "gone", "http://c.test/1" -> "new"))
+    val rates = Revisit.changeRates(prev, cur).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          Option(r.get(5))))).toMap
+    assert(rates("a.test") == ((1L, 1L, 1L, 1L, Some(500000L))))
+    assert(rates("b.test") == ((0L, 1L, 0L, 0L, None))) // no revisits → NULL rate
+    assert(rates("c.test") == ((1L, 0L, 0L, 0L, None)))
+  }
+
+  test("reciprocity: webrings score 1e6 ppm, one-way endorsement scores 0") {
+    // a↔b webring; c→a, c→b one-way; d→c one-way
+    val hostEdges = Seq(
+      ("a.test", "b.test"), ("b.test", "a.test"),
+      ("c.test", "a.test"), ("c.test", "b.test"),
+      ("d.test", "c.test")).toDF("src_host", "dst_host")
+    val out = graft.frontier.Rank.reciprocity(hostEdges).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out("a.test") == ((1L, 1L, 1000000L)))
+    assert(out("b.test") == ((1L, 1L, 1000000L)))
+    assert(out("c.test") == ((2L, 0L, 0L)))
+    assert(out("d.test") == ((1L, 0L, 0L)))
+  }
+
   test("pass-through columns and row multiplicity survive") {
     val edges = chain("m.test", 2).toDF("src", "dst")
     val urls = Seq(("http://m.test/n0", 7L), ("http://m.test/n0", 9L))
