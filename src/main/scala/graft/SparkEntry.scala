@@ -1086,6 +1086,18 @@ object SparkEntry {
         .orderBy("host")
     }),
 
+    "q92_bpe_token_counts" -> ((s, dir) => {
+      // doc-level BPE token counts under a 4-merge list whose needles
+      // cannot false-match across symbol boundaries (no symbol in play
+      // ends with the left or starts with the right of a later needle),
+      // so DuckDB replays the left-to-right non-overlap kernel as 4
+      // chained string replaces on the space-joined symbols. n_tokens =
+      // chars + words − merge applications; pure integers.
+      graft.text.Bpe.encodeCounts(docs(s, dir), "doc_id", "text",
+          Seq(("e", "s"), ("t", "h"), ("es", "</w>"), ("a", "n")))
+        .orderBy("doc_id")
+    }),
+
     "q81_frontier_capstone" -> ((s, dir) => {
       // round-5b capstone — the production frontier configuration composed
       // end to end: trap-capped frontier (q80 shapes) → HOST-level
@@ -2601,6 +2613,27 @@ object SparkEntry {
         |  CAST(sum(rc) AS BIGINT) AS n_reciprocal,
         |  CAST((1000000 * sum(rc)) // count(*) AS BIGINT) AS reciprocity_ppm
         |FROM j GROUP BY s ORDER BY host""".stripMargin,
+
+    "q92_bpe_token_counts" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '')) AS word
+        |  FROM documents),
+        |occ AS (SELECT doc_id, word, count(*) AS occ FROM w GROUP BY 1, 2),
+        |v AS (SELECT DISTINCT word FROM occ),
+        |enc AS (
+        |  SELECT word,
+        |    len(string_split(
+        |      replace(replace(replace(replace(
+        |        array_to_string(list_append(string_split(word, ''), '</w>'), ' '),
+        |        'e s', 'es'), 't h', 'th'), 'es </w>', 'es</w>'), 'a n', 'an'),
+        |      ' ')) AS n_sym
+        |  FROM v)
+        |SELECT occ.doc_id, CAST(sum(occ.occ) AS BIGINT) AS n_words,
+        |  CAST(sum(occ.occ * enc.n_sym) AS BIGINT) AS n_tokens
+        |FROM occ JOIN enc USING (word)
+        |GROUP BY occ.doc_id ORDER BY doc_id""".stripMargin,
 
     "q81_frontier_capstone" ->
       """WITH u AS (

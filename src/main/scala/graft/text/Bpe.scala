@@ -96,4 +96,36 @@ object Bpe {
     */
   def applyAll(symWords: DataFrame, merges: Seq[(String, String)]): DataFrame =
     merges.foldLeft(symWords) { case (df, (a, b)) => applyMerge(df, a, b) }
+
+  /** Doc-level TOKEN COUNTS under a trained merge list — the number
+    * [[graft.pipeline.Pack.packByTokenBudget]] should actually pack by
+    * (the whitespace word count it uses otherwise systematically
+    * underestimates sequence length for subword vocabularies).
+    *
+    * The scalable shape is the training one inverted: encode the DISTINCT
+    * words once (the merge kernel runs |vocab| times, not |corpus| times
+    * — 10^12 tokens collapse to ~10^7 distinct words), pre-aggregate the
+    * corpus to (doc, word, occurrences) with a map-side combine, then one
+    * equi-join against the encoded vocab and a weighted per-doc sum. The
+    * join moves (doc, word-hash-sized) rows, never symbol arrays.
+    *
+    * @return (idCol, n_words, n_tokens) — n_tokens = Σ occurrences ×
+    *         |merged symbols(word)|
+    */
+  def encodeCounts(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)], lowercase: Boolean = true): DataFrame = {
+    val base = if (lowercase) lower(col(textCol)) else col(textCol)
+    val occ = docs
+      .select(col(idCol).as("id"),
+        explode(filter(split(base, "\\s+"), t => t =!= "")).as("word"))
+      .groupBy("id", "word").agg(count(lit(1)).as("occ"))
+    val vocab = applyAll(
+      init(occ.select(col("word")).distinct().withColumn("freq", lit(1L))),
+      merges)
+      .select(col("word"), size(col("syms")).cast("long").as("n_sym"))
+    occ.join(vocab, Seq("word"))
+      .groupBy(col("id").as(idCol))
+      .agg(sum(col("occ")).as("n_words"),
+        sum(col("occ") * col("n_sym")).as("n_tokens"))
+  }
 }

@@ -184,6 +184,17 @@ class RedirectsSpec extends AnyFunSuite {
     assert(out("d.test") == ((1L, 0L, 0L)))
   }
 
+  test("BPE encodeCounts: rank-ordered merges compose per word, weighted per doc") {
+    val docs = Seq((1L, "the mess the"), (2L, "canes")).toDF("doc_id", "text")
+    val out = graft.text.Bpe.encodeCounts(docs, "doc_id", "text",
+      Seq(("e", "s"), ("t", "h"), ("es", "</w>"), ("a", "n"))).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // the → [th, e, </w>] = 3; mess → [m, es, s, </w>] = 4 → 2×3 + 4 = 10
+    assert(out(1L) == ((3L, 10L)))
+    // canes → es → es</w> → an: [c, an, es</w>] = 3 (tests merge ORDER)
+    assert(out(2L) == ((1L, 3L)))
+  }
+
   test("pass-through columns and row multiplicity survive") {
     val edges = chain("m.test", 2).toDF("src", "dst")
     val urls = Seq(("http://m.test/n0", 7L), ("http://m.test/n0", 9L))
