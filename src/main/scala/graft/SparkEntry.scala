@@ -1098,6 +1098,58 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q93_mirror_hosts" -> ((s, dir) => {
+      // mirror-host detection (Bharat & Broder '99): 20 hosts where
+      // h{k} and h{k+10} serve identical bodies v{k%10}_{j} (j = doc
+      // family) — 10 planted mirror pairs — EXCEPT rows with
+      // doc_id % 7 == 0, which all serve one universal "parked"
+      // boilerplate body shared by every host; the maxHostsPerDigest cap
+      // must kill that digest or the result is all-pairs. md5 partitions
+      // rows exactly like raw-body equality, so the oracle replays on the
+      // body strings; counts and ppm are pure integers.
+      val url = concat(lit("http://h"), (col("doc_id") % 20).cast("string"),
+        lit(".test/p/"), col("doc_id").cast("string"))
+      val body = when(col("doc_id") % 7 === 0, lit("<html>parked</html>"))
+        .otherwise(concat(lit("<html>v"), (col("doc_id") % 10).cast("string"),
+          lit("_"), expr("doc_id DIV 20").cast("string"),
+          lit("</html>")))
+      graft.frontier.Mirrors.mirrorPairs(
+          docs(s, dir).select(url.as("url"), body.as("html")),
+          maxHostsPerDigest = 5)
+        .orderBy("host_a", "host_b")
+    }),
+
+    "q94_sniff_mime" -> ((s, dir) => {
+      // content-type sniffing over REAL magic bytes: 12 payload classes
+      // built from genuine format prefixes (PNG/JPEG/GIF/RIFF-WAVE/PDF/
+      // gzip/markup/WARC/UTF-8/invalid-UTF-8/truncated-PNG+NUL) — the
+      // engine walks the bytes, the oracle knows only the plant (q36/q37
+      // discipline). Mixed-case DocType and leading whitespace exercise
+      // the WHATWG tag sniff; class 10 is binary-byte-free but
+      // UTF-8-invalid; class 11 has 4 of PNG's 8 magic bytes plus a NUL.
+      val cls = col("doc_id") % 12
+      val payload = col("doc_id").cast("string").cast("binary")
+      val bin = when(cls === 0, concat(unhex(lit("89504E470D0A1A0A")), payload))
+        .when(cls === 1, concat(unhex(lit("FFD8FFE000104A464946")), payload))
+        .when(cls === 2, concat(lit("GIF89a").cast("binary"), payload))
+        .when(cls === 3, concat(lit("RIFF").cast("binary"),
+          unhex(lit("24000000")), lit("WAVEfmt ").cast("binary"), payload))
+        .when(cls === 4, concat(lit("%PDF-1.4 ").cast("binary"), payload))
+        .when(cls === 5, concat(unhex(lit("1F8B08")), payload))
+        .when(cls === 6, concat(lit("\n\t  <!DocType HTML><html>").cast("binary"),
+          payload))
+        .when(cls === 7, concat(lit("<?xml version=\"1.0\"?><root>").cast("binary"),
+          payload))
+        .when(cls === 8, concat(lit("WARC/1.0\r\nWARC-Type: response\r\n")
+          .cast("binary"), payload))
+        .when(cls === 9, concat(lit("plain café text ").cast("binary"), payload))
+        .when(cls === 10, concat(unhex(lit("C328")), lit("tail").cast("binary")))
+        .otherwise(concat(unhex(lit("89504E4700")), payload))
+      docs(s, dir)
+        .select(col("doc_id"), graft.functions.sniff_mime(bin).as("mime"))
+        .orderBy("doc_id")
+    }),
+
     "q81_frontier_capstone" -> ((s, dir) => {
       // round-5b capstone — the production frontier configuration composed
       // end to end: trap-capped frontier (q80 shapes) → HOST-level
@@ -2634,6 +2686,41 @@ object SparkEntry {
         |  CAST(sum(occ.occ * enc.n_sym) AS BIGINT) AS n_tokens
         |FROM occ JOIN enc USING (word)
         |GROUP BY occ.doc_id ORDER BY doc_id""".stripMargin,
+
+    "q93_mirror_hosts" ->
+      """WITH hd AS (
+        |  SELECT DISTINCT 'h' || (doc_id % 20) || '.test' AS host,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'parked'
+        |         ELSE 'v' || (doc_id % 10) || '_' || (doc_id // 20) END AS body
+        |  FROM documents),
+        |hot AS (SELECT body FROM hd GROUP BY body HAVING count(*) > 5),
+        |kept AS (SELECT * FROM hd
+        |         WHERE body NOT IN (SELECT body FROM hot)),
+        |sizes AS (SELECT host, count(*) AS n FROM kept GROUP BY host),
+        |p AS (SELECT a.host AS host_a, b.host AS host_b,
+        |        count(*) AS shared
+        |      FROM kept a JOIN kept b
+        |        ON a.body = b.body AND a.host < b.host
+        |      GROUP BY 1, 2)
+        |SELECT host_a, host_b, CAST(shared AS BIGINT) AS shared,
+        |  CAST(sa.n AS BIGINT) AS size_a, CAST(sb.n AS BIGINT) AS size_b,
+        |  CAST((1000000 * shared) // least(sa.n, sb.n) AS BIGINT)
+        |    AS containment_ppm
+        |FROM p JOIN sizes sa ON p.host_a = sa.host
+        |       JOIN sizes sb ON p.host_b = sb.host
+        |WHERE shared >= 2
+        |  AND (1000000 * shared) // least(sa.n, sb.n) >= 500000
+        |ORDER BY host_a, host_b""".stripMargin,
+
+    "q94_sniff_mime" ->
+      """SELECT doc_id, CASE doc_id % 12
+        |  WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+        |  WHEN 2 THEN 'image/gif' WHEN 3 THEN 'audio/wav'
+        |  WHEN 4 THEN 'application/pdf' WHEN 5 THEN 'application/gzip'
+        |  WHEN 6 THEN 'text/html' WHEN 7 THEN 'text/xml'
+        |  WHEN 8 THEN 'application/warc' WHEN 9 THEN 'text/plain'
+        |  ELSE 'application/octet-stream' END AS mime
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q81_frontier_capstone" ->
       """WITH u AS (

@@ -310,6 +310,21 @@ case class ExtractText(child: Expression)
   override def prettyName: String = "extract_text"
 }
 
+/** Content-type sniff over fetched bytes (WHATWG magic-byte subset;
+  * [[graft.multimodal.Mime]]). Binary in, mime string out, codegen'd.
+  */
+case class SniffMime(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    graft.multimodal.Mime.sniff(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.multimodal.Mime.sniff($c)")
+  override protected def withNewChildInternal(c: Expression): SniffMime = copy(c)
+  override def prettyName: String = "sniff_mime"
+}
+
 /** Full text invariant: extract + preprocess (reference `:72-99`). */
 case class ExtractReadable(child: Expression)
     extends UnaryExpression {

@@ -193,6 +193,9 @@ package object functions {
     */
   def repetition_stats(c: Column): Column = col(RepetitionStatsExpr(expr(c)))
 
+  /** Content-type sniff over raw fetched bytes (WHATWG magic-byte subset). */
+  def sniff_mime(c: Column): Column = col(SniffMime(expr(c)))
+
   /** Register all functions for SQL use (`SELECT canonicalize_url(url) …`). */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -216,5 +219,6 @@ package object functions {
     reg.createOrReplaceTempFunction("normalize_nfc", es => NormalizeUnicode(es.head, "NFC"), "scala_udf")
     reg.createOrReplaceTempFunction("page_directives", es => PageDirectivesExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("cosine_int8", es => CosineInt8(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("sniff_mime", es => SniffMime(es.head), "scala_udf")
   }
 }

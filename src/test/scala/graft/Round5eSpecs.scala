@@ -1,0 +1,102 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.frontier.Mirrors
+
+class MirrorsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def page(host: String, path: String, body: String): (String, String) =
+    (s"http://$host/$path", body)
+
+  test("full mirrors score 1e6 ppm; unrelated hosts never pair") {
+    val pages = (
+      (1 to 6).map(j => page("a.test", s"p$j", s"body-$j")) ++
+      (1 to 6).map(j => page("a-mirror.test", s"q$j", s"body-$j")) ++
+      (1 to 6).map(j => page("other.test", s"r$j", s"zzz-$j"))
+    ).toDF("url", "html")
+    val out = Mirrors.mirrorPairs(pages).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getString(0) == "a-mirror.test" && r.getString(1) == "a.test")
+    assert(r.getLong(2) == 6L && r.getLong(3) == 6L && r.getLong(4) == 6L)
+    assert(r.getLong(5) == 1000000L)
+  }
+
+  test("containment uses the SMALLER host's corpus as denominator") {
+    val pages = (
+      (1 to 10).map(j => page("big.test", s"p$j", s"shared-$j")) ++
+      (11 to 20).map(j => page("big.test", s"p$j", s"only-big-$j")) ++
+      (1 to 10).map(j => page("small.test", s"q$j", s"shared-$j"))
+    ).toDF("url", "html")
+    val r = Mirrors.mirrorPairs(pages).collect().head
+    // shared=10, sizes 20/10 → 10/min(20,10) = 1e6 ppm despite Jaccard 0.5
+    assert(r.getLong(2) == 10L && r.getLong(5) == 1000000L)
+  }
+
+  test("boilerplate digests past the host cap contribute no evidence") {
+    // 8 hosts all serving one parked page + nothing else in common
+    val pages = (0 until 8).flatMap { h =>
+      Seq(page(s"h$h.test", "idx", "<html>parked</html>"),
+        page(s"h$h.test", "x", s"unique-$h"),
+        page(s"h$h.test", "y", s"solo-$h"))
+    }.toDF("url", "html")
+    // cap below 8 → parked digest dropped → zero qualifying pairs
+    assert(Mirrors.mirrorPairs(pages, maxHostsPerDigest = 5).count() == 0L)
+    // cap at 8 → parked digest kept, but shared=1 < minShared=2 → still zero
+    assert(Mirrors.mirrorPairs(pages, maxHostsPerDigest = 8).count() == 0L)
+    // shared=1 admitted only when minShared=1 AND ppm clears: 1/3 < 0.5 → zero
+    assert(Mirrors.mirrorPairs(pages, maxHostsPerDigest = 8,
+      minShared = 1L).count() == 0L)
+  }
+
+  test("mime sniff: real codec outputs classify; malformed rejects are honest") {
+    import graft.multimodal.{Mime, Png, Wav, Vid}
+    val pngBytes = Png.encode(2, 2, 1, Array[Byte](0, 1, 2, 3))
+    assert(Mime.sniffBytes(pngBytes) == "image/png")
+    assert(Mime.sniffBytes(Wav.encode(8000, 1, Array[Short](0, 100))) == "audio/wav")
+    assert(Mime.sniffBytes(Vid.encode(2, 2, Seq(pngBytes))) == "video/x-graft")
+    assert(Mime.sniffBytes("WARC/1.0\r\n".getBytes("UTF-8")) == "application/warc")
+    assert(Mime.sniffBytes(Array[Byte]('P', 'K', 3, 4, 9)) == "application/zip")
+    // RIFF with an unknown subtype is NOT wav/webp
+    assert(Mime.sniffBytes("RIFF1234JUNK".getBytes("UTF-8")) ==
+      "application/octet-stream")
+    assert(Mime.sniffBytes("RIFF1234WEBPVP8 ".getBytes("UTF-8")) == "image/webp")
+    // truncated PNG magic falls through to the binary-byte scan (0x1A)
+    assert(Mime.sniffBytes(pngBytes.take(7)) == "application/octet-stream")
+  }
+
+  test("mime sniff: markup whitespace/case rules and strict UTF-8 fences") {
+    import graft.multimodal.Mime
+    def s(x: String) = Mime.sniffBytes(x.getBytes("UTF-8"))
+    assert(s("\r\n\t  <!doctype HTML><x>") == "text/html")
+    assert(s("<HeAd><title>t</title>") == "text/html")
+    assert(s("<!-- comment -->") == "text/html")
+    assert(s("  <?XML version=\"1.0\"?>") == "text/xml")
+    assert(s("doc says <html> later") == "text/plain") // tag must LEAD
+    assert(s("café   💩") == "text/plain") // 2/3/4-byte UTF-8
+    assert(Mime.sniffBytes(Array.empty[Byte]) == "application/octet-stream")
+    // overlong encoding of '/' (C0 AF), lone surrogate (ED A0 80), bare
+    // continuation, truncated multibyte — all reject despite no binary byte
+    for (bad <- Seq(Array(0xC0, 0xAF), Array(0xED, 0xA0, 0x80), Array(0x80),
+        Array(0xF0, 0x9F, 0x92)))
+      assert(Mime.sniffBytes(bad.map(_.toByte)) == "application/octet-stream")
+    // a NUL anywhere is binary even if the rest is clean text
+    assert(s("looks like text\u0000") == "application/octet-stream")
+  }
+
+  test("intra-host duplicates do not inflate shared counts") {
+    val pages = (
+      Seq.fill(5)(page("dup.test", "p", "same-body")) ++
+      (1 to 4).map(j => page("dup.test", s"u$j", s"same-body")) ++
+      Seq(page("twin.test", "p", "same-body"), page("twin.test", "x", "pad-1"),
+        page("dup.test", "z", "pad-1"))
+    ).toDF("url", "html")
+    val r = Mirrors.mirrorPairs(pages, minShared = 2L, minPpm = 1L).collect()
+    assert(r.length == 1)
+    // dup.test has 2 distinct digests (same-body, pad-1); both shared
+    assert(r.head.getLong(2) == 2L && r.head.getLong(3) == 2L)
+  }
+}
