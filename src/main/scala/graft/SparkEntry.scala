@@ -1150,6 +1150,59 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q95_page_outline" -> ((s, dir) => {
+      // title + heading outline over a REAL parse: six title classes
+      // (error title / entity + whitespace collapse / absent /
+      // self-closing / escaped angle brackets / error phrase), h2 count
+      // from repeat(doc_id % 4), one h3 guarded by a comment decoy, and
+      // an <h2> planted inside a script string that must NOT count
+      // (raw-text blindness). The oracle knows only the plants.
+      val m6 = col("doc_id") % 6
+      val id = col("doc_id").cast("string")
+      val titlePart = when(m6 === 0, lit("<title>404   Not\n Found</title>"))
+        .when(m6 === 1, concat(lit("<title> Doc &amp; "), id, lit(" </title>")))
+        .when(m6 === 2, lit(""))
+        .when(m6 === 3, lit("<title/>"))
+        .when(m6 === 4, concat(lit("<title>Fine &lt;page&gt; "), id, lit("</title>")))
+        .otherwise(concat(lit("<title>Error: page "), id, lit(" not found</title>")))
+      val html = concat(lit("<html><head>"), titlePart,
+        lit("</head><body><h1>Top</h1>"),
+        expr("repeat('<h2>s</h2>', CAST(doc_id % 4 AS INT))"),
+        when(col("doc_id") % 5 === 0,
+          lit("<!-- <h3>decoy</h3> --><h3>real</h3>")).otherwise(lit("")),
+        when(col("doc_id") % 3 === 0,
+          lit("<script>var a=\"<h2>fake</h2>\";</script>")).otherwise(lit("")),
+        lit("<p>b</p></body></html>"))
+      docs(s, dir)
+        .select(col("doc_id"), graft.functions.page_outline(html).as("o"))
+        .select(col("doc_id"), col("o.title").as("title"),
+          col("o.h1").as("h1"), col("o.h2").as("h2"), col("o.h3").as("h3"),
+          col("o.h4").as("h4"), col("o.h5").as("h5"), col("o.h6").as("h6"))
+        .orderBy("doc_id")
+    }),
+
+    "q96_soft404" -> ((s, dir) => {
+      // soft-404 gate over real parses: error classes (%6 ∈ {0,5}) serve
+      // an error title + 3-token error body; real pages a 17-token body —
+      // but the heuristic is replayed VERBATIM in the oracle, so even its
+      // deliberate false positives (a real page titled "Doc 404") must
+      // match engine-for-engine.
+      val m6 = col("doc_id") % 6
+      val id = col("doc_id").cast("string")
+      val title = when(m6 === 0, lit("404 Not Found"))
+        .when(m6 === 5, concat(lit("Error: page "), id, lit(" not found")))
+        .otherwise(concat(lit("Doc "), id))
+      val body = when(m6 === 0 || m6 === 5, lit("Page not found."))
+        .otherwise(concat(lit("alpha beta gamma delta epsilon zeta eta theta " +
+          "iota kappa lambda mu nu xi omicron pi "), id))
+      val html = concat(lit("<html><head><title>"), title,
+        lit("</title></head><body><p>"), body, lit("</p></body></html>"))
+      graft.text.CorpusFilter.withSoft404(
+          docs(s, dir).select(col("doc_id"), html.as("html")))
+        .select(col("doc_id"), col("title"), col("n_body_tokens"), col("soft404"))
+        .orderBy("doc_id")
+    }),
+
     "q81_frontier_capstone" -> ((s, dir) => {
       // round-5b capstone — the production frontier configuration composed
       // end to end: trap-capped frontier (q80 shapes) → HOST-level
@@ -2721,6 +2774,45 @@ object SparkEntry {
         |  WHEN 8 THEN 'application/warc' WHEN 9 THEN 'text/plain'
         |  ELSE 'application/octet-stream' END AS mime
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q95_page_outline" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN '404 Not Found'
+        |    WHEN 1 THEN 'Doc & ' || doc_id
+        |    WHEN 2 THEN '' WHEN 3 THEN ''
+        |    WHEN 4 THEN 'Fine <page> ' || doc_id
+        |    ELSE 'Error: page ' || doc_id || ' not found' END AS title,
+        |  CAST(1 AS INTEGER) AS h1,
+        |  CAST(doc_id % 4 AS INTEGER) AS h2,
+        |  CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS INTEGER) AS h3,
+        |  CAST(0 AS INTEGER) AS h4, CAST(0 AS INTEGER) AS h5,
+        |  CAST(0 AS INTEGER) AS h6
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q96_soft404" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 6 = 0 THEN '404 Not Found'
+        |         WHEN doc_id % 6 = 5
+        |           THEN 'Error: page ' || doc_id || ' not found'
+        |         ELSE 'Doc ' || doc_id END AS title,
+        |    CASE WHEN doc_id % 6 IN (0, 5) THEN 'Page not found.'
+        |         ELSE 'alpha beta gamma delta epsilon zeta eta theta iota '
+        |           || 'kappa lambda mu nu xi omicron pi ' || doc_id
+        |         END AS body
+        |  FROM documents),
+        |n AS (SELECT doc_id, title, body,
+        |  len(string_split_regex(trim(body), '\s+')) AS nt FROM t)
+        |SELECT doc_id, title, CAST(nt AS BIGINT) AS n_body_tokens,
+        |  (contains(lower(title), '404') OR contains(lower(title), 'not found')
+        |   OR contains(lower(title), 'no longer exists')
+        |   OR contains(lower(title), 'page unavailable')
+        |   OR (nt <= 12 AND (contains(lower(body), '404')
+        |       OR contains(lower(body), 'not found')
+        |       OR contains(lower(body), 'no longer exists')
+        |       OR contains(lower(body), 'page unavailable')))) AS soft404
+        |FROM n ORDER BY doc_id""".stripMargin,
 
     "q81_frontier_capstone" ->
       """WITH u AS (

@@ -181,6 +181,12 @@ object Impl {
       UTF8String.fromString(d.canonical)))
   }
 
+  def pageOutline(html: UTF8String): InternalRow = {
+    val o = graft.text.HtmlText.outline(html.toString)
+    new GenericInternalRow(Array[Any](UTF8String.fromString(o.title),
+      o.h(0), o.h(1), o.h(2), o.h(3), o.h(4), o.h(5)))
+  }
+
   /** Unicode normalization (java.text.Normalizer) — NFC by default: the
     * pre-tokenization hygiene step (decomposed é = e + U+0301 must equal
     * composed é for every downstream hash/dedup/count operator).
@@ -964,6 +970,27 @@ object PageDirectivesExpr {
     StructField("noindex", BooleanType, nullable = false),
     StructField("nofollow", BooleanType, nullable = false),
     StructField("canonical", StringType, nullable = false)))
+}
+
+/** Title + h1..h6 outline of a page, one kernel pass
+  * ([[graft.text.HtmlText.outline]]).
+  */
+case class PageOutlineExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = PageOutlineExpr.Schema
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    Impl.pageOutline(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Impl.pageOutline($c)")
+  override protected def withNewChildInternal(c: Expression): PageOutlineExpr =
+    copy(c)
+  override def prettyName: String = "page_outline"
+}
+
+object PageOutlineExpr {
+  val Schema: StructType = StructType(
+    StructField("title", StringType, nullable = false) +:
+    (1 to 6).map(k => StructField(s"h$k", IntegerType, nullable = false)))
 }
 
 /** Unicode normalization of a text column (NFC/NFD/NFKC/NFKD) —

@@ -196,6 +196,9 @@ package object functions {
   /** Content-type sniff over raw fetched bytes (WHATWG magic-byte subset). */
   def sniff_mime(c: Column): Column = col(SniffMime(expr(c)))
 
+  /** Title + h1..h6 outline: STRUCT(title, h1, …, h6), one kernel pass. */
+  def page_outline(c: Column): Column = col(PageOutlineExpr(expr(c)))
+
   /** Register all functions for SQL use (`SELECT canonicalize_url(url) …`). */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -220,5 +223,6 @@ package object functions {
     reg.createOrReplaceTempFunction("page_directives", es => PageDirectivesExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("cosine_int8", es => CosineInt8(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("sniff_mime", es => SniffMime(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("page_outline", es => PageOutlineExpr(es.head), "scala_udf")
   }
 }

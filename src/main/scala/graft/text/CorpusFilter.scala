@@ -62,6 +62,35 @@ object CorpusFilter {
       .withColumn("passed", size(reasons) === 0)
   }
 
+  /** Soft-404 detection (Bar-Yossef et al., WWW '04 "Sic transit gloria
+    * telae"): servers that answer 200 with an error body poison both the
+    * corpus (the "page" passes every HTTP check) and the seen-set (the
+    * crawler believes it fetched the real page and never retries). The
+    * HTTP status can't help — this gate reads the DOCUMENT: an
+    * error-phrase title ("404", "not found", "no longer exists", "page
+    * unavailable") from the [[graft.functions.page_outline]] kernel, or a
+    * near-empty extracted body (≤ `maxErrorTokens` tokens) carrying an
+    * error phrase. Deliberately phrase-list simple — deterministic,
+    * SQL-replayable, and exactly the heuristic family the paper measures;
+    * one projection, both kernels codegen'd, no shuffle.
+    */
+  def withSoft404(pages: DataFrame, htmlCol: String = "html",
+      maxErrorTokens: Int = 12): DataFrame = {
+    val title = graft.functions.page_outline(col(htmlCol)).getField("title")
+    val text = graft.functions.extract_readable(col(htmlCol))
+    val nTokens = size(split(trim(text), "\\s+")).cast("long")
+    val tl = lower(title)
+    val bl = lower(text)
+    def hasErrPhrase(c: Column): Column =
+      c.contains("404") || c.contains("not found") ||
+        c.contains("no longer exists") || c.contains("page unavailable")
+    val soft = hasErrPhrase(tl) || (nTokens <= maxErrorTokens && hasErrPhrase(bl))
+    pages
+      .withColumn("title", title)
+      .withColumn("n_body_tokens", nTokens)
+      .withColumn("soft404", soft)
+  }
+
   /** Only the survivors, original columns. */
   def survivors(docs: DataFrame, textCol: String,
       t: Thresholds = Thresholds()): DataFrame =

@@ -550,4 +550,75 @@ object HtmlText {
     */
   def extractReadable(html: String): String =
     if (html == null) null else preprocess(extract(html))
+
+  /** Title + heading outline of a page. */
+  final case class Outline(title: String, h: Array[Int])
+
+  /** First `<title>` content + `h1..h6` open-tag counts — the
+    * document-structure signals soft-404 gates and boilerplate
+    * classifiers key on (an error page titled "404 Not Found" sails
+    * through text-quality checks; a page with 40 `<h3>`s and no body is
+    * a link hub). Title is RCDATA per the HTML5 tokenizer: runs to the
+    * literal `</title` close tag, NO tags parsed inside (a stray `<b>`
+    * stays text), entities decoded, whitespace collapsed; first title
+    * wins, absent/self-closing → "". Heading counts skip comments and
+    * raw-text elements (an `<h1>` inside a script string is not
+    * structure), matching the comment/raw-text blindness of
+    * [[extractLinks]] and [[pageDirectives]].
+    */
+  def outline(html: String): Outline = {
+    val h = new Array[Int](6)
+    if (html == null) return Outline("", h)
+    var title: String = null
+    val n = html.length
+    var i = 0
+    while (i < n) {
+      val lt = html.indexOf('<', i)
+      if (lt < 0) i = n
+      else if (html.startsWith("<!--", lt)) {
+        val end = html.indexOf("-->", lt + 4)
+        i = if (end < 0) n else end + 3
+      } else {
+        val gt = tagEnd(html, lt + 1)
+        if (gt < 0) i = n
+        else {
+          val inner = html.substring(lt + 1, gt)
+          val body = inner.stripPrefix("/").stripSuffix("/")
+          val sp = body.indexWhere(ch => ch == ' ' || ch == '\t' || ch == '\n' || ch == '\r')
+          val name = (if (sp < 0) body else body.substring(0, sp))
+            .toLowerCase(java.util.Locale.ROOT)
+          val isOpen = !inner.startsWith("/")
+          if (isOpen && name == "title" && title == null) {
+            if (inner.endsWith("/")) { title = ""; i = gt + 1 }
+            else {
+              // RCDATA: content ends at the literal close tag only
+              var j = gt + 1
+              var close = -1
+              while (close < 0 && j < n) {
+                val c = html.indexOf("</", j)
+                if (c < 0) j = n
+                else if (html.regionMatches(true, c + 2, "title", 0, 5)) close = c
+                else j = c + 2
+              }
+              val raw = html.substring(gt + 1, if (close < 0) n else close)
+              title = decodeEntities(raw).trim
+                .split("\\s+").filter(_.nonEmpty).mkString(" ")
+              i = if (close < 0) n else {
+                val cgt = html.indexOf('>', close + 2)
+                if (cgt < 0) n else cgt + 1
+              }
+            }
+          } else if (isOpen && name.length == 2 && name.charAt(0) == 'h' &&
+              name.charAt(1) >= '1' && name.charAt(1) <= '6') {
+            h(name.charAt(1) - '1') += 1
+            i = gt + 1
+          } else if (isOpen && !inner.endsWith("/") && RawTextTags.contains(name)) {
+            val end = closeOf(html, gt + 1, name)
+            i = if (end < 0) n else end
+          } else i = gt + 1
+        }
+      }
+    }
+    Outline(if (title == null) "" else title, h)
+  }
 }

@@ -87,6 +87,45 @@ class MirrorsSpec extends AnyFunSuite {
     assert(s("looks like text\u0000") == "application/octet-stream")
   }
 
+  test("outline: RCDATA title, entity decode, collapse, first-wins") {
+    import graft.text.HtmlText
+    val o = HtmlText.outline(
+      "<head><title> A &amp;\n  <b>B</b>  </title><title>second</title></head>" +
+        "<body><h1>x</h1><h2>y</h2><h2>z</h2></body>")
+    // no tags parsed inside title: "<b>B</b>" is literal RCDATA text
+    assert(o.title == "A & <b>B</b>")
+    assert(o.h.toSeq == Seq(1, 2, 0, 0, 0, 0))
+    assert(HtmlText.outline("<p>no title</p>").title == "")
+    assert(HtmlText.outline("<title/>no</title>").title == "")
+    assert(HtmlText.outline(null).title == "")
+    // unterminated title runs to EOF (tokenizer data-state behavior)
+    assert(HtmlText.outline("<title>runs  off").title == "runs off")
+  }
+
+  test("outline: headings are comment- and raw-text-blind") {
+    import graft.text.HtmlText
+    val o = HtmlText.outline(
+      "<!-- <h1>no</h1> --><script>s='<h2>no</h2>'</script>" +
+        "<style><h3>no</h3></style><h4>yes</h4><H5>case</H5><h6 class=\"a>b\">attr</h6>")
+    assert(o.h.toSeq == Seq(0, 0, 0, 1, 1, 1))
+  }
+
+  test("soft404: title phrase, short error body, long-body immunity") {
+    val pages = Seq(
+      (1L, "<head><title>404 Not Found</title></head><body><p>gone</p></body>"),
+      (2L, "<head><title>Weekly News</title></head><body><p>Page not found.</p></body>"),
+      (3L, "<head><title>Weekly News</title></head><body><p>" +
+        (1 to 30).map(i => s"w$i").mkString(" ") + " not found in archives</p></body>"),
+      (4L, "<head><title>Fine</title></head><body><p>all good here</p></body>"))
+      .toDF("doc_id", "html")
+    val out = graft.text.CorpusFilter.withSoft404(pages)
+      .select("doc_id", "soft404").collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out(1L))                 // error title
+    assert(out(2L))                 // short body with error phrase
+    assert(!out(3L))                // long body mentions "not found" — immune
+    assert(!out(4L))
+  }
+
   test("intra-host duplicates do not inflate shared counts") {
     val pages = (
       Seq.fill(5)(page("dup.test", "p", "same-body")) ++
