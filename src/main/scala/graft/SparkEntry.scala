@@ -1203,6 +1203,60 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q97_hll_host_cardinality" -> ((s, dir) => {
+      // HLL distinct-url estimation per host, registers replayed in SQL:
+      // keys collapse to doc_id % 320 (each of 20 hosts sees exactly 16
+      // distinct keys through ~25 duplicate rows — the sketch must be
+      // duplicate-insensitive), planted 53-bit arithmetic hashes give
+      // register spread while replaying exactly (trailing-zero rho =
+      // bit_count(w XOR (w−1))). est_distinct is the fixed-point
+      // estimate — deliberately LC-free, so biased at n ≪ m, but a pure
+      // integer function of the registers that both engines compute
+      // identically. n_exact rides along as the honesty column.
+      val key = col("doc_id") % 320
+      val h = (key * 2654435761L + 101L) % 2147483648L * 4194304L +
+        (key * 69069L + 7L) % 4194304L
+      docs(s, dir)
+        .select((col("doc_id") % 20).as("host"), key.as("key"), h.as("h"))
+        .groupBy("host")
+        .agg(
+          countDistinct(col("key")).as("n_exact"),
+          graft.functions.hll_card(graft.functions.hll_agg(col("h"), p = 6))
+            .as("est_distinct"))
+        .orderBy("host")
+    }),
+
+    "q98_dust_rules" -> ((s, dir) => {
+      // DUST rule mining: 10 hosts, three url families —
+      //   A "/a/{g}?page={p}&sid={id}"  body f(k,g,p)   (sid irrelevant)
+      //   B "/a/{g}?page={p}"           body f(k,g,p)   (A's sid-less twin)
+      //   C "/b/{j}?v={j%2}"            body g(k,j%2)   (v AFFECTS content)
+      //   D "/b/{j}"                    body g(k,0)     (v=0's bare twin)
+      // Evidence: stripping sid from A hits B with equal digest (support
+      // 50/host); stripping v from C hits D but digests agree only on
+      // even j (support 25/host); stripping page never finds a twin —
+      // "page" must NOT appear in the rules.
+      val id = col("doc_id")
+      val k = (id % 10).cast("string"); val g = expr("doc_id DIV 4").cast("string")
+      val p = (id % 4).cast("string"); val j = expr("doc_id DIV 10").cast("string")
+      val v = expr("(doc_id DIV 10) % 2").cast("string")
+      val stemA = concat(lit("http://h"), k, lit(".test/a/"), g)
+      val bodyAB = concat(lit("<html>f-"), k, lit("-"), g, lit("-"), p, lit("</html>"))
+      val stemC = concat(lit("http://h"), k, lit(".test/b/"), j)
+      val d = docs(s, dir)
+      val rows =
+        d.select(concat(stemA, lit("?page="), p, lit("&sid="), id.cast("string"))
+            .as("url"), bodyAB.as("html"))
+          .unionByName(d.select(concat(stemA, lit("?page="), p).as("url"),
+            bodyAB.as("html")))
+          .unionByName(d.select(concat(stemC, lit("?v="), v).as("url"),
+            concat(lit("<html>g-"), k, lit("-"), v, lit("</html>")).as("html")))
+          .unionByName(d.select(stemC.as("url"),
+            concat(lit("<html>g-"), k, lit("-0</html>")).as("html")))
+      graft.frontier.Dust.paramStripRules(rows)
+        .orderBy("host", "param")
+    }),
+
     "q81_frontier_capstone" -> ((s, dir) => {
       // round-5b capstone — the production frontier configuration composed
       // end to end: trap-capped frontier (q80 shapes) → HOST-level
@@ -2813,6 +2867,43 @@ object SparkEntry {
         |       OR contains(lower(body), 'no longer exists')
         |       OR contains(lower(body), 'page unavailable')))) AS soft404
         |FROM n ORDER BY doc_id""".stripMargin,
+
+    "q97_hll_host_cardinality" ->
+      """WITH k AS (
+        |  SELECT doc_id % 20 AS host,
+        |    ((doc_id % 320) * 2654435761 + 101) % 2147483648 * 4194304
+        |      + ((doc_id % 320) * 69069 + 7) % 4194304 AS h
+        |  FROM documents),
+        |r AS (SELECT DISTINCT host, h % 64 AS idx,
+        |    CASE WHEN h // 64 = 0 THEN 59
+        |         ELSE bit_count(xor(h // 64, (h // 64) - 1)) END AS rho
+        |  FROM k),
+        |reg AS (SELECT host, idx, max(rho) AS mj FROM r GROUP BY 1, 2),
+        |s AS (SELECT host,
+        |    CAST(sum(1099511627776 >> mj)
+        |      + (64 - count(*)) * 1099511627776 AS BIGINT) AS sumq
+        |  FROM reg GROUP BY host),
+        |e AS (SELECT host,
+        |    (4096 * 1099511627776) // greatest(sumq, 1) AS raw FROM s),
+        |x AS (SELECT host,
+        |    (raw // 650790) * 461632
+        |      + ((raw % 650790) * 461632) // 650790 AS est FROM e),
+        |d AS (SELECT doc_id % 20 AS host,
+        |    count(DISTINCT doc_id % 320) AS nd FROM documents GROUP BY 1)
+        |SELECT d.host, CAST(nd AS BIGINT) AS n_exact,
+        |  CAST(est AS BIGINT) AS est_distinct
+        |FROM d JOIN x USING (host) ORDER BY host""".stripMargin,
+
+    "q98_dust_rules" ->
+      """WITH ids AS (
+        |  SELECT doc_id % 10 AS k, doc_id // 10 AS j FROM documents),
+        |sid AS (SELECT 'h' || k || '.test' AS host, 'sid' AS param,
+        |    count(*) AS support FROM ids GROUP BY 1),
+        |v AS (SELECT 'h' || k || '.test' AS host, 'v' AS param,
+        |    count(*) AS support FROM ids WHERE j % 2 = 0 GROUP BY 1)
+        |SELECT host, param, CAST(support AS BIGINT) AS support
+        |FROM (SELECT * FROM sid UNION ALL SELECT * FROM v)
+        |WHERE support >= 2 ORDER BY host, param""".stripMargin,
 
     "q81_frontier_capstone" ->
       """WITH u AS (

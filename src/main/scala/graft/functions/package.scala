@@ -107,6 +107,21 @@ package object functions {
   def cms_agg(keys: Column, depth: Int = 4, width: Int = 1 << 16): Column =
     col(CmsAgg(expr(keys), depth, width).toAggregateExpression())
 
+  /** HLL distinct-count build aggregate: pre-hashed BIGINT keys →
+    * serialized sketch BINARY (2^p one-byte registers).
+    */
+  def hll_agg(hashes: Column, p: Int = 11): Column =
+    col(HllAgg(expr(hashes), p).toAggregateExpression())
+
+  /** Merge aggregate over serialized same-precision HLL images → BINARY
+    * (element-wise register max — commutative AND idempotent).
+    */
+  def hll_merge_agg(sketches: Column): Column =
+    col(HllMergeAgg(expr(sketches)).toAggregateExpression())
+
+  /** Fixed-point HLL cardinality estimate: sketch BINARY → BIGINT. */
+  def hll_card(sketch: Column): Column = col(HllCard(expr(sketch)))
+
   /** Cuckoo membership probe (filter BINARY literal/column, key BIGINT). */
   def cuckoo_might_contain(filter: Column, key: Column): Column =
     col(CuckooMightContain(expr(filter), expr(key)))

@@ -126,6 +126,96 @@ class MirrorsSpec extends AnyFunSuite {
     assert(!out(4L))
   }
 
+  test("hll: estimate within 3% at 200k distinct keys (p=11, real hashes)") {
+    import graft.functions.HllSketch
+    val regs = new Array[Byte](1 << 11)
+    val rnd = new scala.util.Random(42)
+    val n = 200000
+    var i = 0
+    while (i < n) { HllSketch.add(regs, 11, rnd.nextLong()); i += 1 }
+    val est = HllSketch.estimate(11, regs)
+    assert(math.abs(est.toDouble / n - 1.0) < 0.03, s"est=$est")
+  }
+
+  test("hll: duplicate-insensitive, merge == whole, bit-identical images") {
+    import graft.functions.{hll_agg, hll_card, hll_merge_agg, HllSketch}
+    val keys = (1 to 5000).map(i => i.toLong * 0x9E3779B97F4A7C15L) // spread hashes
+    val df = keys.toDF("h")
+    val whole = df.agg(hll_agg(col("h"), 8).as("sk")).collect().head.getAs[Array[Byte]](0)
+    // duplicates change nothing
+    val dupped = df.union(df).union(df.limit(100))
+      .agg(hll_agg(col("h"), 8)).collect().head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(whole, dupped))
+    // split → per-part sketches → merge aggregate == whole, bit for bit
+    val parts = df.withColumn("part", pmod(col("h"), lit(7L)))
+      .groupBy("part").agg(hll_agg(col("h"), 8).as("sk"))
+    val merged = parts.agg(hll_merge_agg(col("sk"))).collect().head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(whole, merged))
+    // card probe agrees with the kernel
+    val viaExpr = df.agg(hll_card(hll_agg(col("h"), 8))).collect().head.getLong(0)
+    val (p, regs) = HllSketch.deserialize(whole)
+    assert(viaExpr == HllSketch.estimate(p, regs))
+  }
+
+  test("hll: rho convention and estimate arithmetic are the documented ones") {
+    import graft.functions.HllSketch
+    // h = idx | (w << p): w=1 → rho=1; w=8 → rho=4; w=0 → 65-p
+    assert(HllSketch.rho((1L << 6) | 5L, 6) == 1)
+    assert(HllSketch.rho((8L << 6) | 5L, 6) == 4)
+    assert(HllSketch.rho(5L, 6) == 59)
+    // empty sketch: sumQ = m·2^40, raw = m, est = α·m (floor arithmetic)
+    val empty = new Array[Byte](64)
+    val raw = 64L
+    val a = 7213L * 64; val b = 10000L * 64 + 10790L
+    assert(HllSketch.estimate(6, empty) == (raw / b) * a + ((raw % b) * a) / b)
+  }
+
+  test("dust: digest evidence separates session params from content params") {
+    import graft.frontier.Dust
+    val pages = Seq(
+      // sid is content-irrelevant: both aliases observed, same body
+      ("http://a.test/x?page=1&sid=111", "body-1"),
+      ("http://a.test/x?page=1", "body-1"),
+      ("http://a.test/x?page=2&sid=222", "body-2"),
+      ("http://a.test/x?page=2", "body-2"),
+      // page IS content: stripped alias exists but bytes differ
+      ("http://a.test/y?page=1", "y-one"),
+      ("http://a.test/y", "y-zero"),
+      // re-fetches of the same alias add no evidence
+      ("http://a.test/x?page=1&sid=111", "body-1"))
+      .toDF("url", "html")
+    val rules = Dust.paramStripRules(pages, minSupport = 1L).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(rules == Map(("a.test", "sid") -> 2L))
+  }
+
+  test("dust: middle-param strip preserves the order of the others") {
+    import graft.frontier.Dust
+    val pages = Seq(
+      ("http://b.test/p?a=1&sid=9&z=2", "same"),
+      ("http://b.test/p?a=1&z=2", "same"))
+      .toDF("url", "html")
+    val rules = Dust.paramStripRules(pages, minSupport = 1L).collect()
+    assert(rules.map(r => r.getString(1)).toSet == Set("sid"))
+  }
+
+  test("dust: applyRules strips only ruled params on the ruled host") {
+    import graft.frontier.Dust
+    val rules = Seq(("a.test", "sid", 5L), ("a.test", "utm", 3L))
+      .toDF("host", "param", "support")
+    val urls = Seq(
+      "http://a.test/x?page=1&sid=42&utm=z",
+      "http://a.test/x?sid=42",
+      "http://a.test/plain",
+      "http://other.test/x?sid=42").toDF("url")
+    val out = Dust.applyRules(urls, rules).collect().map(_.getString(0)).toSet
+    assert(out == Set(
+      "http://a.test/x?page=1",
+      "http://a.test/x",
+      "http://a.test/plain",
+      "http://other.test/x?sid=42"))
+  }
+
   test("intra-host duplicates do not inflate shared counts") {
     val pages = (
       Seq.fill(5)(page("dup.test", "p", "same-body")) ++
