@@ -349,7 +349,17 @@ object Bench {
       "hits_rank" -> ((s: SparkSession, d: String) =>
         SparkEntry.queries("q88_hits")(s, d)),
       "trustrank" -> ((s: SparkSession, d: String) =>
-        SparkEntry.queries("q89_trustrank")(s, d)))
+        SparkEntry.queries("q89_trustrank")(s, d)),
+      "revisit_rates" -> ((s: SparkSession, d: String) =>
+        SparkEntry.queries("q90_revisit_rates")(s, d)),
+      "bpe_tokens" -> ((s: SparkSession, d: String) =>
+        SparkEntry.queries("q92_bpe_token_counts")(s, d)),
+      "mirror_hosts" -> ((s: SparkSession, d: String) =>
+        SparkEntry.queries("q93_mirror_hosts")(s, d)),
+      "page_outline" -> ((s: SparkSession, d: String) =>
+        SparkEntry.queries("q95_page_outline")(s, d)),
+      "dust_rules" -> ((s: SparkSession, d: String) =>
+        SparkEntry.queries("q98_dust_rules")(s, d)))
     val extras = extraQueries.map { case (name, fn) =>
       val sec = try {
         force(fn(spark, sfDir))
