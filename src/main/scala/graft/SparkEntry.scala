@@ -1257,6 +1257,25 @@ object SparkEntry {
         .orderBy("host", "param")
     }),
 
+    "q99_seed_distance" -> ((s, dir) => {
+      // BFS crawl depth over a deterministic doubling graph: every doc
+      // links to (2i+1)%N and (3i+7)%N, seeds are doc_id%101==0. The
+      // oracle replays the BFS as a bounded recursive CTE + min(depth)
+      // group-by — path count per seed is ≤ 2^maxDepth = 16, so the
+      // recursion stays tiny while the engine side runs the real
+      // frontier-expansion loop (early exit, anti-join seen filter).
+      val d = docs(s, dir)
+      val n = d.count()
+      val edges = d.select(col("doc_id").as("src"),
+          ((col("doc_id") * 2 + 1) % n).as("dst"))
+        .unionByName(d.select(col("doc_id").as("src"),
+          ((col("doc_id") * 3 + 7) % n).as("dst")))
+      val seeds = d.where(col("doc_id") % 101 === 0)
+        .select(col("doc_id").as("node"))
+      graft.frontier.Rank.seedDistance(edges, seeds, maxDepth = 4)
+        .orderBy("node")
+    }),
+
     "q81_frontier_capstone" -> ((s, dir) => {
       // round-5b capstone — the production frontier configuration composed
       // end to end: trap-capped frontier (q80 shapes) → HOST-level
@@ -2904,6 +2923,20 @@ object SparkEntry {
         |SELECT host, param, CAST(support AS BIGINT) AS support
         |FROM (SELECT * FROM sid UNION ALL SELECT * FROM v)
         |WHERE support >= 2 ORDER BY host, param""".stripMargin,
+
+    "q99_seed_distance" ->
+      """WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+        |e AS (
+        |  SELECT doc_id AS src, (2 * doc_id + 1) % n AS dst FROM documents, nn
+        |  UNION
+        |  SELECT doc_id AS src, (3 * doc_id + 7) % n AS dst FROM documents, nn),
+        |r AS (
+        |  SELECT doc_id AS node, 0 AS depth FROM documents WHERE doc_id % 101 = 0
+        |  UNION ALL
+        |  SELECT e.dst AS node, r.depth + 1 AS depth
+        |  FROM r JOIN e ON e.src = r.node WHERE r.depth < 4)
+        |SELECT node, CAST(min(depth) AS INTEGER) AS depth
+        |FROM r GROUP BY node ORDER BY node""".stripMargin,
 
     "q81_frontier_capstone" ->
       """WITH u AS (

@@ -263,4 +263,61 @@ object Rank {
     hosts.join(scores, xxhash64(col("host")) === col("node"))
       .select(col("host"), col("score"))
   }
+
+  /** Minimum link distance from a SEED SET — crawl depth, computed exactly
+    * by distributed BFS. Depth is the scheduling signal every breadth-
+    * bounded crawl runs on ("crawl to depth 6 from the seed list"): a url
+    * first reachable at hop `d` gets `depth = d`, seeds get 0, anything
+    * not reachable within `maxDepth` is absent from the output
+    * (quarantine-by-omission — the crawler simply never schedules it).
+    *
+    * Shape: textbook frontier-expansion BFS, NOT pointer doubling —
+    * doubling materializes the transitive closure (quadratic blow-up on a
+    * dense web graph) where BFS touches each edge once per frontier pass
+    * and each node exactly once ever. Per round: one equi-join of the
+    * 8-byte frontier against the staged edge list, one distinct, one
+    * left-anti against the visited set (the seen-filter shape — at crawl
+    * scale the visited set IS the seen ledger). Rounds are bounded by
+    * `maxDepth`, with EARLY EXIT the moment a frontier comes back empty
+    * (the per-round emptiness probe is a count of 8-byte rows, the same
+    * driver action the wave loop pays). Edges are deduplicated up front
+    * (parallel edges add nothing to reachability), every per-round frame
+    * is `localCheckpoint`ed so the plan never grows with depth, and
+    * shuffles are right-sized to the edge count like [[pageRank]]'s.
+    */
+  def seedDistance(edges: DataFrame, seeds: DataFrame,
+      srcCol: String = "src", dstCol: String = "dst",
+      seedCol: String = "node", maxDepth: Int = 6): DataFrame = {
+    require(maxDepth >= 0, s"maxDepth: $maxDepth")
+    val spark = edges.sparkSession
+    val sessionWidth = scala.util.Try(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt).getOrElse(32)
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    val nEdges = e.count()
+    val width = math.max(1L, math.min(sessionWidth.toLong, nEdges / 250000L + 1L)).toInt
+    var frontier = seeds.select(col(seedCol).cast("long").as("node"))
+      .distinct()
+      .repartition(width, col("node"))
+      .localCheckpoint(true)
+    var visited = frontier.withColumn("depth", lit(0)).localCheckpoint(true)
+    var d = 0
+    while (d < maxDepth && frontier.count() > 0) {
+      d += 1
+      val next = frontier.withColumnRenamed("node", "src")
+        .join(e, "src")
+        .select(col("dst").as("node"))
+        .repartition(width, col("node"))
+        .distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .localCheckpoint(true)
+      visited = visited
+        .union(next.withColumn("depth", lit(d)))
+        .localCheckpoint(true)
+      frontier = next
+    }
+    visited
+  }
 }
