@@ -1276,6 +1276,38 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    "q100_c4_clean" -> ((s, dir) => {
+      // C4 line/doc cleaning: every doc carries one good sentence (its
+      // text + terminal '.'), a 2-word line (dropped: < 5 words), an
+      // unterminated line (dropped: no terminal punct), a JavaScript
+      // boilerplate line (dropped: case-insensitive mention), a second
+      // good sentence, and conditionally a third good sentence (%3),
+      // a lorem-ipsum line (%7 — the LINE passes the line rules; the DOC
+      // dies on the original-text scan), and a code line with braces
+      // (%11 — same: line kept, doc dropped), so the doc gate provably
+      // reads the raw text, not the cleaned one.
+      val t = concat(
+        col("text"), lit(" end of intro.\n"),
+        lit("short line.\n"),
+        lit("this line has no terminal punctuation at all\n"),
+        lit("please enable JavaScript to view the comments powered here.\n"),
+        lit("another good sentence with plenty of words here!"),
+        when(col("doc_id") % 3 === 0,
+          lit("\na third full sentence rounds out the document nicely?"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          lit("\nlorem ipsum dolor sit amet consectetur adipiscing elit."))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          lit("\nfunction f() { return 0; } and more words to pass rules."))
+          .otherwise(lit("")))
+      graft.text.CorpusFilter
+        .c4Clean(docs(s, dir).select(col("doc_id"), t.as("t")), "t")
+        .select(col("doc_id"), col("n_lines"), col("n_kept_lines"),
+          col("kept_text"), col("c4_keep"))
+        .orderBy("doc_id")
+    }),
+
     "q81_frontier_capstone" -> ((s, dir) => {
       // round-5b capstone — the production frontier configuration composed
       // end to end: trap-capped frontier (q80 shapes) → HOST-level
@@ -2937,6 +2969,40 @@ object SparkEntry {
         |  FROM r JOIN e ON e.src = r.node WHERE r.depth < 4)
         |SELECT node, CAST(min(depth) AS INTEGER) AS depth
         |FROM r GROUP BY node ORDER BY node""".stripMargin,
+
+    "q100_c4_clean" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    text || ' end of intro.' || chr(10) ||
+        |    'short line.' || chr(10) ||
+        |    'this line has no terminal punctuation at all' || chr(10) ||
+        |    'please enable JavaScript to view the comments powered here.'
+        |      || chr(10) ||
+        |    'another good sentence with plenty of words here!' ||
+        |    CASE WHEN doc_id % 3 = 0 THEN chr(10) ||
+        |      'a third full sentence rounds out the document nicely?'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN chr(10) ||
+        |      'lorem ipsum dolor sit amet consectetur adipiscing elit.'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0 THEN chr(10) ||
+        |      'function f() { return 0; } and more words to pass rules.'
+        |      ELSE '' END AS t
+        |  FROM documents),
+        |l AS (SELECT doc_id, t, string_split(t, chr(10)) AS ls FROM c),
+        |k AS (SELECT doc_id, t, ls,
+        |  list_filter(ls, x ->
+        |    right(rtrim(x), 1) IN ('.', '!', '?', chr(34))
+        |    AND (CASE WHEN trim(x) = '' THEN 0
+        |         ELSE len(string_split_regex(trim(x), '\s+')) END) >= 5
+        |    AND NOT contains(lower(x), 'javascript')) AS ks
+        |  FROM l)
+        |SELECT doc_id, CAST(len(ls) AS INTEGER) AS n_lines,
+        |  CAST(len(ks) AS INTEGER) AS n_kept_lines,
+        |  coalesce(array_to_string(ks, chr(10)), '') AS kept_text,
+        |  (len(ks) >= 3 AND NOT contains(lower(t), 'lorem ipsum')
+        |    AND NOT contains(t, '{')) AS c4_keep
+        |FROM k ORDER BY doc_id""".stripMargin,
 
     "q81_frontier_capstone" ->
       """WITH u AS (

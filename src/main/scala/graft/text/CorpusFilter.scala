@@ -252,4 +252,45 @@ object CorpusFilter {
     gated.where(col("passed"))
       .join(ok, col(hostCol) === col("__okhost"), "left_semi")
   }
+
+  /** C4-style line and document cleaning (Raffel et al. '20 §2.2, the
+    * "Colossal Clean Crawled Corpus" heuristics) — the OTHER classic gate
+    * family next to the Gopher signals in [[withGate]]: C4 cleans at LINE
+    * granularity first (web pages interleave prose with nav/button/footer
+    * fragments that line rules catch cheaply), then drops whole documents
+    * that are too thin or code-like after cleaning.
+    *
+    * Line keep rules (all must hold): the right-trimmed line ends in a
+    * terminal punctuation mark (`.` `!` `?` `"`); it has at least
+    * `minWordsPerLine` whitespace-separated words; it does not mention
+    * "javascript" (case-insensitive — the "please enable JavaScript"
+    * boilerplate family). Document rules on the ORIGINAL text: fewer than
+    * `minKeptLines` surviving lines, a "lorem ipsum" occurrence
+    * (placeholder pages), or a `{` (code, not prose) drop the page.
+    *
+    * One projection over the scan — no shuffle, no join; the per-row HOF
+    * work is bounded by the line count (hundreds, not the token-window
+    * blow-up that forced the codegen n-gram kernel). Every rule is plain
+    * string arithmetic, so the whole gate replays exactly in SQL.
+    */
+  def c4Clean(docs: DataFrame, textCol: String,
+      minWordsPerLine: Int = 5, minKeptLines: Int = 3): DataFrame = {
+    val lines = split(col(textCol), "\n", -1)
+    val keepLine = (l: Column) => {
+      val last = substring(rtrim(l), -1, 1)
+      val words = when(trim(l) === "", lit(0))
+        .otherwise(size(split(trim(l), "\\s+")))
+      last.isin(".", "!", "?", "\"") && words >= minWordsPerLine &&
+        !lower(l).contains("javascript")
+    }
+    val kept = filter(lines, keepLine)
+    docs
+      .withColumn("n_lines", size(lines))
+      .withColumn("n_kept_lines", size(kept))
+      .withColumn("kept_text", concat_ws("\n", kept))
+      .withColumn("c4_keep",
+        col("n_kept_lines") >= minKeptLines &&
+          !lower(col(textCol)).contains("lorem ipsum") &&
+          !col(textCol).contains("{"))
+  }
 }

@@ -45,3 +45,55 @@ class SeedDistanceSpec extends AnyFunSuite {
     assert(out == Map(1L -> 0, 9L -> 0, 2L -> 1, 3L -> 1))
   }
 }
+
+class C4CleanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import graft.text.CorpusFilter
+
+  private def clean(text: String): (Int, Int, String, Boolean) = {
+    val r = CorpusFilter.c4Clean(Seq((1L, text)).toDF("id", "t"), "t")
+      .select("n_lines", "n_kept_lines", "kept_text", "c4_keep")
+      .collect().head
+    (r.getInt(0), r.getInt(1), r.getString(2), r.getBoolean(3))
+  }
+
+  test("line rules: terminal punct, min words, javascript boilerplate") {
+    val text = Seq(
+      "a perfectly fine prose sentence ends here.",
+      "too short.",                                   // < 5 words
+      "five words but no terminal punct",             // no punct
+      "please enable JAVASCRIPT to continue reading.", // boilerplate
+      "he said \"this quoted line is kept too\"",     // quote terminal
+      "is this a kept question with enough words?",
+      "exclamations with enough words also survive fine!").mkString("\n")
+    val (nl, nk, kept, keep) = clean(text)
+    assert(nl == 7 && nk == 4)
+    assert(kept.split("\n").length == 4)
+    assert(!kept.contains("JAVASCRIPT") && !kept.contains("too short"))
+    assert(keep) // 4 kept >= 3, no lorem, no brace
+  }
+
+  test("doc rules read the ORIGINAL text: lorem ipsum and braces kill") {
+    val base = Seq(
+      "a perfectly fine prose sentence ends here.",
+      "another perfectly fine prose sentence ends here.",
+      "a third perfectly fine prose sentence ends here.")
+    assert(clean(base.mkString("\n"))._4)
+    assert(!clean((base :+ "Lorem Ipsum dolor sit amet today.").mkString("\n"))._4)
+    assert(!clean((base :+ "code with a { brace is not prose ok.").mkString("\n"))._4)
+  }
+
+  test("min kept lines bounds the doc; trailing whitespace tolerated") {
+    val two = Seq(
+      "a perfectly fine prose sentence ends here.   ",
+      "another perfectly fine prose sentence ends here.").mkString("\n")
+    val (_, nk, _, keep) = clean(two)
+    assert(nk == 2 && !keep)
+  }
+
+  test("empty and whitespace-only text") {
+    assert(clean("") == (1, 0, "", false))
+    assert(clean("   \n   ")._2 == 0)
+  }
+}
