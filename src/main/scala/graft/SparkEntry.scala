@@ -1308,6 +1308,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q101_triangles" -> ((s, dir) => {
+      // host-graph triangle census: 50 hosts wired by three deterministic
+      // maps (3k+1, 7k+2, k²+3 mod 50) — sparse enough that clustering
+      // varies by host; the oracle recounts triangles by a string-ordered
+      // triple join (canonicalization-independent: the triangle SET is
+      // the same whichever total order generates it).
+      val d = docs(s, dir)
+      def h(e: Column) = concat(lit("h"), e.cast("string"))
+      val id = col("doc_id")
+      val edges = d.select(h(id % 50).as("src_host"),
+          h((id * 3 + 1) % 50).as("dst_host"))
+        .unionByName(d.select(h(id % 50).as("src_host"),
+          h((id * 7 + 2) % 50).as("dst_host")))
+        .unionByName(d.select(h(id % 50).as("src_host"),
+          h((id * id + 3) % 50).as("dst_host")))
+      graft.frontier.Rank.triangles(edges).orderBy("host")
+    }),
+
     "q81_frontier_capstone" -> ((s, dir) => {
       // round-5b capstone — the production frontier configuration composed
       // end to end: trap-capped frontier (q80 shapes) → HOST-level
@@ -3003,6 +3021,37 @@ object SparkEntry {
         |  (len(ks) >= 3 AND NOT contains(lower(t), 'lorem ipsum')
         |    AND NOT contains(t, '{')) AS c4_keep
         |FROM k ORDER BY doc_id""".stripMargin,
+
+    "q101_triangles" ->
+      """WITH p0 AS (
+        |  SELECT 'h' || CAST(doc_id % 50 AS VARCHAR) AS a,
+        |         'h' || CAST((doc_id * 3 + 1) % 50 AS VARCHAR) AS b
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'h' || CAST(doc_id % 50 AS VARCHAR),
+        |         'h' || CAST((doc_id * 7 + 2) % 50 AS VARCHAR) FROM documents
+        |  UNION ALL
+        |  SELECT 'h' || CAST(doc_id % 50 AS VARCHAR),
+        |         'h' || CAST((doc_id * doc_id + 3) % 50 AS VARCHAR)
+        |  FROM documents),
+        |e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+        |  FROM p0 WHERE a <> b),
+        |deg AS (SELECT host, count(*) AS degree FROM (
+        |  SELECT u AS host FROM e UNION ALL SELECT v AS host FROM e)
+        |  GROUP BY host),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1
+        |  JOIN e e2 ON e2.u = e1.v
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |t AS (SELECT host, count(*) AS triangles FROM (
+        |  SELECT a AS host FROM tri UNION ALL SELECT b AS host FROM tri
+        |  UNION ALL SELECT c AS host FROM tri) GROUP BY host)
+        |SELECT d.host, CAST(degree AS BIGINT) AS degree,
+        |  CAST(coalesce(triangles, 0) AS BIGINT) AS triangles,
+        |  CAST(CASE WHEN degree >= 2
+        |    THEN (2000000 * coalesce(triangles, 0)) // (degree * (degree - 1))
+        |    ELSE 0 END AS BIGINT) AS clustering_ppm
+        |FROM deg d LEFT JOIN t USING (host) ORDER BY host""".stripMargin,
 
     "q81_frontier_capstone" ->
       """WITH u AS (

@@ -320,4 +320,71 @@ object Rank {
     }
     visited
   }
+
+  /** Per-host TRIANGLE counts and local clustering coefficient over the
+    * undirected host graph — the link-farm DENSITY signal: organic link
+    * neighborhoods are sparse (coefficients near 0), while link exchanges
+    * and blog-farm rings wire everyone to everyone (near 10^6 ppm); it
+    * complements [[reciprocity]] (pairwise) and [[trustRank]] (needs
+    * seeds) by scoring the triangle structure itself.
+    *
+    * Algorithm: degree-ordered edge ORIENTATION (each undirected edge
+    * points from its lower (degree, id) endpoint to the higher), wedges
+    * generated only at each triangle's lowest-ordered vertex, closed by
+    * one equi-join against the canonical pair set — the classic bound of
+    * O(m^{3∕2}) wedges total regardless of degree skew, where the naive
+    * neighbor self-join explodes quadratically on the first hub host
+    * (exactly the vertex a link farm plants). Everything downstream of
+    * the host strings runs on hashed 8-byte ids; strings re-attach once
+    * at the end. `clustering_ppm` = 2·10^6·T ∕ (deg·(deg−1)) as exact
+    * integer division (0 when deg < 2), so the whole operator replays in
+    * SQL.
+    */
+  def triangles(hostEdges: DataFrame, srcCol: String = "src_host",
+      dstCol: String = "dst_host"): DataFrame = {
+    val raw = hostEdges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .where(col("a") =!= col("b"))
+    val nodes = raw.select(col("a").as("host"))
+      .union(raw.select(col("b").as("host")))
+      .distinct()
+      .select(col("host"), xxhash64(col("host")).as("id"))
+      .localCheckpoint(true)
+    val und = raw.select(
+        least(xxhash64(col("a")), xxhash64(col("b"))).as("u"),
+        greatest(xxhash64(col("a")), xxhash64(col("b"))).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = und.select(col("u").as("id"))
+      .union(und.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val ord = und
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
+      .select(when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("lo"), col("v").as("hi")))
+        .otherwise(struct(col("v").as("lo"), col("u").as("hi"))).as("e"))
+      .select(col("e.lo").as("lo"), col("e.hi").as("hi"))
+      .localCheckpoint(true)
+    // wedges at the lowest-ordered vertex; both spokes rank above `lo`, and
+    // between themselves compare by raw id — exactly the canonical (u, v)
+    // key of `und`, so closure is one equi-join, no re-ordering
+    val wedges = ord.as("e1").join(ord.as("e2"), "lo")
+      .where(col("e1.hi") < col("e2.hi"))
+      .select(col("lo").as("x"), col("e1.hi").as("u"), col("e2.hi").as("v"))
+    val tri = wedges.join(und, Seq("u", "v"))
+    val perNode = tri
+      .select(explode(array(col("x"), col("u"), col("v"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("triangles"))
+    nodes
+      .join(deg, "id")
+      .join(perNode, Seq("id"), "left")
+      .select(col("host"), col("deg").as("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("clustering_ppm",
+        when(col("degree") >= 2,
+          expr("(2000000 * triangles) DIV (degree * (degree - 1))"))
+          .otherwise(lit(0L)))
+  }
 }

@@ -97,3 +97,47 @@ class C4CleanSpec extends AnyFunSuite {
     assert(clean("   \n   ")._2 == 0)
   }
 }
+
+class TrianglesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def run(edges: Seq[(String, String)]): Map[String, (Long, Long, Long)] =
+    graft.frontier.Rank.triangles(edges.toDF("src_host", "dst_host"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+
+  test("a 4-clique: every host in 3 triangles, clustering 1e6 ppm") {
+    val hosts = Seq("a", "b", "c", "d")
+    val clique = for { x <- hosts; y <- hosts if x < y } yield (x, y)
+    val out = run(clique)
+    hosts.foreach { h => assert(out(h) == ((3L, 3L, 1000000L)), h) }
+  }
+
+  test("a path has no triangles; degree-1 endpoints score 0") {
+    val out = run(Seq("a" -> "b", "b" -> "c", "c" -> "d"))
+    assert(out("a") == ((1L, 0L, 0L)))
+    assert(out("b") == ((2L, 0L, 0L)))
+  }
+
+  test("direction, duplicates and self-loops do not inflate the census") {
+    val out = run(Seq(
+      "a" -> "b", "b" -> "a", "a" -> "b",   // one undirected edge
+      "b" -> "c", "c" -> "a",
+      "a" -> "a"))                          // self-loop dropped
+    assert(out == Map(
+      "a" -> ((2L, 1L, 1000000L)),
+      "b" -> ((2L, 1L, 1000000L)),
+      "c" -> ((2L, 1L, 1000000L))))
+  }
+
+  test("triangle hanging off a hub counts once per member") {
+    // hub h connected to t1..t5; triangle only among h, t1, t2
+    val spokes = (1 to 5).map(i => ("h", s"t$i"))
+    val out = run(spokes :+ ("t1" -> "t2"))
+    assert(out("h") == ((5L, 1L, 100000L))) // 2e6*1/(5*4)
+    assert(out("t1") == ((2L, 1L, 1000000L)))
+    assert(out("t3") == ((1L, 0L, 0L)))
+  }
+}
