@@ -14,7 +14,7 @@ import graft.pipeline.TextPipeline
   * Usage:
   *   runMain graft.Crawl --pages <pageTableRoot> --out <dir>
   *     [--waves N] [--gap SECONDS] [--refresh-after K] [--rank-every K]
-  *     [--retry-after K]
+  *     [--retry-after K] [--dust-every K]
   *     [--block-hosts h1,h2,…] [--block-path-words w1,w2,…] url1 url2 ...
   *
   * `--refresh-after K` turns on the batch refresh channel: committed urls
@@ -32,6 +32,11 @@ import graft.pipeline.TextPipeline
   * wave W are tombstoned out of the seen ledger ([[graft.frontier.Ledger
   * .unsee]]) and re-scheduled once at wave W+K; a second failure retires
   * them (see [[graft.frontier.WaveLoop.run]]'s `retryErrorsAfter`).
+  *
+  * `--dust-every K` turns on the DUST channel: every K waves the loop
+  * re-learns per-host content-irrelevant query parameters from fetch
+  * evidence and strips them from later discoveries before the seen
+  * filter ([[graft.frontier.WaveLoop.run]]'s `dustEvery`).
   *
   * `--block-hosts` / `--block-path-words` turn on the URL quality gate
   * ([[graft.url.UrlGate]]): blocklisted domains (parent-domain matching)
@@ -52,7 +57,8 @@ object Crawl {
   final case class Args(pages: String, out: String, waves: Int, gapSeconds: Long,
       urls: Seq[String], refreshAfter: Option[Int] = None,
       rankEvery: Option[Int] = None, retryAfter: Option[Int] = None,
-      blockHosts: Seq[String] = Nil, blockPathWords: Seq[String] = Nil)
+      blockHosts: Seq[String] = Nil, blockPathWords: Seq[String] = Nil,
+      dustEvery: Option[Int] = None)
 
   def parseArgs(argv: Array[String]): Args = {
     var pages = ""; var out = ""; var waves = 3; var gap = 3L
@@ -61,6 +67,7 @@ object Crawl {
     var retryAfter: Option[Int] = None
     var blockHosts: Seq[String] = Nil
     var blockWords: Seq[String] = Nil
+    var dustEvery: Option[Int] = None
     val urls = Seq.newBuilder[String]
     var i = 0
     def value(flag: String): String = {
@@ -77,6 +84,7 @@ object Crawl {
         case "--refresh-after" => refresh = Some(value("--refresh-after").toInt)
         case "--rank-every" => rankEvery = Some(value("--rank-every").toInt)
         case "--retry-after" => retryAfter = Some(value("--retry-after").toInt)
+        case "--dust-every" => dustEvery = Some(value("--dust-every").toInt)
         case "--block-hosts" =>
           blockHosts = value("--block-hosts").split(",").map(_.trim).filter(_.nonEmpty).toSeq
         case "--block-path-words" =>
@@ -87,13 +95,14 @@ object Crawl {
       }
     }
     val a = Args(pages, out, waves, gap, urls.result(), refresh, rankEvery,
-      retryAfter, blockHosts, blockWords)
+      retryAfter, blockHosts, blockWords, dustEvery)
     require(a.pages.nonEmpty, "--pages <pageTableRoot> is required")
     require(a.out.nonEmpty, "--out <dir> is required")
     require(a.urls.nonEmpty, "error: no URLs provided") // reference :227-228
     require(a.refreshAfter.forall(_ >= 1), "--refresh-after must be >= 1")
     require(a.rankEvery.forall(_ >= 1), "--rank-every must be >= 1")
     require(a.retryAfter.forall(_ >= 1), "--retry-after must be >= 1")
+    require(a.dustEvery.forall(_ >= 1), "--dust-every must be >= 1")
     a
   }
 
@@ -114,7 +123,8 @@ object Crawl {
       edgesOf = a.rankEvery.map(_ => Discover.edgesFromPages(pages)),
       rankEvery = a.rankEvery.getOrElse(4),
       urlGate = if (a.blockHosts.isEmpty && a.blockPathWords.isEmpty) None
-        else Some((a.blockHosts.toDF("host"), a.blockPathWords)))
+        else Some((a.blockHosts.toDF("host"), a.blockPathWords)),
+      dustEvery = a.dustEvery.getOrElse(0))
     // crawl order drives the result set; fetch = replay join; text pipeline
     // is one codegen'd map per row
     val order0 = WaveLoop.crawlOrder(spark, s"${a.out}/frontier")

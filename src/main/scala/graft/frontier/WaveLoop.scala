@@ -107,6 +107,15 @@ object WaveLoop {
    * `_SUCCESS`) degrades to plain discovery order, never to a broken
    * wave. Production pairs this with a link extractor sharing
    * [[Discover.fromPages]]'s join; tests inject synthetic edges.
+   *
+   * DUST channel (`dustEvery`): every `dustEvery` waves the loop
+   * re-learns [[Dust.paramStripRules]] from everything fetched so far
+   * (committed schedules joined to page bodies) into `dust/rules`; later
+   * waves strip the learned content-irrelevant params from discovered
+   * urls BEFORE canonicalization, so an infinite session-id alias family
+   * collapses to one member in the seen filter instead of burning fetch
+   * budget. Rules cross waves only via storage, `_SUCCESS`-fenced like
+   * the rank scores; no rules yet → plain pass-through.
    */
   def run(
       spark: SparkSession,
@@ -126,12 +135,16 @@ object WaveLoop {
       rankEvery: Int = 4,
       rankIters: Int = 3,
       urlGate: Option[(DataFrame, Seq[String])] = None,
-      retryErrorsAfter: Option[Int] = None): Seq[WaveResult] = {
+      retryErrorsAfter: Option[Int] = None,
+      dustEvery: Int = 0,
+      dustMinSupport: Long = 2L): Seq[WaveResult] = {
 
     require(refreshAfter.forall(_ => ledger.nonEmpty),
       "refreshAfter needs a ledger (last-fetch age lives in the ledger's wave column)")
     require(retryErrorsAfter.forall(n => n >= 1 && ledger.nonEmpty && pages.nonEmpty),
       "retryErrorsAfter needs n >= 1, a ledger (unsee lives there) and pages metrics (errors live there)")
+    require(dustEvery == 0 || pages.nonEmpty,
+      "dustEvery needs the pages corpus (DUST rules learn from fetched bodies)")
 
     Fs.mkdirs(root)
     val already = committedWaves(root)
@@ -190,10 +203,18 @@ object WaveLoop {
       if (frontier.isEmpty && refreshRows.isEmpty) {
         exhausted = true
       } else {
+      // DUST channel (apply side): strip learned content-irrelevant params
+      // BEFORE url keys — aliases collapse to one canonical url and die in
+      // the seen filter instead of burning fetch budget. Rules are trusted
+      // only once their _SUCCESS exists (same fencing as the rank scores).
+      val dustFrontier =
+        if (dustEvery > 0 && Fs.exists(s"$root/dust/rules/_SUCCESS"))
+          Dust.applyRules(frontier, spark.read.parquet(s"$root/dust/rules"))
+        else frontier
       // seen-filter BEFORE the dedup shuffle: filterUnseen's bloom split
       // re-evaluates its input twice, so its input must stay scan-cheap;
       // the two stages commute (seen-status is constant per url_hash group)
-      val keyed0 = Seen.withUrlKeys(frontier)
+      val keyed0 = Seen.withUrlKeys(dustFrontier)
       // URL-policy gate FIRST (blocklist + path words, [[graft.url.UrlGate]]):
       // the cheapest signal runs before robots matching and the seen-set
       // machinery — a blocked fetch should cost nothing downstream. Denied
@@ -351,6 +372,22 @@ object WaveLoop {
           Rank.pageRank(edges, iters = rankIters)
             .write.mode(SaveMode.Overwrite).parquet(s"$root/rank/scores")
         }
+      }
+
+      // DUST channel (learn side): every dustEvery waves, re-learn per-host
+      // param-strip rules from everything fetched so far (committed
+      // schedules ⋈ page bodies — digest evidence only accumulates where a
+      // fetch actually happened). Overwrite → idempotent on crash-resume;
+      // the apply side trusts the table only via its _SUCCESS.
+      if (dustEvery > 0 && (wave + 1) % dustEvery == 0) pages.foreach { pg =>
+        val dirs = (0 to wave).map(w => s"$root/schedule/wave=$w").filter(Fs.exists)
+        val fetched = dirs
+          .map(spark.read.parquet(_).select(col("canonical_url").as("url")))
+          .reduce(_.unionByName(_))
+          .distinct()
+        val corpus = fetched.join(pg.select(col("url"), col("html")), "url")
+        Dust.paramStripRules(corpus, minSupport = dustMinSupport)
+          .write.mode(SaveMode.Overwrite).parquet(s"$root/dust/rules")
       }
 
       // ledger + bloom state BEFORE the manifest (the commit point): a crash

@@ -85,5 +85,12 @@ class CrawlSpec extends AnyFunSuite {
       Crawl.parseArgs(Array("--pages", "/p", "--out", "/o",
         "--refresh-after", "0", "http://a.test/"))
     }
+    // dust channel flag
+    assert(Crawl.parseArgs(Array("--pages", "/p", "--out", "/o",
+      "--dust-every", "3", "http://a.test/")).dustEvery.contains(3))
+    intercept[IllegalArgumentException] {
+      Crawl.parseArgs(Array("--pages", "/p", "--out", "/o",
+        "--dust-every", "0", "http://a.test/"))
+    }
   }
 }

@@ -141,3 +141,47 @@ class TrianglesSpec extends AnyFunSuite {
     assert(out("t3") == ((1L, 0L, 0L)))
   }
 }
+
+class DustLoopSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import org.apache.spark.sql.DataFrame
+  import graft.frontier.WaveLoop
+
+  test("dust channel: learned rules collapse aliases in later waves") {
+    val root = java.nio.file.Files.createTempDirectory("dustloop").toString
+    // the crawl observes BOTH aliases of /x?page=1 with identical bodies in
+    // wave 0 — that is the digest evidence the sid rule is learned from
+    val pages = Seq(
+      ("http://a.test/x?page=1&sid=1", "<html>body-x1</html>"),
+      ("http://a.test/x?page=1", "<html>body-x1</html>")).toDF("url", "html")
+    val seeds = Seq(
+      ("http://a.test/x?page=1&sid=1", 0L),
+      ("http://a.test/x?page=1", 1L)).toDF("url", "seed_idx")
+    var calls = 0
+    val discover: DataFrame => DataFrame = { _ =>
+      calls += 1
+      if (calls == 1)
+        // a FRESH sid alias of the seen page (must die in the seen filter
+        // after the strip) and a sid-carrying new page (must schedule
+        // under its stripped form)
+        Seq(("http://a.test/x?page=1&sid=99", 0L),
+          ("http://a.test/y?page=2&sid=7", 1L)).toDF("url", "seed_idx")
+      else Seq.empty[(String, Long)].toDF("url", "seed_idx")
+    }
+    val res = WaveLoop.run(spark, root, seeds, discover, maxWaves = 3,
+      pages = Some(pages), metricsParseStats = false,
+      dustEvery = 1, dustMinSupport = 1L)
+    // wave 0: both seed aliases scheduled (no rules yet)
+    assert(res.head.scheduled == 2)
+    // rules learned after wave 0: (a.test, sid)
+    val rules = spark.read.parquet(s"$root/dust/rules")
+      .select("host", "param").as[(String, String)].collect().toSet
+    assert(rules == Set(("a.test", "sid")))
+    // wave 1: sid stripped BEFORE the seen filter — the x alias dies, the
+    // new y url schedules under its stripped canonical form
+    val w1 = spark.read.parquet(s"$root/schedule/wave=1")
+      .select("canonical_url").as[String].collect().toSet
+    assert(w1 == Set("http://a.test/y?page=2"))
+  }
+}
