@@ -137,7 +137,9 @@ object WaveLoop {
       urlGate: Option[(DataFrame, Seq[String])] = None,
       retryErrorsAfter: Option[Int] = None,
       dustEvery: Int = 0,
-      dustMinSupport: Long = 2L): Seq[WaveResult] = {
+      dustMinSupport: Long = 2L,
+      hostCards: Boolean = false,
+      hostCardsP: Int = 11): Seq[WaveResult] = {
 
     require(refreshAfter.forall(_ => ledger.nonEmpty),
       "refreshAfter needs a ledger (last-fetch age lives in the ledger's wave column)")
@@ -355,6 +357,19 @@ object WaveLoop {
       val next = discover(spark.read.parquet(s"$root/schedule/wave=$wave"))
       next.write.mode(SaveMode.Overwrite).parquet(s"$root/next/wave=$wave")
 
+      // cardinality channel (`hostCards`): one HLL sketch per host per wave
+      // over the scheduled url hashes. Sketches are tiny (2^p bytes/host),
+      // duplicate-insensitive (re-crawls via the refresh/retry channels add
+      // nothing), and register-max merge is idempotent — so
+      // [[hostCardinalities]] rolls ANY subset of waves up to exact-union
+      // estimates without ever re-reading urls. Overwrite → idempotent.
+      if (hostCards) {
+        spark.read.parquet(s"$root/schedule/wave=$wave")
+          .groupBy("host_rev")
+          .agg(graft.functions.hll_agg(col("url_hash"), hostCardsP).as("sketch"))
+          .write.mode(SaveMode.Overwrite).parquet(s"$root/cards/wave=$wave")
+      }
+
       // authority channel: persist this wave's edges (canonical-hash longs,
       // 16 B/row — the PageRank wire format), refresh the scores every
       // rankEvery waves over ALL edges so far. Both writes are overwrite →
@@ -474,6 +489,24 @@ object WaveLoop {
   /** Crawl order across all committed waves — the fixture the north rule
     * checks against the reference's sequential order.
     */
+  /** Merge the per-wave host sketches (`hostCards = true`) into one
+    * estimated unique-url count per host — the crawl-budgeting view
+    * ("which hosts expose the most URL space"), read incrementally:
+    * register-max merge over the stored images, urls never re-read.
+    * `est_urls` applies the linear-counting correction below saturation
+    * (the spec regime); the raw sketch rides along for callers that keep
+    * rolling up.
+    */
+  def hostCardinalities(spark: SparkSession, root: String): DataFrame = {
+    val waves = committedWaves(root)
+      .map(w => s"$root/cards/wave=$w").filter(Fs.exists)
+    require(waves.nonEmpty, s"no cards/ tables under $root (hostCards off?)")
+    waves.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+      .groupBy("host_rev")
+      .agg(graft.functions.hll_merge_agg(col("sketch")).as("sketch"))
+      .withColumn("est_urls", graft.functions.hll_card_corrected(col("sketch")))
+  }
+
   def crawlOrder(spark: SparkSession, root: String): DataFrame = {
     val waves = committedWaves(root)
     val frames = waves.map(w =>

@@ -240,4 +240,42 @@ object HllProbe {
     val (p, regs) = HllSketch.deserialize(bytes)
     HllSketch.estimate(p, regs)
   }
+  def zeros(bytes: Array[Byte]): Int = {
+    val (_, regs) = HllSketch.deserialize(bytes)
+    HllSketch.zeros(regs)
+  }
+  def m(bytes: Array[Byte]): Int = {
+    val (p, _) = HllSketch.deserialize(bytes)
+    1 << p
+  }
+}
+
+/** Zero-register count of a sketch image — the input to the small-range
+  * linear-counting correction (`m·ln(m∕zeros)`), which callers apply in
+  * column arithmetic when they operate in the n ≲ m regime the fixed-point
+  * estimate deliberately ignores.
+  */
+case class HllZeros(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    HllProbe.zeros(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HllProbe.zeros($c)")
+  override protected def withNewChildInternal(c: Expression): HllZeros = copy(c)
+  override def prettyName: String = "hll_zeros"
+}
+
+/** Register count `m = 2^p` of a sketch image (companion to [[HllZeros]]
+  * for the linear-counting arithmetic).
+  */
+case class HllM(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    HllProbe.m(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HllProbe.m($c)")
+  override protected def withNewChildInternal(c: Expression): HllM = copy(c)
+  override def prettyName: String = "hll_m"
 }

@@ -122,6 +122,27 @@ package object functions {
   /** Fixed-point HLL cardinality estimate: sketch BINARY → BIGINT. */
   def hll_card(sketch: Column): Column = col(HllCard(expr(sketch)))
 
+  /** Zero-register count of an HLL image (linear-counting input). */
+  def hll_zeros(sketch: Column): Column = col(HllZeros(expr(sketch)))
+
+  /** Register count m = 2^p of an HLL image. */
+  def hll_m(sketch: Column): Column = col(HllM(expr(sketch)))
+
+  /** Best-practice HLL estimate: linear counting `m·ln(m∕zeros)` while any
+    * register is empty (the n ≲ m regime where the raw estimate is
+    * biased), the fixed-point raw estimate once the sketch saturates.
+    * DOUBLE ln — an ESTIMATE column, not an oracle-exact one (the
+    * oracle-replayable member is [[hll_card]]).
+    */
+  def hll_card_corrected(sketch: Column): Column = {
+    val z = hll_zeros(sketch).cast("double")
+    val mm = hll_m(sketch).cast("double")
+    org.apache.spark.sql.functions.when(z > 0,
+      org.apache.spark.sql.functions.round(mm *
+        org.apache.spark.sql.functions.log(mm / z)).cast("long"))
+      .otherwise(hll_card(sketch))
+  }
+
   /** Cuckoo membership probe (filter BINARY literal/column, key BIGINT). */
   def cuckoo_might_contain(filter: Column, key: Column): Column =
     col(CuckooMightContain(expr(filter), expr(key)))

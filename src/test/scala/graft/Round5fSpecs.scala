@@ -185,3 +185,48 @@ class DustLoopSpec extends AnyFunSuite {
     assert(w1 == Set("http://a.test/y?page=2"))
   }
 }
+
+class HostCardsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import org.apache.spark.sql.DataFrame
+  import graft.frontier.WaveLoop
+
+  test("host cardinality channel: merged sketches track exact uniques") {
+    val root = java.nio.file.Files.createTempDirectory("cards").toString
+    val seeds = (0 until 30)
+      .map(i => (s"http://h${i % 3}.test/p/$i", i.toLong))
+      .toDF("url", "seed_idx")
+    val discover: DataFrame => DataFrame = { sched =>
+      sched.where(col("seed_idx") < 60)
+        .select(concat(lit("http://h"), (col("seed_idx") % 3).cast("string"),
+          lit(".test/p/"), (col("seed_idx") + 30).cast("string")).as("url"),
+          (col("seed_idx") + 30).as("seed_idx"))
+    }
+    WaveLoop.run(spark, root, seeds, discover, maxWaves = 3,
+      metricsParseStats = false, hostCards = true)
+    val exact = WaveLoop.crawlOrder(spark, root)
+      .groupBy("host_rev").agg(countDistinct("url_hash").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = WaveLoop.hostCardinalities(spark, root)
+      .select("host_rev", "est_urls")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet && exact.values.sum == 90)
+    // linear-counting regime at n << m: estimates within a few percent
+    est.foreach { case (h, e) =>
+      assert(math.abs(e.toDouble / exact(h) - 1.0) < 0.05, s"$h: $e vs ${exact(h)}")
+    }
+    // duplicate insensitivity across waves: merging the SAME wave twice
+    // changes nothing (register max is idempotent)
+    val twice = spark.read.parquet(s"$root/cards/wave=0")
+      .unionByName(spark.read.parquet(s"$root/cards/wave=0"))
+      .groupBy("host_rev")
+      .agg(graft.functions.hll_merge_agg(col("sketch")).as("sketch"))
+      .select(col("host_rev"), graft.functions.hll_card_corrected(col("sketch")).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val once = spark.read.parquet(s"$root/cards/wave=0")
+      .select(col("host_rev"), graft.functions.hll_card_corrected(col("sketch")).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(twice == once)
+  }
+}
