@@ -1326,6 +1326,39 @@ object SparkEntry {
       graft.frontier.Rank.triangles(edges).orderBy("host")
     }),
 
+    "q102_focus_priorities" -> ((s, dir) => {
+      // focused-crawl priorities end to end: every page carries ONE
+      // absolute-href anchor to target doc_id%40 whose 3-token text mixes
+      // topic terms (spark/shuffle/tuning on the %5/%3/%2 grids) with
+      // filler vocabulary — targets accumulate different topic-term
+      // frequencies, the BM25 surrogate-document scores rank them, and
+      // the oracle rebuilds the pooled token multiset arithmetically
+      // (pool order is irrelevant: BM25 reads tf counts, not strings)
+      // then replays the q68 fixed-point scoring chain.
+      import s.implicits._
+      val id = col("doc_id")
+      val anchor = concat(
+        when(id % 5 === 0, lit("spark"))
+          .otherwise(concat(lit("misc"), (id % 4).cast("string"))),
+        lit(" "),
+        when(id % 3 === 0, lit("shuffle"))
+          .otherwise(concat(lit("word"), (id % 6).cast("string"))),
+        lit(" "),
+        when(id % 2 === 0, lit("tuning"))
+          .otherwise(concat(lit("tail"), (id % 5).cast("string"))))
+      val html = concat(
+        lit("<html><body><a href=\"http://tgt.test/t/"),
+        (id % 40).cast("string"), lit("\">"), anchor,
+        lit("</a></body></html>"))
+      val pages = docs(s, dir).select(
+        concat(lit("http://h"), (id % 9).cast("string"), lit(".test/p/"),
+          id.cast("string")).as("url"),
+        html.as("html"))
+      val topic = Seq((0L, "spark shuffle tuning")).toDF("qid", "qtext")
+      graft.frontier.Anchors.focusPriorities(pages, topic, k = 15)
+        .orderBy("rank")
+    }),
+
     "q81_frontier_capstone" -> ((s, dir) => {
       // round-5b capstone — the production frontier configuration composed
       // end to end: trap-capped frontier (q80 shapes) → HOST-level
@@ -3052,6 +3085,45 @@ object SparkEntry {
         |    THEN (2000000 * coalesce(triangles, 0)) // (degree * (degree - 1))
         |    ELSE 0 END AS BIGINT) AS clustering_ppm
         |FROM deg d LEFT JOIN t USING (host) ORDER BY host""".stripMargin,
+
+    "q102_focus_priorities" ->
+      """WITH q(qid, qtext) AS (VALUES (0, 'spark shuffle tuning')),
+        |anch AS (SELECT
+        |  'http://tgt.test/t/' || CAST(doc_id % 40 AS VARCHAR) AS id,
+        |  (CASE WHEN doc_id % 5 = 0 THEN 'spark'
+        |        ELSE 'misc' || CAST(doc_id % 4 AS VARCHAR) END) || ' ' ||
+        |  (CASE WHEN doc_id % 3 = 0 THEN 'shuffle'
+        |        ELSE 'word' || CAST(doc_id % 6 AS VARCHAR) END) || ' ' ||
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'tuning'
+        |        ELSE 'tail' || CAST(doc_id % 5 AS VARCHAR) END) AS anchor
+        |  FROM documents),
+        |toks AS (SELECT id, flatten(list(string_split(anchor, ' '))) AS tk
+        |  FROM anch GROUP BY id),
+        |dl AS (SELECT id, len(tk) AS dl FROM toks),
+        |post AS (SELECT id, term, count(*) AS tf
+        |  FROM (SELECT id, unnest(tk) AS term FROM toks) GROUP BY id, term),
+        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM dl),
+        |dfreq AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+        |qt AS (SELECT qid,
+        |  unnest(list_distinct(list_filter(regexp_split_to_array(qtext, '\s+'),
+        |    x -> x <> ''))) AS term FROM q),
+        |qidf AS (SELECT qid, term,
+        |  CAST(floor(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * 1000000 + 0.5)
+        |    AS BIGINT) AS idf_fp,
+        |  n_docs, total_dl
+        |  FROM qt JOIN dfreq USING (term) CROSS JOIN stats),
+        |sc AS (SELECT qid, p.id,
+        |  sum(CAST(floor(idf_fp *
+        |    (tf * (1.2 + 1) / (tf + 1.2 * ((1 - 0.75) + 0.75 *
+        |      (d.dl / (CAST(total_dl AS DOUBLE) / n_docs))))) * 1000) AS BIGINT))
+        |    AS score_fp
+        |  FROM post p JOIN qidf USING (term) JOIN dl d ON p.id = d.id
+        |  GROUP BY qid, p.id)
+        |SELECT CAST(qid AS BIGINT) AS qid, id AS url, score_fp, rank FROM (
+        |  SELECT qid, id, score_fp,
+        |    row_number() OVER (PARTITION BY qid ORDER BY score_fp DESC, id) AS rank
+        |  FROM sc)
+        |WHERE rank <= 15 ORDER BY rank""".stripMargin,
 
     "q81_frontier_capstone" ->
       """WITH u AS (

@@ -54,4 +54,31 @@ object Anchors {
         Window.partitionBy(col("link")).orderBy(col("n").desc, col("anchor"))))
       .where(col("rank") <= k)
   }
+
+  /** FOCUSED-crawl priorities (Chakrabarti '99's relevance-directed
+    * frontier, on the signal search engines actually have BEFORE fetching
+    * a url — what the rest of the web says about it): each link target's
+    * anchor texts pool into one surrogate document, BM25-scored against
+    * the topic queries, and the top-k targets per topic come back as
+    * `(qid, url, score_fp, rank)` — `rank` drops straight into
+    * [[Scheduler.priorityOrderKey]]'s priority slot.
+    *
+    * The anchor pool is ORDER-FREE by construction: BM25 reads only the
+    * term-frequency multiset and token count of the pooled text, both
+    * invariant under `collect_list`'s nondeterministic order — so scores
+    * are engine- and partition-order-exact even though the intermediate
+    * string is not. Inherits [[graft.text.Bm25.topK]]'s integer
+    * fixed-point scoring and salted two-phase top-k; the pooling is one
+    * map-side-combinable groupBy of (short) anchor strings.
+    */
+  def focusPriorities(pages: DataFrame, queries: DataFrame, k: Int = 25,
+      urlCol: String = "url", htmlCol: String = "html"): DataFrame = {
+    val pooled = fromPages(pages, urlCol, htmlCol)
+      .where(col("anchor") =!= "")
+      .groupBy(col("link"))
+      .agg(concat_ws(" ", collect_list(col("anchor"))).as("anchor_text"))
+    graft.text.Bm25.topK(pooled, "link", "anchor_text",
+        queries, "qid", "qtext", k = k)
+      .withColumnRenamed("id", "url")
+  }
 }

@@ -230,3 +230,44 @@ class HostCardsSpec extends AnyFunSuite {
     assert(twice == once)
   }
 }
+
+class FocusPrioritiesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import graft.frontier.Anchors
+
+  test("topical anchor evidence outranks filler; image-only links score nothing") {
+    val pages = Seq(
+      // 3 pages vouch for /hot with topic terms
+      ("http://s1.test/a", "<a href=\"http://t.test/hot\">rust compiler borrow</a>"),
+      ("http://s2.test/b", "<a href=\"http://t.test/hot\">rust compiler speed</a>"),
+      ("http://s3.test/c", "<a href=\"http://t.test/hot\">the rust book</a>"),
+      // /warm gets one topical mention, /cold only filler
+      ("http://s1.test/d", "<a href=\"http://t.test/warm\">rust news</a>"),
+      ("http://s2.test/e", "<a href=\"http://t.test/cold\">cat pictures daily</a>"),
+      // an image-only anchor: no text evidence, target absent from ranking
+      ("http://s3.test/f", "<a href=\"http://t.test/img\"><img src=\"x.png\"/></a>"))
+      .toDF("url", "html")
+    val q = Seq((0L, "rust compiler")).toDF("qid", "qtext")
+    val out = Anchors.focusPriorities(pages, q, k = 10)
+      .orderBy("rank").collect()
+    val urls = out.map(_.getString(1)).toSeq
+    assert(urls.head == "http://t.test/hot")
+    assert(urls.contains("http://t.test/warm"))
+    assert(!urls.contains("http://t.test/img"))
+    // cold has zero matching terms → zero contribution rows → absent
+    assert(!urls.contains("http://t.test/cold"))
+  }
+
+  test("pooled scores are invariant under anchor arrival order") {
+    def score(rows: Seq[(String, String)]): Map[String, Long] =
+      Anchors.focusPriorities(rows.toDF("url", "html"),
+          Seq((0L, "alpha beta")).toDF("qid", "qtext"), k = 10)
+        .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    val rows = Seq(
+      ("http://s.test/1", "<a href=\"http://t.test/x\">alpha gamma</a>"),
+      ("http://s.test/2", "<a href=\"http://t.test/x\">beta delta</a>"),
+      ("http://s.test/3", "<a href=\"http://t.test/x\">alpha beta</a>"))
+    assert(score(rows) == score(rows.reverse))
+  }
+}
