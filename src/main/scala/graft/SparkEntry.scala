@@ -1359,6 +1359,44 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    "q103_refresh_due" -> ((s, dir) => {
+      // changefreq/priority refresh verdicts: every doc is one <url> block
+      // whose lastmod (%3, epoch arithmetic round-tripped through the W3C
+      // format + parser), changefreq (%8 cycles the full vocabulary incl.
+      // never/absent), and priority (%4 gates presence) are all doc_id
+      // functions the oracle regenerates without parsing. Fetch log covers
+      // even ids at epoch+id·1800; now is fixed — so every reason branch
+      // (never_fetched / modified / ttl_expired / suppressed-by-lastmod)
+      // has planted members.
+      val id = col("doc_id")
+      val epoch = lit(1704067200L) // 2024-01-01T00:00:00Z
+      val lmE = epoch + (id % 100) * 3600L
+      val lm = when(id % 3 === 0, concat(lit("<lastmod>"),
+          date_format(to_timestamp(lmE), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+          lit("</lastmod>"))).otherwise(lit(""))
+      val cfName = element_at(
+        array(lit("always"), lit("hourly"), lit("daily"), lit("weekly"),
+          lit("monthly"), lit("yearly"), lit("never")),
+        (id % 8 + 1).cast("int"))
+      val cf = when(id % 8 < 7,
+        concat(lit("<changefreq>"), cfName, lit("</changefreq>")))
+        .otherwise(lit(""))
+      val pr = when(id % 4 =!= 0,
+        concat(lit("<priority>0."), (id % 10).cast("string"),
+          lit("</priority>"))).otherwise(lit(""))
+      val xml = concat(lit("<urlset><url><loc>http://st.test/u"),
+        id.cast("string"), lit("</loc>"), lm, cf, pr,
+        lit("</url></urlset>"))
+      val d = docs(s, dir)
+      val sitemaps = d.select(xml.as("xml"))
+      val fetched = d.where(id % 2 === 0).select(
+        concat(lit("http://st.test/u"), id.cast("string")).as("url"),
+        to_timestamp(epoch + id * 1800L).as("fetched_at"))
+      graft.frontier.Sitemap.refreshDue(sitemaps, fetched,
+          to_timestamp(lit(1709251200L))) // 2024-03-01T00:00:00Z
+        .orderBy("url")
+    }),
+
     "q81_frontier_capstone" -> ((s, dir) => {
       // round-5b capstone — the production frontier configuration composed
       // end to end: trap-capped frontier (q80 shapes) → HOST-level
@@ -3124,6 +3162,31 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY qid ORDER BY score_fp DESC, id) AS rank
         |  FROM sc)
         |WHERE rank <= 15 ORDER BY rank""".stripMargin,
+
+    "q103_refresh_due" ->
+      """WITH base AS (SELECT doc_id AS id,
+        |    'http://st.test/u' || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents),
+        |ent AS (SELECT id, url,
+        |  CASE WHEN id % 3 = 0 THEN 1704067200 + (id % 100) * 3600 END AS lm,
+        |  CASE (id % 8) WHEN 0 THEN 0 WHEN 1 THEN 3600 WHEN 2 THEN 86400
+        |    WHEN 3 THEN 604800 WHEN 4 THEN 2592000 WHEN 5 THEN 31536000
+        |    END AS ttl,
+        |  CASE WHEN id % 4 <> 0 THEN
+        |    CAST(floor(CAST('0.' || (id % 10) AS DOUBLE) * 1000000) AS BIGINT)
+        |    ELSE 500000 END AS priority_ppm
+        |  FROM base),
+        |f AS (SELECT id, 1704067200 + id * 1800 AS ft
+        |  FROM base WHERE id % 2 = 0),
+        |v AS (SELECT url,
+        |  CASE WHEN f.id IS NULL THEN 'never_fetched'
+        |       WHEN lm IS NOT NULL AND lm > ft THEN 'modified'
+        |       WHEN lm IS NULL AND ttl IS NOT NULL
+        |         AND 1709251200 - ft >= ttl THEN 'ttl_expired'
+        |  END AS reason, priority_ppm
+        |  FROM ent LEFT JOIN f USING (id))
+        |SELECT url, reason, priority_ppm FROM v
+        |WHERE reason IS NOT NULL ORDER BY url""".stripMargin,
 
     "q81_frontier_capstone" ->
       """WITH u AS (

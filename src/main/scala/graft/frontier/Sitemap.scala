@@ -38,7 +38,28 @@ object Sitemap {
       regexp_extract_all(xml, lit("(?s)<url>(.*?)</url>"), lit(1)),
       b => struct(
         trim(regexp_extract(b, "<loc>([^<]+)</loc>", 1)).as("loc"),
-        trim(regexp_extract(b, "<lastmod>([^<]+)</lastmod>", 1)).as("lastmod")))
+        trim(regexp_extract(b, "<lastmod>([^<]+)</lastmod>", 1)).as("lastmod"),
+        trim(regexp_extract(b, "<changefreq>([^<]+)</changefreq>", 1))
+          .as("changefreq"),
+        trim(regexp_extract(b, "<priority>([^<]+)</priority>", 1))
+          .as("priority")))
+
+  /** `<changefreq>` → refresh TTL seconds (sitemaps.org vocabulary).
+    * `always` is 0 (re-check on every visit); `never`, garbage, and
+    * absent are all null — "no TTL evidence", which [[refreshDue]]
+    * treats as never-refresh-by-TTL (the hint is advisory; a `never`
+    * page still refreshes when its `lastmod` moves).
+    */
+  def changefreqSeconds(c: Column): Column = {
+    val s = lower(trim(c))
+    when(s === "always", lit(0L))
+      .when(s === "hourly", lit(3600L))
+      .when(s === "daily", lit(86400L))
+      .when(s === "weekly", lit(604800L))
+      .when(s === "monthly", lit(2592000L))
+      .when(s === "yearly", lit(31536000L))
+      .otherwise(lit(null).cast("long"))
+  }
 
   /** Tolerant W3C-datetime parse → TIMESTAMP or null — NEVER a task
     * failure (the ANSI to_timestamp lesson from the WARC reader: one
@@ -89,5 +110,49 @@ object Sitemap {
       .withColumn("reason",
         when(col("fetched_at").isNull, lit("never_fetched"))
           .otherwise(lit("modified")))
+  }
+
+  /** Full refresh verdict from ALL the sitemap change metadata — the
+    * [[staleBySitemap]] lastmod channel plus the `<changefreq>` TTL hint
+    * and the `<priority>` queue weight:
+    *
+    *  - `never_fetched` — in a sitemap, not in the fetch log;
+    *  - `modified` — lastmod strictly newer than the fetch stamp;
+    *  - `ttl_expired` — NO lastmod (the site doesn't say when it
+    *    changed), but its changefreq TTL has elapsed by `now`. A present
+    *    lastmod that is NOT newer suppresses the TTL branch — the site
+    *    said "unchanged since X", which beats a generic cadence hint.
+    *
+    * `priority_ppm` = floor(priority × 10^6) (spec default 0.5 when the
+    * element is absent/unparseable) rides along as the refresh queue's
+    * order key. Per-url aggregation over many sitemap files: newest
+    * lastmod, most EAGER ttl (min), highest priority. Same one-explode +
+    * map-combinable-groupBy + one-join shape as [[staleBySitemap]].
+    */
+  def refreshDue(sitemaps: DataFrame, fetched: DataFrame, now: Column,
+      xmlCol: String = "xml", urlCol: String = "url",
+      tsCol: String = "fetched_at"): DataFrame = {
+    val ent = sitemaps
+      .select(explode(entries(col(xmlCol))).as("e"))
+      .select(canonicalize_url(col("e.loc")).as("url"),
+        lastmodTs(col("e.lastmod")).as("lastmod"),
+        changefreqSeconds(col("e.changefreq")).as("ttl"),
+        floor(coalesce(expr("try_cast(e.priority AS DOUBLE)"), lit(0.5d))
+          * 1000000L).cast("long").as("priority_ppm"))
+      .where(col("url").isNotNull)
+      .groupBy("url").agg(max(col("lastmod")).as("lastmod"),
+        min(col("ttl")).as("ttl"), max(col("priority_ppm")).as("priority_ppm"))
+    val log = fetched.select(canonicalize_url(col(urlCol)).as("url"),
+      col(tsCol).as("fetched_at"))
+    ent.join(log, Seq("url"), "left")
+      .withColumn("reason",
+        when(col("fetched_at").isNull, lit("never_fetched"))
+          .when(col("lastmod").isNotNull && col("lastmod") > col("fetched_at"),
+            lit("modified"))
+          .when(col("lastmod").isNull && col("ttl").isNotNull &&
+            unix_timestamp(now) - unix_timestamp(col("fetched_at")) >= col("ttl"),
+            lit("ttl_expired")))
+      .where(col("reason").isNotNull)
+      .select("url", "reason", "priority_ppm")
   }
 }

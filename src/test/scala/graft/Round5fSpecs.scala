@@ -271,3 +271,63 @@ class FocusPrioritiesSpec extends AnyFunSuite {
     assert(score(rows) == score(rows.reverse))
   }
 }
+
+class RefreshDueSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import graft.frontier.Sitemap
+
+  test("changefreqSeconds: vocabulary, case-insensitivity, null family") {
+    val got = Seq("always", "HOURLY", " daily ", "weekly", "monthly",
+        "yearly", "never", "sometimes", "").toDF("s")
+      .select(Sitemap.changefreqSeconds(col("s"))).collect()
+      .map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).toSeq
+    assert(got == Seq(0L, 3600L, 86400L, 604800L, 2592000L, 31536000L,
+      -1L, -1L, -1L))
+  }
+
+  test("refreshDue: reason branches and the lastmod-suppresses-ttl rule") {
+    def url(p: String) = s"<loc>http://r.test/$p</loc>"
+    val sitemaps = Seq(
+      // hourly TTL, no lastmod, fetched long ago → ttl_expired
+      s"<urlset><url>${url("ttl")}<changefreq>hourly</changefreq></url>" +
+        // lastmod OLDER than the fetch + hourly → site says unchanged,
+        // the TTL hint must NOT fire
+        s"<url>${url("calm")}<lastmod>2024-01-01</lastmod>" +
+        "<changefreq>hourly</changefreq></url>" +
+        // lastmod newer → modified
+        s"<url>${url("hot")}<lastmod>2024-02-01</lastmod></url>" +
+        // never in a sitemap but never fetched
+        s"<url>${url("new")}<changefreq>never</changefreq></url>" +
+        // changefreq never + fetched + no lastmod → no verdict
+        s"<url>${url("nv")}<changefreq>never</changefreq></url></urlset>")
+      .toDF("xml")
+    val fetched = Seq("ttl", "calm", "hot", "nv")
+      .map(p => (s"http://r.test/$p", java.sql.Timestamp.valueOf("2024-01-15 00:00:00")))
+      .toDF("url", "fetched_at")
+    val out = Sitemap.refreshDue(sitemaps, fetched,
+        to_timestamp(lit("2024-03-01 00:00:00")))
+      .select("url", "reason").as[(String, String)].collect().toMap
+    assert(out == Map(
+      "http://r.test/ttl" -> "ttl_expired",
+      "http://r.test/hot" -> "modified",
+      "http://r.test/new" -> "never_fetched"))
+  }
+
+  test("refreshDue: per-url aggregation — eager ttl, max priority, newest lastmod") {
+    val sitemaps = Seq(
+      "<urlset><url><loc>http://r.test/p</loc>" +
+        "<changefreq>yearly</changefreq><priority>0.2</priority></url></urlset>",
+      "<urlset><url><loc>http://r.test/p</loc>" +
+        "<changefreq>hourly</changefreq><priority>0.9</priority></url></urlset>")
+      .toDF("xml")
+    val fetched = Seq(("http://r.test/p",
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))).toDF("url", "fetched_at")
+    val out = Sitemap.refreshDue(sitemaps, fetched,
+        to_timestamp(lit("2024-03-01 00:00:00"))).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getString(1) == "ttl_expired") // min ttl = hourly fired
+    assert(r.getLong(2) == math.floor(0.9 * 1000000L).toLong)
+  }
+}
