@@ -1397,6 +1397,33 @@ object SparkEntry {
         .orderBy("url")
     }),
 
+    "q104_pq_adc" -> ((s, dir) => {
+      // PQ asymmetric-distance search through the PRODUCTION kernel
+      // (PqAdcLookup expression, broadcast tables, narrow rank) with
+      // planted integer codes and tables, so DuckDB recomputes every
+      // lookup arithmetically: code(i,j) = (i DIV (j+1) + j) % 4 (period
+      // 12 — varied rank orders), table(q,j,c) integer-valued — double
+      // sums of integers < 2^53 are order-exact, cast to BIGINT for the
+      // hash compare. The trained path (kmeans codebooks, encode,
+      // table build) is spec-pinned in PqSpec against brute force.
+      import s.implicits._
+      val id = col("doc_id")
+      val codes = docs(s, dir).select(id.as("id"),
+        array((0 to 3).map(j =>
+          ((expr(s"doc_id DIV ${j + 1}") + j) % 4).cast("int")): _*).as("codes"))
+      val qs = (0L to 4L).map { q =>
+        (q, (0 until 16).map { i =>
+          val j = i / 4; val c = i % 4
+          ((q + 1) * (j * 4 + c + 1) + c * c * (j + 1)).toDouble
+        })
+      }.toDF("qid", "tab")
+      graft.ann.Pq.topKFromCodes(codes, qs, "id", "codes", "qid", "tab",
+          k = 7, ksub = 4)
+        .select(col("q_id").as("qid"), col("rank").cast("long").as("rank"),
+          col("nn_id").as("id"), col("score").cast("long").as("score"))
+        .orderBy("qid", "rank")
+    }),
+
     "q81_frontier_capstone" -> ((s, dir) => {
       // round-5b capstone — the production frontier configuration composed
       // end to end: trap-capped frontier (q80 shapes) → HOST-level
@@ -3187,6 +3214,21 @@ object SparkEntry {
         |  FROM ent LEFT JOIN f USING (id))
         |SELECT url, reason, priority_ppm FROM v
         |WHERE reason IS NOT NULL ORDER BY url""".stripMargin,
+
+    "q104_pq_adc" ->
+      """WITH j AS (SELECT unnest(range(4)) AS j),
+        |q AS (SELECT unnest(range(5)) AS qid),
+        |sc AS (SELECT qid, doc_id AS id,
+        |  CAST(sum(
+        |    (qid + 1) * (j * 4 + ((doc_id // (j + 1) + j) % 4) + 1)
+        |    + ((doc_id // (j + 1) + j) % 4) * ((doc_id // (j + 1) + j) % 4)
+        |      * (j + 1)) AS BIGINT) AS score
+        |  FROM documents, j, q GROUP BY qid, doc_id)
+        |SELECT qid, rank, id, score FROM (
+        |  SELECT qid, id, score,
+        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank
+        |  FROM sc)
+        |WHERE rank <= 7 ORDER BY qid, rank""".stripMargin,
 
     "q81_frontier_capstone" ->
       """WITH u AS (

@@ -272,6 +272,74 @@ class FocusPrioritiesSpec extends AnyFunSuite {
   }
 }
 
+class PqSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import graft.ann.{Ann, Pq, PqBooks}
+
+  private def books(raw: Array[Array[Array[Float]]]): PqBooks =
+    new PqBooks(spark.sparkContext.broadcast(raw))
+
+  test("encode: per-subspace argmin L2, ties to the lower code") {
+    val b = books(Array(
+      Array(Array(0f, 0f), Array(10f, 10f)),
+      Array(Array(5f, 0f), Array(0f, 5f))))
+    val out = Seq((1L, Seq(1f, 1f, 4f, 0f)), (2L, Seq(9f, 9f, 0f, 4f)),
+        // sub0 [5,5] equidistant to both centroids → code 0
+        (3L, Seq(5f, 5f, 9f, 9f)))
+      .toDF("id", "vec")
+    val got = Pq.encode(out, b, "vec").select("id", "pq_code")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(got(1L) == Seq(0, 0))
+    assert(got(2L) == Seq(1, 1))
+    assert(got(3L).head == 0) // tie → lower code
+  }
+
+  test("adc table + lookup reproduce exact subspace dot products") {
+    val b = books(Array(
+      Array(Array(1f, 0f), Array(0f, 1f)),
+      Array(Array(2f, 2f), Array(-1f, 3f))))
+    val q = Seq((0L, Seq(3f, 4f, 5f, 6f))).toDF("qid", "vec")
+    val tab = q.select(Pq.adcTable(b, col("vec"))).collect().head.getSeq[Double](0)
+    // j=0: dot([3,4],[1,0])=3, dot([3,4],[0,1])=4; j=1: dot([5,6],[2,2])=22, dot([5,6],[-1,3])=13
+    assert(tab == Seq(3.0, 4.0, 22.0, 13.0))
+    val scored = Seq((1L, Seq(0, 1)), (2L, Seq(1, 0))).toDF("id", "codes")
+      .crossJoin(q.select(Pq.adcTable(b, col("vec")).as("tab")))
+      .select(col("id"), Pq.adcScore(col("tab"), col("codes"), 2).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scored(1L) == 3.0 + 13.0 && scored(2L) == 4.0 + 22.0)
+  }
+
+  test("end-to-end: PQ top-k recalls the brute-force neighbors on clustered data") {
+    // 4 well-separated clusters of EXACTLY k members in dim 8 — PQ
+    // resolves clusters, not the within-cluster jitter (it quantizes that
+    // away by design), so the recall set must be the cluster itself
+    val corpus = (0 until 40).map { i =>
+      val c = i % 4
+      val v = Array.tabulate(8)(d =>
+        (if (d / 2 == c) 10f else 0f) + ((i * 31 + d * 7) % 5) * 0.1f)
+      (i.toLong, v.toSeq)
+    }.toDF("id", "vec")
+    val queries = (0 until 4).map { c =>
+      (c.toLong, Array.tabulate(8)(d => if (d / 2 == c) 10f else 0f).toSeq)
+    }.toDF("id", "vec")
+    val exact = Ann.bruteForceTopK(corpus, queries, "id", "id", "vec", k = 10)
+      .select("q_id", "nn_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val pq = Pq.topK(corpus, queries, "id", "id", "vec", k = 10, m = 4, ksub = 4)
+      .select("q_id", "nn_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.keys.map { q =>
+      (exact(q) intersect pq(q)).size.toDouble / exact(q).size
+    }
+    assert(recalls.forall(_ >= 0.8), recalls.toSeq)
+    // training is deterministic: two runs produce identical codebooks
+    val b1 = Pq.train(corpus, "id", "vec", m = 4, ksub = 4)
+    val b2 = Pq.train(corpus, "id", "vec", m = 4, ksub = 4)
+    assert(b1.flatten.flatten.toSeq == b2.flatten.flatten.toSeq)
+  }
+}
+
 class RefreshDueSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
