@@ -1424,6 +1424,30 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    "q105_semdedup" -> ((s, dir) => {
+      // embedding-space SemDeDup (Abbas '23) — the EMBEDDING twin of
+      // q71's text path: q17's axis-sign bucketed cosine pairs (the
+      // oracle computes the identical candidate set), alternating-star
+      // clustering, then keep the best-quality member per semantic
+      // cluster (planted score (id·53)%1000 so argmax ≠ min-id); every
+      // vector comes back with its cluster and keep verdict — the
+      // row-level semantic delete set.
+      val emb = embeddings(s, dir)
+      val pairs = graft.dedup.Dedup.cosineNearDupsBucketed(
+          emb, "vec_id", "embedding", 0.4, q17Buckets)
+        .select("id_a", "id_b")
+      val labels = graft.dedup.Components.connectedComponents(pairs)
+      val quality = emb.select(col("vec_id").as("id"),
+        pmod(col("vec_id") * 53L, lit(1000L)).as("score"))
+      val keep = graft.dedup.Dedup.keepBestInClusters(labels, quality)
+      quality.select(col("id"))
+        .join(keep.select("id", "cluster_id", "keep_id"), Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("cluster_id"), col("id")).as("cluster_id"),
+          (col("keep_id").isNull || col("keep_id") === col("id")).as("kept"))
+        .orderBy("id")
+    }),
+
     "q81_frontier_capstone" -> ((s, dir) => {
       // round-5b capstone — the production frontier configuration composed
       // end to end: trap-capped frontier (q80 shapes) → HOST-level
@@ -3229,6 +3253,36 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank
         |  FROM sc)
         |WHERE rank <= 7 ORDER BY qid, rank""".stripMargin,
+
+    "q105_semdedup" ->
+      s"""WITH RECURSIVE
+         |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve,
+         |        $q17BucketSqlList AS bks FROM embeddings),
+         |n AS (SELECT vec_id, ve, sqrt(list_dot_product(ve, ve)) AS nrm, bks FROM v),
+         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |      FROM n a JOIN n b
+         |        ON a.vec_id < b.vec_id AND list_has_any(a.bks, b.bks)
+         |      WHERE list_dot_product(a.ve, b.ve) / (a.nrm * b.nrm) >= 0.4),
+         |e AS (SELECT id_a AS s, id_b AS d FROM p
+         |      UNION SELECT id_b, id_a FROM p),
+         |reach(id, l) AS (
+         |  SELECT DISTINCT s, s FROM e
+         |  UNION
+         |  SELECT e.s, r.l FROM e JOIN reach r ON r.id = e.d),
+         |lab AS (SELECT id, min(l) AS cluster_id FROM reach GROUP BY id),
+         |qual AS (SELECT vec_id AS id, (vec_id * 53) % 1000 AS score
+         |         FROM embeddings),
+         |best AS (SELECT cluster_id, max(score) AS b
+         |         FROM lab JOIN qual USING (id) GROUP BY cluster_id),
+         |keep AS (SELECT lab.cluster_id, min(id) AS keep_id
+         |         FROM lab JOIN qual USING (id)
+         |         JOIN best ON lab.cluster_id = best.cluster_id
+         |         WHERE qual.score = best.b GROUP BY lab.cluster_id)
+         |SELECT q.id, coalesce(lab.cluster_id, q.id) AS cluster_id,
+         |  (lab.cluster_id IS NULL OR keep.keep_id = q.id) AS kept
+         |FROM qual q LEFT JOIN lab ON q.id = lab.id
+         |  LEFT JOIN keep ON lab.cluster_id = keep.cluster_id
+         |ORDER BY q.id""".stripMargin,
 
     "q81_frontier_capstone" ->
       """WITH u AS (
