@@ -1448,6 +1448,33 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "q106_ivfpq" -> ((s, dir) => {
+      // IVF+PQ (FAISS IVFADC) through the production kernel with planted
+      // assignments: coarse cell = doc_id % 10, query q probes cells
+      // {q%10, (q+3)%10}, codes/tables are q104's arithmetic — so the
+      // oracle replays cell pruning AND the ADC lookups exactly. The
+      // trained path (kmeans cells + trained codebooks) is spec-pinned.
+      import s.implicits._
+      val id = col("doc_id")
+      val codes = docs(s, dir).select(id.as("id"),
+        array((0 to 3).map(j =>
+          ((expr(s"doc_id DIV ${j + 1}") + j) % 4).cast("int")): _*).as("codes"),
+        (id % 10).cast("int").as("cell"))
+      val qs = (0L to 4L).map { q =>
+        (q,
+          (0 until 16).map { i =>
+            val j = i / 4; val c = i % 4
+            ((q + 1) * (j * 4 + c + 1) + c * c * (j + 1)).toDouble
+          },
+          Seq((q % 10).toInt, ((q + 3) % 10).toInt))
+      }.toDF("qid", "tab", "probe")
+      graft.ann.Pq.ivfAdcTopKAssigned(codes, qs, "id", "codes", "cell",
+          "qid", "tab", "probe", k = 7, ksub = 4)
+        .select(col("q_id").as("qid"), col("rank").cast("long").as("rank"),
+          col("nn_id").as("id"), col("score").cast("long").as("score"))
+        .orderBy("qid", "rank")
+    }),
+
     "q81_frontier_capstone" -> ((s, dir) => {
       // round-5b capstone — the production frontier configuration composed
       // end to end: trap-capped frontier (q80 shapes) → HOST-level
@@ -3283,6 +3310,23 @@ object SparkEntry {
          |FROM qual q LEFT JOIN lab ON q.id = lab.id
          |  LEFT JOIN keep ON lab.cluster_id = keep.cluster_id
          |ORDER BY q.id""".stripMargin,
+
+    "q106_ivfpq" ->
+      """WITH j AS (SELECT unnest(range(4)) AS j),
+        |q AS (SELECT unnest(range(5)) AS qid),
+        |cand AS (SELECT qid, doc_id AS id FROM documents, q
+        |  WHERE doc_id % 10 = qid % 10 OR doc_id % 10 = (qid + 3) % 10),
+        |sc AS (SELECT qid, id,
+        |  CAST(sum(
+        |    (qid + 1) * (j * 4 + ((id // (j + 1) + j) % 4) + 1)
+        |    + ((id // (j + 1) + j) % 4) * ((id // (j + 1) + j) % 4)
+        |      * (j + 1)) AS BIGINT) AS score
+        |  FROM cand, j GROUP BY qid, id)
+        |SELECT qid, rank, id, score FROM (
+        |  SELECT qid, id, score,
+        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank
+        |  FROM sc)
+        |WHERE rank <= 7 ORDER BY qid, rank""".stripMargin,
 
     "q81_frontier_capstone" ->
       """WITH u AS (

@@ -110,6 +110,54 @@ object Pq {
       .select(col("q_id"), col("rank"), col("nn_id"), col("score"))
   }
 
+  /** IVF-ADC top-k over CALLER-SUPPLIED cells, codes and tables — the
+    * FAISS-style IVFPQ composition: corpus rows carry (cell, codes),
+    * queries probe `probeCells` and ADC-score ONLY the joined cells'
+    * rows. Candidates ∝ corpus∕nlist × nProbe with m-lookup scoring —
+    * at 10^10 vectors neither the vectors nor even the full code table
+    * is touched per query. Oracle-checkable like [[topKFromCodes]].
+    */
+  def ivfAdcTopKAssigned(codes: DataFrame, queries: DataFrame,
+      idCol: String, codesCol: String, cellCol: String,
+      qidCol: String, tableCol: String, probeCellsCol: String,
+      k: Int, ksub: Int): DataFrame = {
+    val c = codes.select(col(idCol).as("nn_id"), col(codesCol).as("_code"),
+      col(cellCol).as("cell"))
+    val q = queries.select(col(qidCol).as("q_id"), col(tableCol).as("_tab"),
+      explode(col(probeCellsCol)).as("cell"))
+    val scored = q.join(c, "cell")
+      .withColumn("score", adcScore(col("_tab"), col("_code"), ksub))
+      .select(col("q_id"), col("nn_id"), col("score"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("nn_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("nn_id"), col("score"))
+  }
+
+  /** Production IVFPQ: IVF coarse cells from [[Ann.kmeansCentroids]],
+    * PQ codebooks from [[train]], corpus carries (cell, codes), queries
+    * probe their `nProbe` nearest cells with ADC tables.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, qidCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nProbe: Int = 4, m: Int = 8, ksub: Int = 16,
+      iters: Int = 8): DataFrame = {
+    val spark = corpus.sparkSession
+    val cents = new IvfCentroids(spark.sparkContext.broadcast(
+      Ann.kmeansCentroids(corpus, idCol, vecCol, nlist, iters)))
+    def cellsOf(vec: Column, probes: Int): Column =
+      Bridge.column(graft.functions.IvfCells(cents, Bridge.expression(vec), probes))
+    val books = new PqBooks(spark.sparkContext.broadcast(
+      train(corpus, idCol, vecCol, m, ksub, iters)))
+    val codes = encode(corpus, books, vecCol)
+      .withColumn("_cell", element_at(cellsOf(col(vecCol), 1), 1))
+    val q = queries.select(col(qidCol),
+      adcTable(books, col(vecCol)).as("_tab"),
+      cellsOf(col(vecCol), nProbe).as("_probe"))
+    ivfAdcTopKAssigned(codes, q, idCol, "pq_code", "_cell",
+      qidCol, "_tab", "_probe", k, ksub)
+  }
+
   /** End-to-end PQ top-k: train (unless codebooks are supplied), encode
     * the corpus once, table the queries once, rank on codes.
     */

@@ -338,6 +338,48 @@ class PqSpec extends AnyFunSuite {
     val b2 = Pq.train(corpus, "id", "vec", m = 4, ksub = 4)
     assert(b1.flatten.flatten.toSeq == b2.flatten.flatten.toSeq)
   }
+
+  test("ivfAdc with probe-everything equals plain PQ; pruning prunes") {
+    val codes = (0L until 60L).map(i =>
+      (i, Seq(((i / 1) % 4).toInt, ((i / 2 + 1) % 4).toInt), (i % 5).toInt))
+      .toDF("id", "codes", "cell")
+    val tab = (0 until 8).map(i => (i * 3 + 1).toDouble)
+    val all = Seq((0L, tab, List(0, 1, 2, 3, 4))).toDF("qid", "tab", "probe")
+    val ivfAll = Pq.ivfAdcTopKAssigned(codes, all, "id", "codes", "cell",
+        "qid", "tab", "probe", k = 10, ksub = 4)
+      .select("rank", "nn_id").as[(Int, Long)].collect().toSeq.sorted
+    val plain = Pq.topKFromCodes(codes, all.select("qid", "tab"),
+        "id", "codes", "qid", "tab", k = 10, ksub = 4)
+      .select("rank", "nn_id").as[(Int, Long)].collect().toSeq.sorted
+    assert(ivfAll == plain)
+    // probing only cell 2 restricts candidates to id % 5 == 2
+    val one = Seq((0L, tab, Seq(2))).toDF("qid", "tab", "probe")
+    val pruned = Pq.ivfAdcTopKAssigned(codes, one, "id", "codes", "cell",
+        "qid", "tab", "probe", k = 50, ksub = 4)
+      .select("nn_id").as[Long].collect().toSet
+    assert(pruned.nonEmpty && pruned.forall(_ % 5 == 2))
+  }
+
+  test("trained IVFPQ recalls the cluster at nProbe=1 on separable data") {
+    val corpus = (0 until 40).map { i =>
+      val c = i % 4
+      val v = Array.tabulate(8)(d =>
+        (if (d / 2 == c) 10f else 0f) + ((i * 31 + d * 7) % 5) * 0.1f)
+      (i.toLong, v.toSeq)
+    }.toDF("id", "vec")
+    val queries = (0 until 4).map { c =>
+      (c.toLong, Array.tabulate(8)(d => if (d / 2 == c) 10f else 0f).toSeq)
+    }.toDF("id", "vec")
+    val got = Pq.ivfTopK(corpus, queries, "id", "id", "vec", k = 10,
+        nlist = 4, nProbe = 2, m = 4, ksub = 4)
+      .select("q_id", "nn_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    (0 until 4).foreach { c =>
+      val members = (0 until 40).filter(_ % 4 == c).map(_.toLong).toSet
+      val overlap = (got(c.toLong) intersect members).size
+      assert(overlap >= 8, s"cluster $c overlap $overlap")
+    }
+  }
 }
 
 class RefreshDueSpec extends AnyFunSuite {
