@@ -1475,6 +1475,37 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    "q107_wet_texts" -> ((s, dir) => {
+      // WET (conversion-record) round trip — q51's sidecar twin: docs →
+      // conformant conversion records (~10 per .gz-layout file image, plus
+      // a warcinfo the texts view must skip), parsed back by the real
+      // walker incl. the WARC-Refers-To provenance edge, whose name-UUID
+      // determinism both engines can verify by presence (the id itself is
+      // engine-internal; its INVARIANT — nonempty exactly for conversion
+      // rows — is the checkable fact).
+      import s.implicits._
+      val rows = docs(s, dir).select(
+        col("doc_id"),
+        concat(lit("http://"), col("source"), lit(".test/docs/"),
+          col("doc_id").cast("string")).as("url"),
+        col("text")).as[(Long, String, String)]
+      val blobs = rows.groupByKey(_._1 / 10).mapGroups { (_, it) =>
+        val recs = it.toSeq.sortBy(_._1).map { case (_, url, text) =>
+          graft.sources.Warc.writeConversion(url,
+            "2024-01-01T00:00:00Z", text.getBytes("UTF-8"))
+        }
+        graft.sources.Warc.writeFile(
+          graft.sources.Warc.writeRecord("warcinfo", "",
+            "2024-01-01T00:00:00Z", "software: graft\r\n".getBytes("UTF-8")) +: recs)
+      }.toDF("warc")
+      graft.sources.Warc.texts(blobs)
+        .select(col("url"),
+          length(col("text")).cast("long").as("n_chars"),
+          date_format(col("warc_ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+          (length(col("refers_to")) > 0).as("has_provenance"))
+        .orderBy("url")
+    }),
+
     "q81_frontier_capstone" -> ((s, dir) => {
       // round-5b capstone — the production frontier configuration composed
       // end to end: trap-capped frontier (q80 shapes) → HOST-level
@@ -2657,6 +2688,13 @@ object SparkEntry {
       """SELECT 'http://' || source || '.test/docs/' || doc_id AS url,
         |  CAST(length(text) AS BIGINT) AS n_chars,
         |  '2024-01-01 00:00:00' AS ts
+        |FROM documents ORDER BY url""".stripMargin,
+
+    "q107_wet_texts" ->
+      """SELECT 'http://' || source || '.test/docs/' || doc_id AS url,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  '2024-01-01 00:00:00' AS ts,
+        |  TRUE AS has_provenance
         |FROM documents ORDER BY url""".stripMargin,
 
     "q54_pagerank" ->

@@ -36,7 +36,8 @@ object Warc {
       warcType: String,
       targetUri: String, // "" when absent (warcinfo)
       date: String, // WARC-Date verbatim (ISO 8601)
-      payload: Array[Byte])
+      payload: Array[Byte],
+      refersTo: String = "") // WARC-Refers-To record id, "" when absent
 
   /** One conformant WARC record; `response` payloads are full HTTP/1.1
     * messages built around `body`.
@@ -59,6 +60,33 @@ object Warc {
       s"WARC-Date: $date\r\nWARC-Record-ID: <urn:uuid:$rid>\r\n" +
       s"Content-Length: ${payload.length}\r\n\r\n"
     head.getBytes("US-ASCII") ++ payload ++ "\r\n\r\n".getBytes("US-ASCII")
+  }
+
+  /** The deterministic record id [[writeRecord]] assigns to
+    * (type, uri, date) — what a conversion record's WARC-Refers-To must
+    * name to point at its response record.
+    */
+  def recordId(warcType: String, targetUri: String, date: String): String =
+    "urn:uuid:" + java.util.UUID.nameUUIDFromBytes(
+      s"$warcType\n$targetUri\n$date".getBytes("UTF-8"))
+
+  /** A WET `conversion` record (ISO 28500 §6.6; the Common Crawl "WET"
+    * sidecar format): payload = the EXTRACTED text of a fetched page,
+    * `Content-Type: text/plain`, with `WARC-Refers-To` naming the
+    * response record it was derived from — which [[writeRecord]]'s
+    * deterministic ids make computable from (uri, date) alone, no read
+    * of the response file needed.
+    */
+  def writeConversion(targetUri: String, date: String,
+      text: Array[Byte]): Array[Byte] = {
+    val rid = recordId("conversion", targetUri, date)
+    val head = s"WARC/1.0\r\nWARC-Type: conversion\r\n" +
+      s"WARC-Target-URI: $targetUri\r\nWARC-Date: $date\r\n" +
+      s"WARC-Record-ID: <$rid>\r\n" +
+      s"WARC-Refers-To: <${recordId("response", targetUri, date)}>\r\n" +
+      s"Content-Type: text/plain\r\n" +
+      s"Content-Length: ${text.length}\r\n\r\n"
+    head.getBytes("US-ASCII") ++ text ++ "\r\n\r\n".getBytes("US-ASCII")
   }
 
   /** Concatenate records into one WARC file image (one linear copy — the
@@ -130,6 +158,7 @@ object Warc {
         require(lines.nonEmpty && (lines(0) == "WARC/1.0" || lines(0) == "WARC/1.1"),
           s"not a WARC record at offset $pos: '${lines.headOption.getOrElse("")}'")
         var warcType = ""; var uri = ""; var date = ""; var len = -1L
+        var refersTo = ""
         for (line <- lines.drop(1); colon = line.indexOf(':') if colon > 0) {
           val k = line.substring(0, colon).trim.toLowerCase(java.util.Locale.ROOT)
           val v = line.substring(colon + 1).trim
@@ -137,6 +166,7 @@ object Warc {
             case "warc-type" => warcType = v
             case "warc-target-uri" => uri = v.stripPrefix("<").stripSuffix(">")
             case "warc-date" => date = v
+            case "warc-refers-to" => refersTo = v.stripPrefix("<").stripSuffix(">")
             case "content-length" =>
               len = try v.toLong catch {
                 case _: NumberFormatException =>
@@ -150,7 +180,8 @@ object Warc {
         val start = headerEnd + 4
         require(start + len <= n, s"truncated WARC payload (need $len bytes)")
         out += Record(warcType, uri, date,
-          java.util.Arrays.copyOfRange(bytes, start, (start + len).toInt))
+          java.util.Arrays.copyOfRange(bytes, start, (start + len).toInt),
+          refersTo)
         pos = (start + len).toInt
       }
     }
@@ -215,6 +246,37 @@ object Warc {
       }
     }
     parsed.toDF("url", "warc_ts", "html")
+  }
+
+  /** WET blobs → (url, warc_ts, text, refers_to): the conversion-record
+    * twin of [[pages]] — reads the extracted-text sidecar a WET export
+    * ships, with the same per-blob containment, gzip auto-detect, and
+    * in-record date parse. `refers_to` is the response record the text
+    * was derived from (the provenance edge a corpus audit walks).
+    */
+  def texts(blobs: DataFrame, binCol: String = "warc"): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    val parsed = blobs.select(col(binCol)).as[Array[Byte]].mapPartitions { it =>
+      it.flatMap { blob =>
+        val gz = blob.length >= 2 && (blob(0) & 0xff) == 0x1f && (blob(1) & 0xff) == 0x8b
+        val recs =
+          try { if (gz) recordsGz(blob) else records(blob) }
+          catch { case scala.util.control.NonFatal(_) => Vector.empty }
+        recs.iterator
+          .filter(_.warcType == "conversion")
+          .flatMap { r =>
+            try {
+              val ts =
+                try java.sql.Timestamp.from(
+                  java.time.OffsetDateTime.parse(r.date).toInstant)
+                catch { case scala.util.control.NonFatal(_) => null }
+              Some((r.targetUri, ts, new String(r.payload, "UTF-8"), r.refersTo))
+            } catch { case scala.util.control.NonFatal(_) => None }
+          }
+      }
+    }
+    parsed.toDF("url", "warc_ts", "text", "refers_to")
   }
 
   /** File-based ingestion — how real Common Crawl actually arrives: a
@@ -285,5 +347,60 @@ object Warc {
         Iterator.single(n)
       }
     }.reduce(_ + _)
+  }
+
+  /** WET export: the extracted-text sidecar next to [[writePagesToFiles]]'s
+    * response shards — one `conversion` record per page (member-per-record
+    * `.wet.gz`, same seekable layout), text produced by the engine's own
+    * extractor ([[graft.functions.extract_readable]], a codegen column —
+    * extraction happens in the projection, not per-record in the writer).
+    * Refers-To ids are computable from (uri, date), so the sidecar links
+    * to its response shard without reading it.
+    */
+  def writeWetToFiles(pages: DataFrame, dir: String,
+      prefix: String = "shard"): Long = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val conf = spark.sparkContext.broadcast(
+      new org.apache.spark.graftbridge.SerializableHadoopConf(
+        spark.sparkContext.hadoopConfiguration))
+    graft.core.Fs.mkdirs(dir)
+    val rows = pages
+      .select(col("url"),
+        date_format(col("warc_ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("d"),
+        graft.functions.extract_readable(col("html").cast("string")).as("text"))
+      .as[(String, String, String)]
+    rows.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val path = new org.apache.hadoop.fs.Path(dir, f"$prefix-$pid%05d.wet.gz")
+        val fs = path.getFileSystem(conf.value.value)
+        val out = fs.create(path, true)
+        var n = 0L
+        try {
+          for ((url, date, text) <- it) {
+            val d = if (date == null) "1970-01-01T00:00:00Z" else date
+            val gz = new java.util.zip.GZIPOutputStream(out)
+            gz.write(writeConversion(url, d, text.getBytes("UTF-8")))
+            gz.finish()
+            n += 1
+          }
+        } finally out.close()
+        Iterator.single(n)
+      }
+    }.reduce(_ + _)
+  }
+
+  /** File-based WET ingestion (binaryFile over `.wet` / `.wet.gz` files →
+    * [[texts]]) — the read side of [[writeWetToFiles]].
+    */
+  def textsFromFiles(spark: SparkSession, dir: String,
+      glob: String = "*.wet*"): DataFrame = {
+    val files = spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(col("content").as("warc"))
+    texts(files)
   }
 }

@@ -382,6 +382,52 @@ class PqSpec extends AnyFunSuite {
   }
 }
 
+class WetSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import graft.sources.Warc
+
+  test("conversion record round-trips with the provenance edge") {
+    val date = "2024-01-01T00:00:00Z"
+    val img = Warc.writeFile(Seq(
+      Warc.writeConversion("http://a.test/1", date, "extrahierter text".getBytes("UTF-8")),
+      Warc.writeRecord("response", "http://a.test/1", date, "<p>x</p>".getBytes("UTF-8"))))
+    val recs = Warc.records(img)
+    assert(recs.map(_.warcType) == Vector("conversion", "response"))
+    val conv = recs.head
+    assert(new String(conv.payload, "UTF-8") == "extrahierter text")
+    // WARC-Refers-To names exactly the response record's id
+    val respId = Warc.recordId("response", "http://a.test/1", date)
+    assert(conv.refersTo == respId)
+    assert(conv.refersTo.nonEmpty && recs(1).refersTo.isEmpty)
+  }
+
+  test("WET file sink + ingestion: text equals the engine's extraction") {
+    val dir = java.nio.file.Files.createTempDirectory("wet").toString
+    val pages = (0 until 20).map { i =>
+      (s"http://w.test/p/$i",
+        java.sql.Timestamp.valueOf("2024-02-01 00:00:00"),
+        s"<html><body><p>inhalt $i</p><script>var x;</script></body></html>"
+          .getBytes("UTF-8"))
+    }.toDF("url", "warc_ts", "html")
+    val n = Warc.writeWetToFiles(pages.repartition(3), s"$dir/wet")
+    assert(n == 20)
+    val back = Warc.textsFromFiles(spark, s"$dir/wet")
+      .select("url", "text", "refers_to")
+      .as[(String, String, String)].collect().sortBy(_._1)
+    assert(back.length == 20)
+    // extraction parity: the sidecar carries extract_readable(html)
+    val expected = pages
+      .select(col("url"),
+        graft.functions.extract_readable(col("html").cast("string")))
+      .as[(String, String)].collect().toMap
+    back.foreach { case (url, text, ref) =>
+      assert(text == expected(url), url)
+      assert(ref == Warc.recordId("response", url, "2024-02-01T00:00:00Z"))
+    }
+  }
+}
+
 class RefreshDueSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
