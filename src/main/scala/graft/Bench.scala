@@ -359,7 +359,19 @@ object Bench {
       "page_outline" -> ((s: SparkSession, d: String) =>
         SparkEntry.queries("q95_page_outline")(s, d)),
       "dust_rules" -> ((s: SparkSession, d: String) =>
-        SparkEntry.queries("q98_dust_rules")(s, d)))
+        SparkEntry.queries("q98_dust_rules")(s, d)),
+      "seed_distance" -> ((s: SparkSession, d: String) =>
+        SparkEntry.queries("q99_seed_distance")(s, d)),
+      "triangles" -> ((s: SparkSession, d: String) =>
+        SparkEntry.queries("q101_triangles")(s, d)),
+      "focus_priorities" -> ((s: SparkSession, d: String) =>
+        SparkEntry.queries("q102_focus_priorities")(s, d)),
+      "pq_adc" -> ((s: SparkSession, d: String) =>
+        SparkEntry.queries("q104_pq_adc")(s, d)),
+      "semdedup" -> ((s: SparkSession, d: String) =>
+        SparkEntry.queries("q105_semdedup")(s, d)),
+      "wet_texts" -> ((s: SparkSession, d: String) =>
+        SparkEntry.queries("q107_wet_texts")(s, d)))
     val extras = extraQueries.map { case (name, fn) =>
       val sec = try {
         force(fn(spark, sfDir))
