@@ -229,4 +229,52 @@ class PlanSpec extends AnyFunSuite {
     // map-side partial agg present → the exchange moves (host, partial sums)
     assert(plan.contains("partial_"), plan)
   }
+
+  test("triangle census: every join equi-keyed (the hub-host m² guard)") {
+    import spark.implicits._
+    val edges = spark.range(500).select(
+      concat(lit("h"), (col("id") % 40).cast("string")).as("src_host"),
+      concat(lit("h"), ((col("id") * 3 + 1) % 40).cast("string")).as("dst_host"))
+    val plan = graft.frontier.Rank.triangles(edges)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("PQ search: codegen kernels, one rank exchange, no vectors past encode") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val top = graft.ann.Pq.topK(e, e.where(col("vec_id") < 5),
+      "vec_id", "vec_id", "embedding", k = 3, m = 4, ksub = 4)
+    top.count()
+    val plan = top.queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), plan)
+    assert(plan.contains("pq_encode") && plan.contains("pq_adc"), plan)
+    // queries broadcast; the only shuffle is the per-query rank window
+    assert(countShuffles(top.queryExecution.executedPlan) <= 1, plan)
+  }
+
+  test("IVFPQ: cell equi-join, no cartesian, both kernel families present") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val plan = graft.ann.Pq.ivfTopK(e, e.where(col("vec_id") < 5),
+      "vec_id", "vec_id", "embedding", k = 3, nlist = 8, nProbe = 2,
+      m = 4, ksub = 4).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("ivf_cells") && plan.contains("pq_adc"), plan)
+  }
+
+  test("focused-crawl priorities: codegen anchors, equi-joins only") {
+    import spark.implicits._
+    val pages = spark.range(200).select(
+      concat(lit("http://s"), (col("id") % 9).cast("string"), lit(".test/p/"),
+        col("id").cast("string")).as("url"),
+      concat(lit("<a href=\"http://t.test/t/"), (col("id") % 20).cast("string"),
+        lit("\">topic words here</a>")).as("html"))
+    val q = Seq((0L, "topic words")).toDF("qid", "qtext")
+    val plan = graft.frontier.Anchors.focusPriorities(pages, q, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), plan)
+    assert(plan.contains("extract_anchors"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
