@@ -1506,6 +1506,31 @@ object SparkEntry {
         .orderBy("url")
     }),
 
+    "q108_registrable_domains" -> ((s, dir) => {
+      // eTLD+1 site rollup: five host families (ccTLD second-levels,
+      // shared hosting, plain TLDs, a bare single label) fold to their
+      // registrable domains — the politeness-budget grain; counts per
+      // site are the value-exact check, the fold itself is pure string
+      // arithmetic both engines run verbatim.
+      val id = col("doc_id")
+      val k = (id % 7).cast("string")
+      val host = when(id % 5 === 0, concat(lit("www.site"), k, lit(".co.uk")))
+        .when(id % 5 === 1, concat(lit("app"), k, lit(".example.com")))
+        .when(id % 5 === 2, concat(lit("user"), k, lit(".github.io")))
+        .when(id % 5 === 3, concat(lit("shop"), k, lit(".com.au")))
+        .otherwise(lit("localhost"))
+      val urls = docs(s, dir).select(
+        concat(lit("http://"), host, lit("/p/"), id.cast("string")).as("url"))
+      urls
+        .select(graft.functions.registrable_domain(
+          graft.functions.host_of(col("url"))).as("domain"),
+          graft.functions.host_of(col("url")).as("host"))
+        .groupBy("domain")
+        .agg(countDistinct(col("host")).as("n_hosts"),
+          count(lit(1)).as("n_urls"))
+        .orderBy("domain")
+    }),
+
     "q81_frontier_capstone" -> ((s, dir) => {
       // round-5b capstone — the production frontier configuration composed
       // end to end: trap-capped frontier (q80 shapes) → HOST-level
@@ -2696,6 +2721,25 @@ object SparkEntry {
         |  '2024-01-01 00:00:00' AS ts,
         |  TRUE AS has_provenance
         |FROM documents ORDER BY url""".stripMargin,
+
+    "q108_registrable_domains" ->
+      """WITH h AS (SELECT doc_id,
+        |  CASE doc_id % 5
+        |    WHEN 0 THEN 'www.site' || (doc_id % 7) || '.co.uk'
+        |    WHEN 1 THEN 'app' || (doc_id % 7) || '.example.com'
+        |    WHEN 2 THEN 'user' || (doc_id % 7) || '.github.io'
+        |    WHEN 3 THEN 'shop' || (doc_id % 7) || '.com.au'
+        |    ELSE 'localhost' END AS host,
+        |  CASE doc_id % 5
+        |    WHEN 0 THEN 'site' || (doc_id % 7) || '.co.uk'
+        |    WHEN 1 THEN 'example.com'
+        |    WHEN 2 THEN 'user' || (doc_id % 7) || '.github.io'
+        |    WHEN 3 THEN 'shop' || (doc_id % 7) || '.com.au'
+        |    ELSE 'localhost' END AS domain
+        |  FROM documents)
+        |SELECT domain, CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+        |  CAST(count(*) AS BIGINT) AS n_urls
+        |FROM h GROUP BY domain ORDER BY domain""".stripMargin,
 
     "q54_pagerank" ->
       """WITH e AS (SELECT doc_id AS src, (doc_id*7 + j*13) % 211 AS dst

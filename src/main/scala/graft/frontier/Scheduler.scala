@@ -189,6 +189,27 @@ object Scheduler {
     (scheduled.where(col("host_pos") <= maxPerHost),
       scheduled.where(col("host_pos") > maxPerHost))
 
+  /** Per-SITE crawl budget: [[capPerHost]] at registrable-domain (eTLD+1)
+    * granularity — `a.example.co.uk` and `b.example.co.uk` are one
+    * operator, and per-host budgets alone let a crawler hammer one site
+    * through its subdomains (or let a wildcard-subdomain spam farm dodge
+    * every cap). Same salted skew-proof rank as the trap cap — a
+    * 10^7-subdomain blogspot is exactly the skew case; returns
+    * (kept, deferred) by FIRST-`maxPerDomain` in discovery order.
+    */
+  def capPerDomain(frontier: DataFrame, maxPerDomain: Long,
+      urlCol: String = "canonical_url", orderCol: String = "seed_idx")
+      : (DataFrame, DataFrame) = {
+    require(maxPerDomain >= 1, s"maxPerDomain: $maxPerDomain")
+    val withD = frontier.withColumn("domain",
+        graft.functions.registrable_domain(graft.functions.host_of(col(urlCol))))
+      .localCheckpoint(true) // the rank's width probe must not re-run upstream
+    val ranked = perHostRankSalted(withD, "domain", orderCol)
+      .withColumnRenamed("host_pos", "domain_pos")
+    (ranked.where(col("domain_pos") <= maxPerDomain),
+      ranked.where(col("domain_pos") > maxPerDomain))
+  }
+
   /** Per-host adaptive politeness gaps from observed fetch statuses (the
     * wave-K metrics table feeding wave K+1's schedule): hosts answering
     * with errors get backed off. gap = base + ceil(scale × err_rate) where

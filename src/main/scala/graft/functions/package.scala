@@ -143,6 +143,24 @@ package object functions {
       .otherwise(hll_card(sketch))
   }
 
+  /** Registrable domain (eTLD+1) of a HOST column — [[graft.url.UrlKit
+    * .registrableDomain]] as pure built-ins (stays in whole-stage codegen
+    * AND replays verbatim in the SQL oracle; the suffix membership probe
+    * is one IN over a ≤50-entry literal list).
+    */
+  def registrable_domain(host: Column,
+      multi: Seq[String] = graft.url.UrlKit.MultiLabelSuffixes): Column = {
+    import org.apache.spark.sql.{functions => F}
+    val labels = F.split(host, "\\.")
+    val n = F.size(labels)
+    val last2 = F.concat_ws(".", F.slice(labels, -2, 2))
+    val isMulti = last2.isin(multi: _*)
+    F.when(n <= 1, host)
+      .when(isMulti && n >= 3, F.concat_ws(".", F.slice(labels, -3, 3)))
+      .when(isMulti, host)
+      .otherwise(last2)
+  }
+
   /** Cuckoo membership probe (filter BINARY literal/column, key BIGINT). */
   def cuckoo_might_contain(filter: Column, key: Column): Column =
     col(CuckooMightContain(expr(filter), expr(key)))

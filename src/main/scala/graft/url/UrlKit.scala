@@ -173,6 +173,44 @@ object UrlKit {
 
   def hostReverseOfUrl(url: String): String = hostReverse(host(url))
 
+  /** Multi-label public suffixes the registrable-domain fold recognizes —
+    * a documented SUBSET of the public suffix list (Mozilla PSL; the full
+    * list is data, not algorithm): the high-traffic ccTLD second levels
+    * plus the big shared-hosting suffixes. Callers with the full PSL pass
+    * their own set — the fold rule is what the engine owns.
+    */
+  val MultiLabelSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "co.nz", "net.nz", "org.nz",
+    "co.in", "net.in", "org.in", "ac.in",
+    "com.br", "net.br", "org.br", "gov.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "com.mx", "com.ar", "com.tr", "com.sg", "com.hk", "com.tw", "com.my",
+    "co.za", "co.kr", "or.kr",
+    "github.io", "gitlab.io", "blogspot.com")
+
+  /** Registrable domain (eTLD+1): the unit a polite crawler budgets by —
+    * `a.shop.example.co.uk` and `b.example.co.uk` are one SITE
+    * (`example.co.uk`) even though they are many hosts; per-host politeness
+    * alone lets a crawler hammer one operator through its subdomains.
+    * A host that IS a public suffix folds to itself; single-label hosts
+    * (`localhost`) pass through.
+    */
+  def registrableDomain(host: String,
+      multi: Set[String] = MultiLabelSuffixes.toSet): String = {
+    if (host == null) return null
+    val labels = host.split('.')
+    if (labels.length <= 1) host
+    else {
+      val last2 = labels.takeRight(2).mkString(".")
+      if (multi.contains(last2)) {
+        if (labels.length >= 3) labels.takeRight(3).mkString(".") else host
+      } else last2
+    }
+  }
+
   /** `scheme` of `ref` if it begins with a valid scheme + ':', else null. */
   private def schemeOf(s: String): String = {
     if (s.isEmpty || !s.charAt(0).isLetter) return null

@@ -382,6 +382,50 @@ class PqSpec extends AnyFunSuite {
   }
 }
 
+class RegistrableDomainSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import graft.url.UrlKit
+
+  test("fold rule: eTLD+1 across suffix shapes, column ≡ scala") {
+    val cases = Seq(
+      "www.a.example.co.uk" -> "example.co.uk",
+      "example.co.uk" -> "example.co.uk",
+      "co.uk" -> "co.uk", // the suffix itself folds to itself
+      "deep.b.shop.com.au" -> "shop.com.au",
+      "a.b.example.com" -> "example.com",
+      "example.com" -> "example.com",
+      "user.github.io" -> "user.github.io",
+      "x.user.github.io" -> "user.github.io",
+      "localhost" -> "localhost",
+      "" -> "")
+    cases.foreach { case (h, want) =>
+      assert(UrlKit.registrableDomain(h) == want, h)
+    }
+    val got = cases.map(_._1).toDF("h")
+      .select(col("h"), graft.functions.registrable_domain(col("h")).as("d"))
+      .as[(String, String)].collect().toMap
+    cases.foreach { case (h, want) => assert(got(h) == want, s"column: $h") }
+  }
+
+  test("capPerDomain: subdomains share one budget; kept ∪ deferred == input") {
+    val frontier = ((0 until 30).map(i =>
+        (s"http://sub$i.farm.co.uk/p/$i", i.toLong)) ++
+      (0 until 5).map(i => (s"http://ok$i.example.com/p/$i", (100 + i).toLong)))
+      .toDF("canonical_url", "seed_idx")
+    val (kept, deferred) = graft.frontier.Scheduler.capPerDomain(frontier, 10L)
+    val k = kept.select("canonical_url").as[String].collect()
+    val d = deferred.select("canonical_url").as[String].collect()
+    assert(k.length + d.length == 35)
+    assert(k.count(_.contains("farm.co.uk")) == 10) // 30 subdomains → one budget
+    assert(k.count(_.contains("example.com")) == 5)
+    // first-by-discovery-order: the kept farm urls are the lowest seed_idx
+    val keptFarm = kept.where(col("canonical_url").contains("farm"))
+      .select("seed_idx").as[Long].collect().toSet
+    assert(keptFarm == (0L until 10L).toSet)
+  }
+}
+
 class WetSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
