@@ -1531,6 +1531,48 @@ object SparkEntry {
         .orderBy("domain")
     }),
 
+    "q109_hygiene_capstone" -> ((s, dir) => {
+      // frontier HYGIENE composed end to end: mine DUST rules from planted
+      // digest evidence (each farm subdomain serves x?page=1 with and
+      // without sid, same body) → strip learned params from the candidate
+      // frontier (every even doc carries a unique sid alias; stripping
+      // collapses them to one url per path — 20 survivors/domain) →
+      // fold to registrable domains → per-SITE budget of 12 via the
+      // salted rank. Everything integer/string arithmetic, so the chain
+      // replays in SQL: survivors are determined by doc_id % 40 alone
+      // (5 | 40 pins the subdomain), seed order = min(doc_id) = the
+      // residue itself.
+      val id = col("doc_id")
+      val d = docs(s, dir)
+      val cand = d.select(
+        when(id % 2 === 0,
+          concat(lit("http://sub"), (id % 5).cast("string"),
+            lit(".farm.co.uk/p/"), (id % 40).cast("string"),
+            lit("?sid="), id.cast("string")))
+          .otherwise(concat(lit("http://ok"), (id % 5).cast("string"),
+            lit(".example.com/p/"), (id % 40).cast("string"))).as("url"),
+        id.as("doc_id"))
+      val ev0 = d.where(id % 100 < 5)
+      val evidence = ev0.select(
+          concat(lit("http://sub"), (id % 5).cast("string"),
+            lit(".farm.co.uk/x?page=1&sid="), id.cast("string")).as("url"),
+          lit("<html>same-body</html>").as("html"))
+        .unionByName(ev0.select(
+          concat(lit("http://sub"), (id % 5).cast("string"),
+            lit(".farm.co.uk/x?page=1")).as("url"),
+          lit("<html>same-body</html>").as("html")))
+      val rules = graft.frontier.Dust.paramStripRules(evidence, minSupport = 1L)
+      val stripped = graft.frontier.Dust.applyRules(cand, rules)
+      val uniq = stripped.groupBy("url").agg(min(col("doc_id")).as("seed_idx"))
+      val (kept, deferred) = graft.frontier.Scheduler.capPerDomain(
+        uniq, 12L, urlCol = "url")
+      kept.unionByName(deferred)
+        .select(col("url"), col("domain"),
+          col("domain_pos").cast("long").as("domain_pos"),
+          (col("domain_pos") <= 12).as("kept"))
+        .orderBy("url")
+    }),
+
     "q81_frontier_capstone" -> ((s, dir) => {
       // round-5b capstone — the production frontier configuration composed
       // end to end: trap-capped frontier (q80 shapes) → HOST-level
@@ -2740,6 +2782,22 @@ object SparkEntry {
         |SELECT domain, CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
         |  CAST(count(*) AS BIGINT) AS n_urls
         |FROM h GROUP BY domain ORDER BY domain""".stripMargin,
+
+    "q109_hygiene_capstone" ->
+      """WITH m AS (SELECT DISTINCT doc_id % 40 AS m FROM documents),
+        |u AS (SELECT
+        |  CASE WHEN m % 2 = 0
+        |    THEN 'http://sub' || (m % 5) || '.farm.co.uk/p/' || m
+        |    ELSE 'http://ok' || (m % 5) || '.example.com/p/' || m END AS url,
+        |  CASE WHEN m % 2 = 0 THEN 'farm.co.uk' ELSE 'example.com'
+        |    END AS domain,
+        |  m AS seed FROM m),
+        |r AS (SELECT url, domain,
+        |  row_number() OVER (PARTITION BY domain ORDER BY seed) AS domain_pos
+        |  FROM u)
+        |SELECT url, domain, CAST(domain_pos AS BIGINT) AS domain_pos,
+        |  domain_pos <= 12 AS kept
+        |FROM r ORDER BY url""".stripMargin,
 
     "q54_pagerank" ->
       """WITH e AS (SELECT doc_id AS src, (doc_id*7 + j*13) % 211 AS dst
