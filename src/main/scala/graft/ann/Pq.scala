@@ -21,8 +21,10 @@ import org.apache.spark.sql.types._
   *    [[Ann.kmeansCentroids]]; bit-reproducible — no RNG).
   *  - ENCODE: one codegen pass/row; code_j = argmin-L2 centroid of
   *    subvector j (ties → lower code). Codes come back as ARRAY<INT> for
-  *    transparency; pack with `pack_int8` for the 4× storage form (the
-  *    ARRAY<TINYINT>-is-INT32-in-parquet lesson).
+  *    transparency; at `ksub ≤ 128` pack with `pack_int8` for the 4×
+  *    storage form (the ARRAY<TINYINT>-is-INT32-in-parquet lesson —
+  *    pack_int8 is SIGNED, so codes ≥ 128 need their own unsigned
+  *    packer, not a silent reinterpret).
   *  - SEARCH (ADC, asymmetric distance computation): per QUERY, one
   *    m×ksub table of subspace dot products (the query side never
   *    quantizes — that is the "asymmetric" that keeps recall); per

@@ -67,6 +67,12 @@ object Dust {
   /** Apply learned rules: strip every (host, param) rule's parameter from
     * the urls it applies to — the frontier-side consumer (broadcast-sized
     * rules table joined once; urls without matching rules pass through).
+    *
+    * Operates on the RAW query string, so a fragment still attached to the
+    * last parameter ("…&sid=1#frag") would be stripped with it — callers
+    * run this BEFORE canonicalization (the wave loop's order), where the
+    * canonicalizer owns fragment semantics; a stripped fragment was going
+    * to be dropped there anyway.
     */
   def applyRules(urls: DataFrame, rules: DataFrame,
       urlCol: String = "url"): DataFrame = {

@@ -346,7 +346,9 @@ object Warc {
         } finally out.close()
         Iterator.single(n)
       }
-    }.reduce(_ + _)
+      // collect-then-sum: Dataset.reduce throws on an EMPTY input (all
+      // partitions skipped) — an empty corpus must export 0, not crash
+    }.collect().sum
   }
 
   /** WET export: the extracted-text sidecar next to [[writePagesToFiles]]'s
@@ -389,7 +391,9 @@ object Warc {
         } finally out.close()
         Iterator.single(n)
       }
-    }.reduce(_ + _)
+      // collect-then-sum: Dataset.reduce throws on an EMPTY input (all
+      // partitions skipped) — an empty corpus must export 0, not crash
+    }.collect().sum
   }
 
   /** File-based WET ingestion (binaryFile over `.wet` / `.wet.gz` files →

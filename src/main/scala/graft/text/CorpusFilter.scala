@@ -275,7 +275,10 @@ object CorpusFilter {
     */
   def c4Clean(docs: DataFrame, textCol: String,
       minWordsPerLine: Int = 5, minKeptLines: Int = 3): DataFrame = {
-    val lines = split(col(textCol), "\n", -1)
+    // CRLF-tolerant split: a bare "\n" split leaves the '\r' glued to the
+    // line, rtrim only trims spaces, and the terminal-punct probe then
+    // sees '\r' — dropping EVERY line of a CRLF document
+    val lines = split(col(textCol), "\\r?\\n", -1)
     val keepLine = (l: Column) => {
       val last = substring(rtrim(l), -1, 1)
       val words = when(trim(l) === "", lit(0))

@@ -96,6 +96,18 @@ class C4CleanSpec extends AnyFunSuite {
     assert(clean("") == (1, 0, "", false))
     assert(clean("   \n   ")._2 == 0)
   }
+
+  test("CRLF documents clean identically to LF documents") {
+    val lf = Seq(
+      "a perfectly fine prose sentence ends here.",
+      "another perfectly fine prose sentence ends here.",
+      "a third perfectly fine prose sentence ends here.")
+    val (nlL, nkL, keptL, keepL) = clean(lf.mkString("\n"))
+    val (nlC, nkC, _, keepC) = clean(lf.mkString("\r\n"))
+    assert((nlC, nkC, keepC) == ((nlL, nkL, keepL)))
+    assert(nkC == 3 && keepC)
+    assert(keptL.split("\n").length == 3)
+  }
 }
 
 class TrianglesSpec extends AnyFunSuite {
@@ -469,6 +481,14 @@ class WetSpec extends AnyFunSuite {
       assert(text == expected(url), url)
       assert(ref == Warc.recordId("response", url, "2024-02-01T00:00:00Z"))
     }
+  }
+
+  test("empty corpus exports 0 shards, not a crash") {
+    val dir = java.nio.file.Files.createTempDirectory("wet0").toString
+    val empty = Seq.empty[(String, java.sql.Timestamp, Array[Byte])]
+      .toDF("url", "warc_ts", "html")
+    assert(Warc.writeWetToFiles(empty, s"$dir/wet") == 0L)
+    assert(Warc.writePagesToFiles(empty, s"$dir/warc") == 0L)
   }
 }
 
