@@ -1573,6 +1573,35 @@ object SparkEntry {
         .orderBy("url")
     }),
 
+    "q110_hreflang_clusters" -> ((s, dir) => {
+      // hreflang translation clusters: 40 groups × 3 languages, every
+      // page declaring all three alternates (incl. itself — the self
+      // edge must drop), plus three traps: a commented-out hreflang link
+      // (would cross-wire every group to group 9 if the scanner read
+      // comments), a stylesheet link without hreflang, and an x-default
+      // pointing at a mailto (resolve-null drop). Clusters are exact:
+      // 3 members per group, rep = lexicographic min (the de. url).
+      val id = col("doc_id")
+      val g = (id % 40).cast("string")
+      val lang = element_at(array(lit("en"), lit("fr"), lit("de")),
+        (expr("(doc_id DIV 40) % 3") + 1).cast("int"))
+      def alt(l: String) = concat(
+        lit(s"""<link rel="alternate" hreflang="$l" href="http://$l.t.test/p/"""),
+        g, lit("\">"))
+      val html = concat(
+        lit("<html><head><!-- <link rel=\"alternate\" hreflang=\"xx\" " +
+          "href=\"http://xx.t.test/p/9\"> -->"),
+        lit("<link rel=\"stylesheet\" href=\"/s.css\">"),
+        alt("en"), alt("fr"), alt("de"),
+        lit("<link rel=\"alternate\" hreflang=\"x-default\" " +
+          "href=\"mailto:no@no\">"),
+        lit("</head><body>x</body></html>"))
+      val pages = docs(s, dir).select(
+        concat(lit("http://"), lang, lit(".t.test/p/"), g).as("url"),
+        html.as("html"))
+      graft.frontier.Alternates.clusters(pages).orderBy("url")
+    }),
+
     "q81_frontier_capstone" -> ((s, dir) => {
       // round-5b capstone — the production frontier configuration composed
       // end to end: trap-capped frontier (q80 shapes) → HOST-level
@@ -2798,6 +2827,14 @@ object SparkEntry {
         |SELECT url, domain, CAST(domain_pos AS BIGINT) AS domain_pos,
         |  domain_pos <= 12 AS kept
         |FROM r ORDER BY url""".stripMargin,
+
+    "q110_hreflang_clusters" ->
+      """WITH g AS (SELECT DISTINCT doc_id % 40 AS g FROM documents),
+        |l(lang) AS (VALUES ('en'), ('fr'), ('de'))
+        |SELECT 'http://' || lang || '.t.test/p/' || g AS url,
+        |  'http://de.t.test/p/' || g AS cluster_rep,
+        |  CAST(3 AS BIGINT) AS cluster_size
+        |FROM g, l ORDER BY url""".stripMargin,
 
     "q54_pagerank" ->
       """WITH e AS (SELECT doc_id AS src, (doc_id*7 + j*13) % 211 AS dst

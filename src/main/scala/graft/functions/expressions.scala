@@ -74,6 +74,11 @@ object Impl {
       InternalRow(UTF8String.fromString(h), UTF8String.fromString(t))
     }.toArray[Any])
 
+  def hreflangAlternates(html: UTF8String): ArrayData =
+    new GenericArrayData(HtmlText.hreflangAlternates(html.toString).map {
+      case (l, h) => InternalRow(UTF8String.fromString(l), UTF8String.fromString(h))
+    }.toArray[Any])
+
   def resolveUrl(base: UTF8String, ref: UTF8String): UTF8String = {
     val r = UrlKit.resolve(base.toString, ref.toString)
     if (r == null) null else UTF8String.fromString(r)
@@ -901,6 +906,23 @@ case class ExtractAnchors(child: Expression)
     defineCodeGen(ctx, ev, c => s"graft.functions.Impl.extractAnchors($c)")
   override protected def withNewChildInternal(c: Expression): ExtractAnchors = copy(c)
   override def prettyName: String = "extract_anchors"
+}
+
+/** `<link rel="alternate" hreflang href>` declarations in document order:
+  * ARRAY<STRUCT<lang, href>> — the multilingual alternate graph
+  * ([[graft.text.HtmlText.hreflangAlternates]]'s scanner, codegen-called).
+  */
+case class ExtractHreflang(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("lang", StringType, nullable = false),
+    StructField("href", StringType, nullable = false))), containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any = Impl.hreflangAlternates(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Impl.hreflangAlternates($c)")
+  override protected def withNewChildInternal(c: Expression): ExtractHreflang = copy(c)
+  override def prettyName: String = "extract_hreflang"
 }
 
 /** RFC 3986 §5.2 reference resolution + canonicalization: (base, href) →

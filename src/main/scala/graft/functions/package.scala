@@ -200,6 +200,9 @@ package object functions {
   /** `<a href>` elements with anchor text: ARRAY<STRUCT<href, anchor>>. */
   def extract_anchors(c: Column): Column = col(ExtractAnchors(expr(c)))
 
+  /** `<link rel=alternate hreflang>` declarations: ARRAY<STRUCT<lang, href>>. */
+  def extract_hreflang(c: Column): Column = col(ExtractHreflang(expr(c)))
+
   /** RFC 3986 resolve(base, href) + canonicalize; NULL for non-http(s). */
   def resolve_url(base: Column, ref: Column): Column =
     col(ResolveUrl(expr(base), expr(ref)))
@@ -270,6 +273,7 @@ package object functions {
     reg.createOrReplaceTempFunction("url_path", es => UrlPath(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("extract_links", es => ExtractLinks(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("extract_anchors", es => ExtractAnchors(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("extract_hreflang", es => ExtractHreflang(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("resolve_url", es => ResolveUrl(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("repetition_stats", es => RepetitionStatsExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("pack_int8", es => PackInt8(es.head), "scala_udf")

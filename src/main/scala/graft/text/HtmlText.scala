@@ -480,6 +480,64 @@ object HtmlText {
     Directives(noindex, nofollow, canonical)
   }
 
+  /** `<link rel="alternate" hreflang="…" href="…">` declarations in
+    * document order — the multilingual alternate graph (the hreflang
+    * annotations search engines use to group translations of one page;
+    * a multilingual corpus pipeline uses them to balance languages
+    * WITHOUT near-dup-detecting across languages, which content hashing
+    * cannot do). Same scanner discipline as [[pageDirectives]]:
+    * comment-blind, raw-text bodies jumped, quote-aware tag ends, `rel`
+    * treated as a space-separated token SET (so `rel="alternate
+    * stylesheet"` still matches — the WHATWG link-type rule). Entries
+    * missing either attribute are skipped; `href` is the raw decoded
+    * attribute — resolution belongs downstream like every discovered URL.
+    * Fast path: no "hreflang" substring → no allocation-free tag walk.
+    */
+  def hreflangAlternates(html: String): Vector[(String, String)] = {
+    if (html == null) return Vector.empty
+    if (indexOfIgnoreCase(html, "hreflang") < 0) return Vector.empty
+    val out = Vector.newBuilder[(String, String)]
+    val n = html.length
+    var i = 0
+    while (i < n) {
+      val lt = html.indexOf('<', i)
+      if (lt < 0) i = n
+      else if (html.startsWith("<!--", lt)) {
+        val end = html.indexOf("-->", lt + 4)
+        i = if (end < 0) n else end + 3
+      } else {
+        val gt = tagEnd(html, lt + 1)
+        if (gt < 0) i = n
+        else {
+          val inner = html.substring(lt + 1, gt)
+          val body = inner.stripPrefix("/").stripSuffix("/")
+          val sp = body.indexWhere(ch => ch == ' ' || ch == '\t' || ch == '\n' || ch == '\r')
+          val name = (if (sp < 0) body else body.substring(0, sp))
+            .toLowerCase(java.util.Locale.ROOT)
+          if (!inner.startsWith("/") && name == "link") {
+            val rel = findAttr(html, lt + 5, gt, "rel")
+            val relToks = if (rel == null) Set.empty[String]
+              else rel.toLowerCase(java.util.Locale.ROOT)
+                .split("[ \t\n\r]+").filter(_.nonEmpty).toSet
+            if (relToks.contains("alternate")) {
+              val lang = findAttr(html, lt + 5, gt, "hreflang")
+              val href = findAttr(html, lt + 5, gt, "href")
+              if (lang != null && lang.trim.nonEmpty && href != null)
+                out += ((decodeEntities(lang).trim
+                  .toLowerCase(java.util.Locale.ROOT), decodeEntities(href)))
+            }
+            i = gt + 1
+          } else if (!inner.startsWith("/") && !inner.endsWith("/") &&
+              RawTextTags.contains(name)) {
+            val end = closeOf(html, gt + 1, name)
+            i = if (end < 0) n else end
+          } else i = gt + 1
+        }
+      }
+    }
+    out.result()
+  }
+
   private def indexOfIgnoreCase(s: String, needle: String): Int = {
     val n = s.length - needle.length
     var i = 0

@@ -438,6 +438,47 @@ class RegistrableDomainSpec extends AnyFunSuite {
   }
 }
 
+class HreflangSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import graft.text.HtmlText
+
+  test("kernel: rel token set, comment/raw-text blindness, attr requirements") {
+    val html =
+      """<html><head>
+        |<!-- <link rel="alternate" hreflang="zz" href="/no"> -->
+        |<script>var s = '<link rel="alternate" hreflang="yy" href="/no2">';</script>
+        |<link rel="ALTERNATE stylesheet" hreflang="EN-us" href="/en">
+        |<link rel="alternate" href="/no-lang">
+        |<link rel="stylesheet" hreflang="fr" href="/style">
+        |<link rel="alternate" hreflang="fr" href="/fr&amp;x">
+        |</head></html>""".stripMargin
+    val got = HtmlText.hreflangAlternates(html)
+    assert(got == Vector(("en-us", "/en"), ("fr", "/fr&x")))
+    assert(HtmlText.hreflangAlternates("<p>no links at all</p>") == Vector())
+    assert(HtmlText.hreflangAlternates(null) == Vector())
+  }
+
+  test("clusters: asymmetric declarations still close into one group") {
+    // only the EN page declares; FR and DE carry nothing — components
+    // closure must still produce one 3-member cluster
+    val pages = Seq(
+      ("http://en.s.test/a",
+        """<link rel="alternate" hreflang="fr" href="http://fr.s.test/a">""" +
+        """<link rel="alternate" hreflang="de" href="http://de.s.test/a">"""),
+      ("http://fr.s.test/a", "<p>nichts</p>"),
+      ("http://q.test/solo", "<p>alone</p>"))
+      .toDF("url", "html")
+    val out = graft.frontier.Alternates.clusters(pages)
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out.keySet == Set("http://en.s.test/a", "http://fr.s.test/a",
+      "http://de.s.test/a"))
+    out.values.foreach { case (rep, size) =>
+      assert(rep == "http://de.s.test/a" && size == 3L)
+    }
+  }
+}
+
 class WetSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
