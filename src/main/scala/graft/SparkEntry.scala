@@ -1602,6 +1602,27 @@ object SparkEntry {
       graft.frontier.Alternates.clusters(pages).orderBy("url")
     }),
 
+    "q111_language_mix" -> ((s, dir) => {
+      // language-BALANCED mixture — the multilingual recipe (XLM-R/mT5
+      // n^alpha sampling) keyed by the engine's own DETECTED language
+      // instead of trusted metadata: planted marker texts give a 60% en /
+      // 30% de / 10% es split through the q08 langid kernel, then the
+      // q77 temperature machinery down-samples the English head and
+      // up-samples the Spanish tail. Weights/copies replay exactly
+      // (IEEE sqrt + fixed-point + LCG u); langid replays per q08.
+      val id = col("doc_id")
+      val t = when(id % 10 <= 5, lit("the and of to in"))
+        .when(id % 10 <= 8, lit("der die und das nicht"))
+        .otherwise(lit("el la que los una"))
+      val d = docs(s, dir).select(id, graft.functions.lang_id(t).as("lang"))
+      val u = pmod(id * 1103515245L + 12345L, lit(1000000L))
+        .cast("double") / 1000000.0d
+      graft.text.CorpusFilter.sampleByTemperature(d, "lang",
+          targetDocs = 500L, u = u)
+        .select(col("doc_id"), col("lang"), col("copy"))
+        .orderBy("doc_id", "copy")
+    }),
+
     "q81_frontier_capstone" -> ((s, dir) => {
       // round-5b capstone — the production frontier configuration composed
       // end to end: trap-capped frontier (q80 shapes) → HOST-level
@@ -2835,6 +2856,34 @@ object SparkEntry {
         |  'http://de.t.test/p/' || g AS cluster_rep,
         |  CAST(3 AS BIGINT) AS cluster_size
         |FROM g, l ORDER BY url""".stripMargin,
+
+    "q111_language_mix" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 <= 5 THEN 'en'
+        |         WHEN doc_id % 10 <= 8 THEN 'de' ELSE 'es' END AS lang
+        |  FROM documents),
+        |c AS (SELECT lang, count(*) AS n FROM d GROUP BY lang),
+        |s AS (SELECT lang, n,
+        |        CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1048576) AS BIGINT) AS s_fp
+        |      FROM c),
+        |t AS (SELECT sum(s_fp) AS t_fp FROM s),
+        |w AS (SELECT lang,
+        |        CAST(500 AS DOUBLE) * CAST(s_fp AS DOUBLE)
+        |          / (CAST(t_fp AS DOUBLE) * CAST(n AS DOUBLE)) AS wt
+        |      FROM s, t),
+        |j AS (SELECT doc_id, d.lang, wt,
+        |        CAST((doc_id * 1103515245 + 12345) % 1000000 AS DOUBLE)
+        |          / 1000000.0 AS u
+        |      FROM d JOIN w USING (lang)),
+        |k AS (SELECT doc_id, lang,
+        |        CAST(floor(wt) + CASE WHEN u < wt - floor(wt) THEN 1 ELSE 0 END
+        |          AS BIGINT) AS copies
+        |      FROM j)
+        |SELECT doc_id, lang, CAST(t.c AS BIGINT) AS copy
+        |FROM k, unnest([1, 2, 3, 4, 5, 6, 7, 8]) AS t(c)
+        |WHERE t.c <= copies
+        |ORDER BY doc_id, copy""".stripMargin,
 
     "q54_pagerank" ->
       """WITH e AS (SELECT doc_id AS src, (doc_id*7 + j*13) % 211 AS dst
