@@ -1623,6 +1623,20 @@ object SparkEntry {
         .orderBy("doc_id", "copy")
     }),
 
+    "q112_shuffle_shards" -> ((s, dir) => {
+      // deterministic global shuffle + even sharding: the order key is a
+      // planted modular permutation (48271·id mod 65537 — bijective below
+      // the prime, so ranks are collision-free and DuckDB's row_number
+      // replays the engine's segment-partials rank exactly); shard =
+      // rank mod 8, so shard sizes differ by at most one row.
+      val perm = (col("doc_id") * 48271L) % 65537L
+      graft.pipeline.Pack.shuffleShards(
+          docs(s, dir).select(col("doc_id"), perm.as("h")), "h", nShards = 8)
+        .select(col("doc_id"), col("global_rank"),
+          col("shard").cast("long").as("shard"))
+        .orderBy("doc_id")
+    }),
+
     "q81_frontier_capstone" -> ((s, dir) => {
       // round-5b capstone — the production frontier configuration composed
       // end to end: trap-capped frontier (q80 shapes) → HOST-level
@@ -2884,6 +2898,15 @@ object SparkEntry {
         |FROM k, unnest([1, 2, 3, 4, 5, 6, 7, 8]) AS t(c)
         |WHERE t.c <= copies
         |ORDER BY doc_id, copy""".stripMargin,
+
+    "q112_shuffle_shards" ->
+      """WITH p AS (SELECT doc_id, (doc_id * 48271) % 65537 AS h
+        |  FROM documents),
+        |r AS (SELECT doc_id,
+        |  row_number() OVER (ORDER BY h) - 1 AS global_rank FROM p)
+        |SELECT doc_id, CAST(global_rank AS BIGINT) AS global_rank,
+        |  CAST(global_rank % 8 AS BIGINT) AS shard
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "q54_pagerank" ->
       """WITH e AS (SELECT doc_id AS src, (doc_id*7 + j*13) % 211 AS dst

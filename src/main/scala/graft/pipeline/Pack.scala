@@ -93,4 +93,29 @@ object Pack {
           .otherwise(1L))
       .drop("prefix_sum")
   }
+
+  /** Deterministic GLOBAL SHUFFLE + exactly-even sharding — the step
+    * between packing and shard writing in a pretraining pipeline: training
+    * order must be pseudo-random (adjacent crawl order = same host =
+    * correlated batches) yet REPRODUCIBLE, and shard files must be even
+    * (stragglers in the data loader otherwise). `orderCol` supplies the
+    * shuffle order — production passes a hash (`xxhash64(id)`); it MUST be
+    * unique per row (hash + id tiebreak if collisions matter) or ties
+    * make the rank nondeterministic across runs. `global_rank` = exact
+    * 0-based position in orderCol order via the same segment-partials +
+    * broadcast-offsets machinery as [[prefixSumExclusive]] (never a
+    * single-task global window), `shard` = rank mod nShards — round-robin
+    * over the shuffled order, so shards differ by ≤ 1 row AND each shard
+    * is itself a uniform slice of the shuffle.
+    */
+  def shuffleShards(docs: DataFrame, orderCol: String, nShards: Int,
+      segments: Int = 64): DataFrame = {
+    require(nShards >= 1, s"nShards: $nShards")
+    prefixSumExclusive(docs.withColumn("_one", lit(1L)), orderCol, "_one",
+        segments)
+      .withColumn("global_rank", col("prefix_sum"))
+      .withColumn("shard",
+        pmod(col("prefix_sum"), lit(nShards.toLong)).cast("int"))
+      .drop("_one", "prefix_sum")
+  }
 }

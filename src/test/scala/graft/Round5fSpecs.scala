@@ -438,6 +438,36 @@ class RegistrableDomainSpec extends AnyFunSuite {
   }
 }
 
+class ShuffleShardsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import graft.pipeline.Pack
+
+  test("global rank follows the order key; shards even to within one row") {
+    val docs = (0L until 101L).map(i => (i, (i * 7919L) % 104729L))
+      .toDF("id", "h")
+    val out = Pack.shuffleShards(docs, "h", nShards = 8)
+      .select("id", "h", "global_rank", "shard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    // rank == position in ascending-h order
+    val expected = out.sortBy(_._2).zipWithIndex
+      .map { case ((id, _, _, _), i) => id -> i.toLong }.toMap
+    out.foreach { case (id, _, rank, _) => assert(rank == expected(id), id) }
+    // shards: 101 rows over 8 shards → sizes 13 or 12
+    val sizes = out.groupBy(_._4).map(_._2.length)
+    assert(sizes.max - sizes.min <= 1)
+    // round-robin: shard = rank mod 8
+    out.foreach { case (_, _, rank, shard) => assert(shard == (rank % 8)) }
+  }
+
+  test("segment count does not change the answer") {
+    val docs = (0L until 64L).map(i => (i, (i * 31L) % 97L)).toDF("id", "h")
+    def run(seg: Int) = Pack.shuffleShards(docs, "h", 4, segments = seg)
+      .select("id", "global_rank").as[(Long, Long)].collect().toMap
+    assert(run(1) == run(64))
+  }
+}
+
 class HreflangSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
