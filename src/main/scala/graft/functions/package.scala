@@ -282,5 +282,8 @@ package object functions {
     reg.createOrReplaceTempFunction("cosine_int8", es => CosineInt8(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("sniff_mime", es => SniffMime(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("page_outline", es => PageOutlineExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("hll_card", es => HllCard(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("hll_zeros", es => HllZeros(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("hll_m", es => HllM(es.head), "scala_udf")
   }
 }
