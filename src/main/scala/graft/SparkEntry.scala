@@ -1637,6 +1637,49 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q113_line_diff" -> ((s, dir) => {
+      // line-level change magnitude between snapshots: every revisited
+      // page rotates its timestamp line (1 removed + 1 added), %3 pages
+      // gain an extra line, %5 pages lose their footer; %17/%19 pages
+      // exist in only one snapshot and must be EXCLUDED (classify's
+      // new/gone business, not a diff). Counts are exact set arithmetic.
+      val id = col("doc_id")
+      val url = concat(lit("http://r.test/p/"), id.cast("string"))
+      val d = docs(s, dir)
+      val prev = d.where(id % 17 =!= 0).select(url.as("url"),
+        concat(lit("header\n"), col("text"),
+          lit("\nts "), (id % 7).cast("string"),
+          lit("\nfooter "), id.cast("string")).as("text"))
+      val cur = d.where(id % 19 =!= 0).select(url.as("url"),
+        concat(lit("header\n"), col("text"),
+          lit("\nts "), (id % 7 + 1).cast("string"),
+          when(id % 5 =!= 0, concat(lit("\nfooter "), id.cast("string")))
+            .otherwise(lit("")),
+          when(id % 3 === 0, concat(lit("\nextra "), id.cast("string")))
+            .otherwise(lit(""))).as("text"))
+      graft.frontier.Revisit.lineDiff(prev, cur).orderBy("url")
+    }),
+
+    "q114_text_urls" -> ((s, dir) => {
+      // naked-url discovery from plain text: each doc mentions one
+      // sentence-terminated citation (trailing '.' must strip) and one
+      // parenthesized reference (')' must end the match), plus two traps
+      // — a non-url "httpx://nope" and a bare "https:// " scheme — that
+      // must extract nothing. Pure regexp arithmetic both engines run.
+      val id = col("doc_id")
+      val t = concat(
+        lit("read https://cite"), (id % 9).cast("string"),
+        lit(".test/a/"), id.cast("string"),
+        lit(". also (http://ref"), (id % 4).cast("string"),
+        lit(".test/b?x="), id.cast("string"),
+        lit("), not a url: httpx://nope, bare https:// end"))
+      docs(s, dir)
+        .select(col("doc_id"),
+          posexplode(graft.functions.text_urls(t)).as(Seq("pos", "url")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("url"))
+        .orderBy("doc_id", "pos")
+    }),
+
     "q81_frontier_capstone" -> ((s, dir) => {
       // round-5b capstone — the production frontier configuration composed
       // end to end: trap-capped frontier (q80 shapes) → HOST-level
@@ -2907,6 +2950,36 @@ object SparkEntry {
         |SELECT doc_id, CAST(global_rank AS BIGINT) AS global_rank,
         |  CAST(global_rank % 8 AS BIGINT) AS shard
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q113_line_diff" ->
+      """SELECT 'http://r.test/p/' || doc_id AS url,
+        |  CAST(1 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS n_added,
+        |  CAST(1 + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS n_removed,
+        |  CAST(2 + CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 1 END AS BIGINT)
+        |    AS n_common
+        |FROM documents
+        |WHERE doc_id % 17 <> 0 AND doc_id % 19 <> 0
+        |ORDER BY url""".stripMargin,
+
+    "q114_text_urls" ->
+      """WITH t AS (SELECT doc_id,
+        |  'read https://cite' || (doc_id % 9) || '.test/a/' || doc_id ||
+        |  '. also (http://ref' || (doc_id % 4) || '.test/b?x=' || doc_id ||
+        |  '), not a url: httpx://nope, bare https:// end' AS txt
+        |  FROM documents),
+        |l AS (SELECT doc_id,
+        |  list_filter(
+        |    list_transform(
+        |      regexp_extract_all(txt, 'https?://[A-Za-z0-9._/:?=&#%~+-]+'),
+        |      x -> regexp_replace(x, '[.,;:!?]+$', '')),
+        |    u -> length(regexp_replace(u, '^https?://', '')) > 0) AS urls
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(generate_subscripts(urls, 1) - 1 AS BIGINT) AS pos,
+        |  unnest(urls) AS url
+        |FROM l ORDER BY doc_id, pos""".stripMargin,
 
     "q54_pagerank" ->
       """WITH e AS (SELECT doc_id AS src, (doc_id*7 + j*13) % 211 AS dst

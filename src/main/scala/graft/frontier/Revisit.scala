@@ -54,4 +54,40 @@ object Revisit {
         when(col("n_modified") + col("n_unchanged") > 0,
           expr("(1000000 * n_modified) DIV (n_modified + n_unchanged)"))
           .otherwise(lit(null).cast("long")))
+
+  /** LINE-level change measurement for urls present in BOTH snapshots —
+    * what actually changed, not just that something did: per url,
+    * `n_added` / `n_removed` / `n_common` over the DISTINCT line sets
+    * (multiset diffs overweight repeated boilerplate lines; set semantics
+    * match the CCNet line-dedup view of a page). The crawl product this
+    * feeds is change MAGNITUDE: a timestamp-only rotation (1 line) and a
+    * rewrite (hundreds) both read "modified" to [[classify]], but refresh
+    * policy should treat them very differently.
+    *
+    * Shape: lines explode to (url, line-md5) pairs — 16-byte join keys,
+    * text never shuffles; the diff is one full-outer equi-join per url's
+    * line set and a map-combinable rollup. Urls in only one snapshot are
+    * [[classify]]'s new/gone business and are excluded here.
+    */
+  def lineDiff(prev: DataFrame, cur: DataFrame, urlCol: String = "url",
+      textCol: String = "text"): DataFrame = {
+    def lineSet(df: DataFrame, side: String) = df
+      .select(col(urlCol).as("url"),
+        explode(split(col(textCol), "\n")).as("__line"))
+      .where(col("__line") =!= "")
+      .select(col("url"), md5(col("__line")).as("__h"), lit(true).as(side))
+      .distinct()
+    val p = lineSet(prev, "__inp")
+    val c = lineSet(cur, "__inc")
+    val both = prev.select(col(urlCol).as("url")).distinct()
+      .join(cur.select(col(urlCol).as("url")).distinct(), Seq("url"), "left_semi")
+    p.join(c, Seq("url", "__h"), "full_outer")
+      .join(both, Seq("url"), "left_semi")
+      .groupBy("url")
+      .agg(
+        sum(when(col("__inp").isNull, 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("__inc").isNull, 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("__inp").isNotNull && col("__inc").isNotNull, 1L)
+          .otherwise(0L)).as("n_common"))
+  }
 }

@@ -161,6 +161,25 @@ package object functions {
       .otherwise(last2)
   }
 
+  /** Naked URLs mentioned in PLAIN TEXT — the discovery channel `<a href>`
+    * extraction misses entirely (forums, markdown, comments, plain-text
+    * citations), in document order. Pure built-ins over an RE2-safe
+    * pattern both engines run verbatim (the PII-operator discipline):
+    * a conservative URL charset (quotes/parens/whitespace end the match,
+    * so "(http://a.test/x)" extracts cleanly), trailing sentence
+    * punctuation stripped, bare schemes ("https:// ") dropped.
+    * Resolution/canonicalization belongs downstream like every other
+    * discovered URL.
+    */
+  def text_urls(c: Column): Column = {
+    import org.apache.spark.sql.{functions => F}
+    val raw = F.regexp_extract_all(c,
+      F.lit("https?://[A-Za-z0-9._/:?=&#%~+-]+"), F.lit(0))
+    val trimmed = F.transform(raw, u => F.regexp_replace(u, "[.,;:!?]+$", ""))
+    F.filter(trimmed,
+      u => F.length(F.regexp_replace(u, "^https?://", "")) > 0)
+  }
+
   /** Cuckoo membership probe (filter BINARY literal/column, key BIGINT). */
   def cuckoo_might_contain(filter: Column, key: Column): Column =
     col(CuckooMightContain(expr(filter), expr(key)))

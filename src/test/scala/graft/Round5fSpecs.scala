@@ -438,6 +438,47 @@ class RegistrableDomainSpec extends AnyFunSuite {
   }
 }
 
+class LineDiffSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import graft.frontier.Revisit
+
+  test("set semantics, both-snapshots gate, duplicate lines count once") {
+    val prev = Seq(
+      ("u1", "a\nb\nb\nc"),      // dup 'b' counts once
+      ("u2", "x\ny"),
+      ("gone", "z")).toDF("url", "text")
+    val cur = Seq(
+      ("u1", "b\nc\nd"),          // -a +d, common {b,c}
+      ("u2", "x\ny"),             // unchanged
+      ("new", "w")).toDF("url", "text")
+    val out = Revisit.lineDiff(prev, cur).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out == Map(
+      "u1" -> ((1L, 1L, 2L)),
+      "u2" -> ((0L, 0L, 2L))))
+  }
+}
+
+class TextUrlsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("extraction: punct trim, paren fence, bare-scheme and non-url drops") {
+    val got = Seq(
+      "go to https://a.test/x. then (http://b.test/y?q=1), " +
+        "ignore httpx://no and https:// alone",
+      "no urls here at all",
+      "trailing https://c.test/z!?").toDF("t")
+      .select(graft.functions.text_urls(col("t")))
+      .collect().map(_.getSeq[String](0))
+    assert(got(0) == Seq("https://a.test/x", "http://b.test/y?q=1"))
+    assert(got(1) == Seq())
+    assert(got(2) == Seq("https://c.test/z"))
+  }
+}
+
 class HllSqlSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
