@@ -371,7 +371,17 @@ object Bench {
       "semdedup" -> ((s: SparkSession, d: String) =>
         SparkEntry.queries("q105_semdedup")(s, d)),
       "wet_texts" -> ((s: SparkSession, d: String) =>
-        SparkEntry.queries("q107_wet_texts")(s, d)))
+        SparkEntry.queries("q107_wet_texts")(s, d)),
+      "hreflang_clusters" -> ((s: SparkSession, d: String) =>
+        SparkEntry.queries("q110_hreflang_clusters")(s, d)),
+      "language_mix" -> ((s: SparkSession, d: String) =>
+        SparkEntry.queries("q111_language_mix")(s, d)),
+      "shuffle_shards" -> ((s: SparkSession, d: String) =>
+        SparkEntry.queries("q112_shuffle_shards")(s, d)),
+      "line_diff" -> ((s: SparkSession, d: String) =>
+        SparkEntry.queries("q113_line_diff")(s, d)),
+      "text_urls" -> ((s: SparkSession, d: String) =>
+        SparkEntry.queries("q114_text_urls")(s, d)))
     val extras = extraQueries.map { case (name, fn) =>
       val sec = try {
         force(fn(spark, sfDir))

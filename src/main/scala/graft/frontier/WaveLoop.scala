@@ -108,6 +108,12 @@ object WaveLoop {
    * wave. Production pairs this with a link extractor sharing
    * [[Discover.fromPages]]'s join; tests inject synthetic edges.
    *
+   * Domain-budget channel (`maxPerDomain`): each wave keeps only the
+   * first `maxPerDomain` urls per registrable domain (salted rank — the
+   * subdomain-farm skew case) and DEFERS the rest into the next wave's
+   * frontier; a site drains at a bounded rate instead of monopolizing
+   * waves through its subdomains.
+   *
    * DUST channel (`dustEvery`): every `dustEvery` waves the loop
    * re-learns [[Dust.paramStripRules]] from everything fetched so far
    * (committed schedules joined to page bodies) into `dust/rules`; later
@@ -139,7 +145,8 @@ object WaveLoop {
       dustEvery: Int = 0,
       dustMinSupport: Long = 2L,
       hostCards: Boolean = false,
-      hostCardsP: Int = 11): Seq[WaveResult] = {
+      hostCardsP: Int = 11,
+      maxPerDomain: Option[Long] = None): Seq[WaveResult] = {
 
     require(refreshAfter.forall(_ => ledger.nonEmpty),
       "refreshAfter needs a ledger (last-fetch age lives in the ledger's wave column)")
@@ -291,7 +298,22 @@ object WaveLoop {
           unseen.select(keyed.columns.map(col): _*).unionByName(rkGated)
         case None => unseen
       }
-      val inWave = Seen.dropInWaveDuplicates(withRefresh)
+      val inWave0 = Seen.dropInWaveDuplicates(withRefresh)
+      // domain-budget channel (`maxPerDomain`): per-SITE cap at
+      // registrable-domain grain via the salted skew-proof rank — a
+      // 10^7-subdomain farm shares ONE budget instead of dodging the
+      // per-host cap. The over-cap remainder is DEFERRED, not dropped:
+      // it re-enters the next wave's frontier through the normal path
+      // (it was never scheduled, so the seen filter passes it again).
+      val (inWave, deferredRows) = maxPerDomain match {
+        case Some(m) =>
+          val (kept, deferred) = Scheduler.capPerDomain(
+            inWave0, m, urlCol = "canonical_url", orderCol = "seed_idx")
+          (kept.select(inWave0.columns.map(col): _*),
+            Some(deferred.select(col("url"), col("seed_idx"))
+              .localCheckpoint(true)))
+        case None => (inWave0, None)
+      }
       // seed range from the raw wave input (cheap pruned scan) so the salted
       // scheduler never re-executes the dedup/anti-join upstream for stats
       val mm = frontier.agg(min(col("seed_idx")).as("lo"), max(col("seed_idx")).as("hi")).collect()(0)
@@ -354,7 +376,13 @@ object WaveLoop {
       scheduled.select("url_hash", "canonical_url")
         .write.mode(SaveMode.Overwrite).parquet(s"$root/seen/wave=$wave")
 
-      val next = discover(spark.read.parquet(s"$root/schedule/wave=$wave"))
+      val next0 = discover(spark.read.parquet(s"$root/schedule/wave=$wave"))
+      // deferred over-budget urls ride into the next wave's frontier
+      val next = deferredRows match {
+        case Some(d) => next0.select(col("url"), col("seed_idx"))
+          .unionByName(d)
+        case None => next0
+      }
       next.write.mode(SaveMode.Overwrite).parquet(s"$root/next/wave=$wave")
 
       // cardinality channel (`hostCards`): one HLL sketch per host per wave

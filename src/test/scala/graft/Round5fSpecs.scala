@@ -438,6 +438,34 @@ class RegistrableDomainSpec extends AnyFunSuite {
   }
 }
 
+class DomainBudgetLoopSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import org.apache.spark.sql.DataFrame
+  import graft.frontier.WaveLoop
+
+  test("maxPerDomain: a subdomain farm drains at the budget rate, nothing lost") {
+    val root = java.nio.file.Files.createTempDirectory("dombudget").toString
+    val seeds = ((0 until 30).map(i => (s"http://sub$i.farm.co.uk/p/$i", i.toLong))
+      ++ (0 until 5).map(i => (s"http://ok.example.com/p/$i", (100 + i).toLong)))
+      .toDF("url", "seed_idx")
+    val noDiscovery: DataFrame => DataFrame =
+      _ => Seq.empty[(String, Long)].toDF("url", "seed_idx")
+    val res = WaveLoop.run(spark, root, seeds, noDiscovery, maxWaves = 5,
+      metricsParseStats = false, maxPerDomain = Some(10L))
+    // wave 0: 10 farm + 5 ok; waves 1-2: 10 farm each; then exhausted
+    assert(res.map(_.scheduled) == Seq(15, 10, 10))
+    val order = WaveLoop.crawlOrder(spark, root)
+      .select("canonical_url").as[String].collect()
+    assert(order.length == 35 && order.distinct.length == 35)
+    // deferral preserves discovery order inside the domain
+    val w0farm = spark.read.parquet(s"$root/schedule/wave=0")
+      .where(col("canonical_url").contains("farm"))
+      .select("seed_idx").as[Long].collect().toSet
+    assert(w0farm == (0L until 10L).toSet)
+  }
+}
+
 class LineDiffSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
