@@ -14,7 +14,7 @@ import graft.pipeline.TextPipeline
   * Usage:
   *   runMain graft.Crawl --pages <pageTableRoot> --out <dir>
   *     [--waves N] [--gap SECONDS] [--refresh-after K] [--rank-every K]
-  *     [--retry-after K] [--dust-every K]
+  *     [--retry-after K] [--dust-every K] [--max-per-domain N]
   *     [--block-hosts h1,h2,…] [--block-path-words w1,w2,…] url1 url2 ...
   *
   * `--refresh-after K` turns on the batch refresh channel: committed urls
@@ -38,6 +38,10 @@ import graft.pipeline.TextPipeline
   * evidence and strips them from later discoveries before the seen
   * filter ([[graft.frontier.WaveLoop.run]]'s `dustEvery`).
   *
+  * `--max-per-domain N` turns on the domain-budget channel: each wave
+  * fetches at most N urls per registrable domain, deferring the rest
+  * ([[graft.frontier.WaveLoop.run]]'s `maxPerDomain`).
+  *
   * `--block-hosts` / `--block-path-words` turn on the URL quality gate
   * ([[graft.url.UrlGate]]): blocklisted domains (parent-domain matching)
   * and keyword-bearing paths are never fetched, audited as status-452
@@ -58,7 +62,7 @@ object Crawl {
       urls: Seq[String], refreshAfter: Option[Int] = None,
       rankEvery: Option[Int] = None, retryAfter: Option[Int] = None,
       blockHosts: Seq[String] = Nil, blockPathWords: Seq[String] = Nil,
-      dustEvery: Option[Int] = None)
+      dustEvery: Option[Int] = None, maxPerDomain: Option[Long] = None)
 
   def parseArgs(argv: Array[String]): Args = {
     var pages = ""; var out = ""; var waves = 3; var gap = 3L
@@ -68,6 +72,7 @@ object Crawl {
     var blockHosts: Seq[String] = Nil
     var blockWords: Seq[String] = Nil
     var dustEvery: Option[Int] = None
+    var maxPerDomain: Option[Long] = None
     val urls = Seq.newBuilder[String]
     var i = 0
     def value(flag: String): String = {
@@ -85,6 +90,8 @@ object Crawl {
         case "--rank-every" => rankEvery = Some(value("--rank-every").toInt)
         case "--retry-after" => retryAfter = Some(value("--retry-after").toInt)
         case "--dust-every" => dustEvery = Some(value("--dust-every").toInt)
+        case "--max-per-domain" =>
+          maxPerDomain = Some(value("--max-per-domain").toLong)
         case "--block-hosts" =>
           blockHosts = value("--block-hosts").split(",").map(_.trim).filter(_.nonEmpty).toSeq
         case "--block-path-words" =>
@@ -95,7 +102,7 @@ object Crawl {
       }
     }
     val a = Args(pages, out, waves, gap, urls.result(), refresh, rankEvery,
-      retryAfter, blockHosts, blockWords, dustEvery)
+      retryAfter, blockHosts, blockWords, dustEvery, maxPerDomain)
     require(a.pages.nonEmpty, "--pages <pageTableRoot> is required")
     require(a.out.nonEmpty, "--out <dir> is required")
     require(a.urls.nonEmpty, "error: no URLs provided") // reference :227-228
@@ -103,6 +110,7 @@ object Crawl {
     require(a.rankEvery.forall(_ >= 1), "--rank-every must be >= 1")
     require(a.retryAfter.forall(_ >= 1), "--retry-after must be >= 1")
     require(a.dustEvery.forall(_ >= 1), "--dust-every must be >= 1")
+    require(a.maxPerDomain.forall(_ >= 1), "--max-per-domain must be >= 1")
     a
   }
 
@@ -124,7 +132,8 @@ object Crawl {
       rankEvery = a.rankEvery.getOrElse(4),
       urlGate = if (a.blockHosts.isEmpty && a.blockPathWords.isEmpty) None
         else Some((a.blockHosts.toDF("host"), a.blockPathWords)),
-      dustEvery = a.dustEvery.getOrElse(0))
+      dustEvery = a.dustEvery.getOrElse(0),
+      maxPerDomain = a.maxPerDomain)
     // crawl order drives the result set; fetch = replay join; text pipeline
     // is one codegen'd map per row
     val order0 = WaveLoop.crawlOrder(spark, s"${a.out}/frontier")

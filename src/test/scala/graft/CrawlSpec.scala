@@ -88,6 +88,13 @@ class CrawlSpec extends AnyFunSuite {
     // dust channel flag
     assert(Crawl.parseArgs(Array("--pages", "/p", "--out", "/o",
       "--dust-every", "3", "http://a.test/")).dustEvery.contains(3))
+    // domain budget flag
+    assert(Crawl.parseArgs(Array("--pages", "/p", "--out", "/o",
+      "--max-per-domain", "50", "http://a.test/")).maxPerDomain.contains(50L))
+    intercept[IllegalArgumentException] {
+      Crawl.parseArgs(Array("--pages", "/p", "--out", "/o",
+        "--max-per-domain", "0", "http://a.test/"))
+    }
     intercept[IllegalArgumentException] {
       Crawl.parseArgs(Array("--pages", "/p", "--out", "/o",
         "--dust-every", "0", "http://a.test/"))
