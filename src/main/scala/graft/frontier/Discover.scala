@@ -80,6 +80,62 @@ object Discover {
     }
   }
 
+  /** [[fromPages]] with MIME ROUTING — dispatch each fetched payload to
+    * the right link extractor by what its BYTES are (the q94 sniffing
+    * lesson: servers lie about content types, and feeding a plain-text
+    * or binary payload to the HTML walker silently discovers nothing):
+    *
+    *  - `text/html` / `text/xml` → the `extract_links` walker, with the
+    *    meta-robots nofollow gate as in [[fromPages]];
+    *  - `text/plain` → `text_urls` naked-url extraction (forums, READMEs,
+    *    plain-text mirrors — absolute urls resolve to themselves through
+    *    the same RFC 3986 path);
+    *  - anything else (images, audio, archives, binary junk) → zero
+    *    links, zero parse cost beyond the ≤64-byte sniff.
+    *
+    * One sniff per payload (codegen'd), the two extractor branches share
+    * the bucket-pruned join, and the seed_idx contract is [[fromPages]]'s
+    * (text-channel positions offset by `maxLinksPerPage` so the two
+    * channels cannot collide inside a page's 2^40 block).
+    */
+  def fromPagesSniffed(pages: DataFrame, maxLinksPerPage: Int = 1024,
+      buckets: Int = 64, respectNofollow: Boolean = true): DataFrame => DataFrame = {
+    require(maxLinksPerPage >= 1 && maxLinksPerPage <= 4096,
+      s"maxLinksPerPage out of range: $maxLinksPerPage")
+    val m = Discover.nextPow2(maxLinksPerPage) * 2 // two channels per block
+    scheduled => {
+      val p = pruneToWave(pages, scheduled, "canonical_url", buckets)
+        .select(col("url").as("canonical_url"), col("html"))
+      val routed = scheduled.select("canonical_url", "seed_idx")
+        .join(p, Seq("canonical_url"))
+        .withColumn("_mime",
+          graft.functions.sniff_mime(col("html").cast("binary")))
+        .localCheckpoint(true) // read by both channel branches
+      val htmlLinks = routed
+        .where(col("_mime").isin("text/html", "text/xml"))
+        .where(if (respectNofollow)
+          !graft.functions.page_directives(col("html").cast("string"))
+            .getField("nofollow")
+          else lit(true))
+        .select(col("canonical_url").as("base"),
+          posexplode(extract_links(col("html").cast("string")))
+            .as(Seq("pos", "href")))
+      val textLinks = routed
+        .where(col("_mime") === "text/plain")
+        .select(col("canonical_url").as("base"),
+          posexplode(graft.functions.text_urls(col("html").cast("string")))
+            .as(Seq("pos0", "href")))
+        .select(col("base"), (col("pos0") + maxLinksPerPage).as("pos"),
+          col("href"))
+      htmlLinks.where(col("pos") < maxLinksPerPage)
+        .unionByName(textLinks.where(col("pos") < 2 * maxLinksPerPage))
+        .select(resolve_url(col("base"), col("href")).as("url"),
+          (pmod(xxhash64(col("base")), lit((1L << 40) / m)) * m + col("pos"))
+            .as("seed_idx"))
+        .where(col("url").isNotNull)
+    }
+  }
+
   /** Link EDGES of a scheduled wave — the producer for
     * [[WaveLoop.run]]'s authority channel (`edgesOf`): same
     * bucket-pruned pages join and href explode as [[fromPages]], emitting

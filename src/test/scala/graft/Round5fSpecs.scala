@@ -466,6 +466,35 @@ class DomainBudgetLoopSpec extends AnyFunSuite {
   }
 }
 
+class SniffedDiscoverySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("mime routing: html walks links, text extracts naked urls, binary is inert") {
+    val pngish = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A, 1, 2)
+    val pages = Seq(
+      ("http://m.test/html",
+        "<html><body><a href=\"/child\">c</a></body></html>".getBytes("UTF-8")),
+      ("http://m.test/txt",
+        "see https://cited.test/doc. and nothing else".getBytes("UTF-8")),
+      ("http://m.test/img", pngish),
+      // server lied: served as a "page" but the bytes are plain text —
+      // the html walker would find nothing; the router must
+      ("http://m.test/liar",
+        "mirror list: http://mirror.test/a http://mirror.test/b".getBytes("UTF-8")))
+      .toDF("url", "html")
+    val sched = pages.select(col("url").as("canonical_url"))
+      .withColumn("seed_idx", lit(1L))
+    val got = graft.frontier.Discover.fromPagesSniffed(pages)(sched)
+      .select("url").as[String].collect().toSet
+    assert(got == Set(
+      "http://m.test/child",
+      "https://cited.test/doc",
+      "http://mirror.test/a",
+      "http://mirror.test/b"))
+  }
+}
+
 class LineDiffSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
