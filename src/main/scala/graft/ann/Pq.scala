@@ -251,9 +251,15 @@ object PqEval {
 
   def lookup(table: ArrayData, codes: ArrayData, ksub: Int): Double = {
     val m = codes.numElements()
+    // fail fast on a ksub mismatch: a wrong ksub would otherwise read
+    // plausible-but-wrong slots (cross-subspace, or off the end of the
+    // unsafe array — garbage, not an exception)
+    require(table.numElements() == m * ksub,
+      s"ADC table has ${table.numElements()} entries, codes need ${m * ksub}")
     var s = 0.0; var j = 0
     while (j < m) {
       val c = codes.getInt(j)
+      require(c >= 0 && c < ksub, s"code $c out of range [0, $ksub)")
       s += table.getDouble(j * ksub + c)
       j += 1
     }

@@ -342,10 +342,13 @@ object Rank {
     */
   def triangles(hostEdges: DataFrame, srcCol: String = "src_host",
       dstCol: String = "dst_host"): DataFrame = {
-    val raw = hostEdges.select(col(srcCol).as("a"), col(dstCol).as("b"))
-      .where(col("a") =!= col("b"))
-    val nodes = raw.select(col("a").as("host"))
-      .union(raw.select(col("b").as("host")))
+    val raw0 = hostEdges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+    val raw = raw0.where(col("a") =!= col("b"))
+    // node universe from ALL edges incl. self-loops: a host whose only
+    // edges are self-loops is a real spam shape and must surface as
+    // (degree 0, triangles 0, clustering 0), not vanish from the census
+    val nodes = raw0.select(col("a").as("host"))
+      .union(raw0.select(col("b").as("host")))
       .distinct()
       .select(col("host"), xxhash64(col("host")).as("id"))
       .localCheckpoint(true)
@@ -378,9 +381,9 @@ object Rank {
       .select(explode(array(col("x"), col("u"), col("v"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("triangles"))
     nodes
-      .join(deg, "id")
+      .join(deg, Seq("id"), "left")
       .join(perNode, Seq("id"), "left")
-      .select(col("host"), col("deg").as("degree"),
+      .select(col("host"), coalesce(col("deg"), lit(0L)).as("degree"),
         coalesce(col("triangles"), lit(0L)).as("triangles"))
       .withColumn("clustering_ppm",
         when(col("degree") >= 2,

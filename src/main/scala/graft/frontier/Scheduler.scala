@@ -198,13 +198,18 @@ object Scheduler {
     * (kept, deferred) by FIRST-`maxPerDomain` in discovery order.
     */
   def capPerDomain(frontier: DataFrame, maxPerDomain: Long,
-      urlCol: String = "canonical_url", orderCol: String = "seed_idx")
-      : (DataFrame, DataFrame) = {
+      urlCol: String = "canonical_url", orderCol: String = "seed_idx",
+      orderKeyRange: Option[(Long, Long)] = None): (DataFrame, DataFrame) = {
     require(maxPerDomain >= 1, s"maxPerDomain: $maxPerDomain")
-    val withD = frontier.withColumn("domain",
-        graft.functions.registrable_domain(graft.functions.host_of(col(urlCol))))
-      .localCheckpoint(true) // the rank's width probe must not re-run upstream
-    val ranked = perHostRankSalted(withD, "domain", orderCol)
+    val withD0 = frontier.withColumn("domain",
+      graft.functions.registrable_domain(graft.functions.host_of(col(urlCol))))
+    // with a caller-supplied range the rank needs no width probe — no
+    // reason to checkpoint the (possibly expensive) upstream; without
+    // one, the probe's min/max would re-run it, so freeze first
+    val withD = if (orderKeyRange.isDefined) withD0
+      else withD0.localCheckpoint(true)
+    val ranked = perHostRankSalted(withD, "domain", orderCol,
+        orderKeyRange = orderKeyRange)
       .withColumnRenamed("host_pos", "domain_pos")
     (ranked.where(col("domain_pos") <= maxPerDomain),
       ranked.where(col("domain_pos") > maxPerDomain))

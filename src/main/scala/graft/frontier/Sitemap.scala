@@ -142,8 +142,14 @@ object Sitemap {
       .where(col("url").isNotNull)
       .groupBy("url").agg(max(col("lastmod")).as("lastmod"),
         min(col("ttl")).as("ttl"), max(col("priority_ppm")).as("priority_ppm"))
+    // NEWEST stamp per url: a refresh-channel fetch log legitimately
+    // carries one row per (url, fetch) — joining it raw would emit
+    // contradictory verdicts (the old stamp says ttl_expired, the new one
+    // says fresh). Unlike staleBySitemap's documented one-row contract,
+    // this operator aggregates, because its caller IS the refresh loop.
     val log = fetched.select(canonicalize_url(col(urlCol)).as("url"),
-      col(tsCol).as("fetched_at"))
+        col(tsCol).as("fetched_at"))
+      .groupBy("url").agg(max(col("fetched_at")).as("fetched_at"))
     ent.join(log, Seq("url"), "left")
       .withColumn("reason",
         when(col("fetched_at").isNull, lit("never_fetched"))

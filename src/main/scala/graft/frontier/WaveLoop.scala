@@ -109,10 +109,12 @@ object WaveLoop {
    * [[Discover.fromPages]]'s join; tests inject synthetic edges.
    *
    * Domain-budget channel (`maxPerDomain`): each wave keeps only the
-   * first `maxPerDomain` urls per registrable domain (salted rank — the
-   * subdomain-farm skew case) and DEFERS the rest into the next wave's
-   * frontier; a site drains at a bounded rate instead of monopolizing
-   * waves through its subdomains.
+   * first `maxPerDomain` DISCOVERY urls per registrable domain (salted
+   * rank — the subdomain-farm skew case) and DEFERS the rest into the
+   * next wave's frontier; a site drains at a bounded rate instead of
+   * monopolizing waves through its subdomains. Refresh-channel rows are
+   * exempt: they are already committed, so a deferred copy could never
+   * pass the next wave's seen filter — their rate is the TTL's business.
    *
    * DUST channel (`dustEvery`): every `dustEvery` waves the loop
    * re-learns [[Dust.paramStripRules]] from everything fetched so far
@@ -285,40 +287,48 @@ object WaveLoop {
         case Some(l) => l.filterUnseen(gated, wave - 1)
         case None => Seen.filterUnseenBucketed(gated, readSeen(spark, root))
       }
-      // refresh rows join AFTER the seen filter (disjoint from it by
-      // construction: filterUnseen removes exactly the committed urls that
-      // staleFrontier emits) and BEFORE the in-wave dedup, so a url can
-      // never be scheduled twice in one wave through the two channels
-      val withRefresh = refreshKeyed match {
+      // seed range from the raw wave input (cheap pruned scan) so neither
+      // the domain cap's salted rank nor the scheduler re-executes the
+      // dedup/anti-join upstream for stats
+      val mm = frontier.agg(min(col("seed_idx")).as("lo"), max(col("seed_idx")).as("hi")).collect()(0)
+      val range = if (mm.isNullAt(0)) None
+        else Some((mm.getAs[Long]("lo"), mm.getAs[Long]("hi")))
+      // domain-budget channel (`maxPerDomain`): per-SITE cap at
+      // registrable-domain grain via the salted skew-proof rank — a
+      // 10^7-subdomain farm shares ONE budget instead of dodging the
+      // per-host cap. Applies to the DISCOVERY channel ONLY, after its
+      // in-wave dedup (duplicates must not eat budget) and BEFORE the
+      // refresh union: refresh rows are already in the seen ledger, so a
+      // deferred refresh copy would just die in next wave's seen filter —
+      // their rate is governed by the TTL, not the budget. The over-cap
+      // remainder is DEFERRED, not dropped: it re-enters the next wave's
+      // frontier through the normal path (never scheduled → the seen
+      // filter passes it again).
+      val unseenDeduped = Seen.dropInWaveDuplicates(
+        unseen.select(keyed.columns.map(col): _*))
+      val (unseenCapped, deferredRows) = maxPerDomain match {
+        case Some(m) =>
+          val (kept, deferred) = Scheduler.capPerDomain(
+            unseenDeduped, m, urlCol = "canonical_url",
+            orderCol = "seed_idx", orderKeyRange = range)
+          (kept.select(keyed.columns.map(col): _*),
+            Some(deferred.select(col("url"), col("seed_idx"))
+              .localCheckpoint(true)))
+        case None => (unseenDeduped, None)
+      }
+      // refresh rows join AFTER the seen filter and the cap (disjoint from
+      // the discovery channel by construction: filterUnseen removes exactly
+      // the committed urls staleFrontier emits, and staleFrontier is
+      // url-distinct), so a url can never schedule twice in one wave
+      val inWave = refreshKeyed match {
         case Some(rk) =>
           val rkGated = allowedPred match {
             case Some(p) => rk.where(p)
             case None => Robots.filterAllowed(rk, robots)
           }
-          unseen.select(keyed.columns.map(col): _*).unionByName(rkGated)
-        case None => unseen
+          unseenCapped.unionByName(rkGated.select(keyed.columns.map(col): _*))
+        case None => unseenCapped
       }
-      val inWave0 = Seen.dropInWaveDuplicates(withRefresh)
-      // domain-budget channel (`maxPerDomain`): per-SITE cap at
-      // registrable-domain grain via the salted skew-proof rank — a
-      // 10^7-subdomain farm shares ONE budget instead of dodging the
-      // per-host cap. The over-cap remainder is DEFERRED, not dropped:
-      // it re-enters the next wave's frontier through the normal path
-      // (it was never scheduled, so the seen filter passes it again).
-      val (inWave, deferredRows) = maxPerDomain match {
-        case Some(m) =>
-          val (kept, deferred) = Scheduler.capPerDomain(
-            inWave0, m, urlCol = "canonical_url", orderCol = "seed_idx")
-          (kept.select(inWave0.columns.map(col): _*),
-            Some(deferred.select(col("url"), col("seed_idx"))
-              .localCheckpoint(true)))
-        case None => (inWave0, None)
-      }
-      // seed range from the raw wave input (cheap pruned scan) so the salted
-      // scheduler never re-executes the dedup/anti-join upstream for stats
-      val mm = frontier.agg(min(col("seed_idx")).as("lo"), max(col("seed_idx")).as("hi")).collect()(0)
-      val range = if (mm.isNullAt(0)) None
-        else Some((mm.getAs[Long]("lo"), mm.getAs[Long]("hi")))
       // per-host politeness: robots Crawl-delay (whole seconds) when parsed
       // rules are present, the single global gap otherwise
       val robotsGap = fullRules.map(fr => Robots.gapColFull(spark, fr, col("host")))
@@ -514,9 +524,6 @@ object WaveLoop {
     } else spark.read.parquet(paths: _*)
   }
 
-  /** Crawl order across all committed waves — the fixture the north rule
-    * checks against the reference's sequential order.
-    */
   /** Merge the per-wave host sketches (`hostCards = true`) into one
     * estimated unique-url count per host — the crawl-budgeting view
     * ("which hosts expose the most URL space"), read incrementally:
@@ -535,6 +542,9 @@ object WaveLoop {
       .withColumn("est_urls", graft.functions.hll_card_corrected(col("sketch")))
   }
 
+  /** Crawl order across all committed waves — the fixture the north rule
+    * checks against the reference's sequential order.
+    */
   def crawlOrder(spark: SparkSession, root: String): DataFrame = {
     val waves = committedWaves(root)
     val frames = waves.map(w =>

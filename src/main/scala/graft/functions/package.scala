@@ -128,19 +128,23 @@ package object functions {
   /** Register count m = 2^p of an HLL image. */
   def hll_m(sketch: Column): Column = col(HllM(expr(sketch)))
 
-  /** Best-practice HLL estimate: linear counting `m·ln(m∕zeros)` while any
-    * register is empty (the n ≲ m regime where the raw estimate is
-    * biased), the fixed-point raw estimate once the sketch saturates.
+  /** Best-practice HLL estimate: linear counting `m·ln(m∕zeros)` in LC's
+    * validity regime — zero registers remain AND the raw estimate is
+    * ≤ 2.5·m (the classic dual guard; z > 0 alone misfires in the
+    * n ≈ m·ln(m) band, where a lone surviving zero register would yield a
+    * hard ~20% underestimate) — the fixed-point raw estimate otherwise.
     * DOUBLE ln — an ESTIMATE column, not an oracle-exact one (the
     * oracle-replayable member is [[hll_card]]).
     */
   def hll_card_corrected(sketch: Column): Column = {
     val z = hll_zeros(sketch).cast("double")
     val mm = hll_m(sketch).cast("double")
-    org.apache.spark.sql.functions.when(z > 0,
+    val raw = hll_card(sketch)
+    org.apache.spark.sql.functions.when(
+      z > 0 && raw.cast("double") <= mm * 2.5,
       org.apache.spark.sql.functions.round(mm *
         org.apache.spark.sql.functions.log(mm / z)).cast("long"))
-      .otherwise(hll_card(sketch))
+      .otherwise(raw)
   }
 
   /** Registrable domain (eTLD+1) of a HOST column — [[graft.url.UrlKit
@@ -151,13 +155,17 @@ package object functions {
   def registrable_domain(host: Column,
       multi: Seq[String] = graft.url.UrlKit.MultiLabelSuffixes): Column = {
     import org.apache.spark.sql.{functions => F}
-    val labels = F.split(host, "\\.")
+    // trailing-dot strip FIRST — Spark's split keeps trailing empty
+    // labels where Java's drops them, so without this the column and
+    // scala forms disagree on FQDN hosts ("a.co.uk." → bogus "uk.")
+    val h = F.regexp_replace(host, "\\.+$", "")
+    val labels = F.split(h, "\\.")
     val n = F.size(labels)
     val last2 = F.concat_ws(".", F.slice(labels, -2, 2))
     val isMulti = last2.isin(multi: _*)
-    F.when(n <= 1, host)
+    F.when(n <= 1, h)
       .when(isMulti && n >= 3, F.concat_ws(".", F.slice(labels, -3, 3)))
-      .when(isMulti, host)
+      .when(isMulti, h)
       .otherwise(last2)
   }
 

@@ -201,12 +201,17 @@ object UrlKit {
   def registrableDomain(host: String,
       multi: Set[String] = MultiLabelSuffixes.toSet): String = {
     if (host == null) return null
-    val labels = host.split('.')
-    if (labels.length <= 1) host
+    // trailing-dot FQDN form ("example.com.") folds like its bare twin —
+    // and stripping FIRST keeps the scala and column implementations in
+    // lockstep (Java's split drops trailing empty labels, Spark's keeps
+    // them; without the strip the two would diverge exactly here)
+    val h = host.replaceAll("\\.+$", "")
+    val labels = h.split('.')
+    if (labels.length <= 1) h
     else {
       val last2 = labels.takeRight(2).mkString(".")
       if (multi.contains(last2)) {
-        if (labels.length >= 3) labels.takeRight(3).mkString(".") else host
+        if (labels.length >= 3) labels.takeRight(3).mkString(".") else h
       } else last2
     }
   }

@@ -144,6 +144,14 @@ class TrianglesSpec extends AnyFunSuite {
       "c" -> ((2L, 1L, 1000000L))))
   }
 
+  test("a self-loop-ONLY host surfaces with degree 0, not silently dropped") {
+    // the spam shape: a host linking only to itself must appear in the
+    // census (degree 0, no triangles) so downstream score ensembles see it
+    val out = run(Seq("loner" -> "loner", "a" -> "b"))
+    assert(out("loner") == ((0L, 0L, 0L)))
+    assert(out("a") == ((1L, 0L, 0L)))
+  }
+
   test("triangle hanging off a hub counts once per member") {
     // hub h connected to t1..t5; triangle only among h, t1, t2
     val spokes = (1 to 5).map(i => ("h", s"t$i"))
@@ -410,6 +418,11 @@ class RegistrableDomainSpec extends AnyFunSuite {
       "user.github.io" -> "user.github.io",
       "x.user.github.io" -> "user.github.io",
       "localhost" -> "localhost",
+      // trailing-dot FQDN form folds like its bare twin — and Java vs
+      // Spark split() disagree on trailing empty labels, so the strip is
+      // what keeps the two implementations in lockstep
+      "www.example.co.uk." -> "example.co.uk",
+      "a.b.example.com." -> "example.com",
       "" -> "")
     cases.foreach { case (h, want) =>
       assert(UrlKit.registrableDomain(h) == want, h)
