@@ -1680,6 +1680,38 @@ object SparkEntry {
         .orderBy("doc_id", "pos")
     }),
 
+    "q115_adaptive_refresh" -> ((s, dir) => {
+      // the Cho & Garcia-Molina loop CLOSED in one chain: q90's snapshot
+      // pair → per-host change rates → linear TTL map (max 10, min 2
+      // waves) → a planted committed ledger (one row per url, wave =
+      // doc_id % 8, now = 12) → stale verdicts under each url's OWN
+      // host TTL. Every stage integer arithmetic; hot %3-heavy hosts
+      // refresh sooner than frozen ones, exactly per the measured ppm.
+      val host = concat(lit("h"), (col("doc_id") % 20).cast("string"),
+        lit(".test"))
+      val url = concat(lit("http://"), host, lit("/p/"),
+        col("doc_id").cast("string"))
+      val body = concat(lit("<html><body>v"), col("doc_id").cast("string"),
+        lit("</body></html>"))
+      val d = docs(s, dir)
+      val prev = d.select(url.as("url"), body.as("html"))
+      val cur = d.where(col("doc_id") % 11 =!= 0)
+        .select(url.as("url"),
+          when(col("doc_id") % 3 === 0, concat(body, lit("!")))
+            .otherwise(body).as("html"))
+        .unionByName(d.where(col("doc_id") % 13 === 0)
+          .select(concat(lit("http://"), host, lit("/n/"),
+            col("doc_id").cast("string")).as("url"), body.as("html")))
+      val rates = graft.frontier.Revisit.changeRates(prev, cur)
+      val ttls = graft.frontier.Revisit.ttlFromChangeRates(rates, 2L, 10L)
+      val committed = d.select(col("doc_id").as("url_hash"),
+        url.as("canonical_url"), (col("doc_id") % 8).cast("int").as("wave"))
+      graft.frontier.Ledger.staleFrontierAdaptiveFrom(committed, 12, ttls, 10L)
+        .select(col("url"), col("age").cast("long").as("age"),
+          col("ttl_waves"))
+        .orderBy("url")
+    }),
+
     "q81_frontier_capstone" -> ((s, dir) => {
       // round-5b capstone — the production frontier configuration composed
       // end to end: trap-capped frontier (q80 shapes) → HOST-level
@@ -2981,6 +3013,32 @@ object SparkEntry {
         |  unnest(urls) AS url
         |FROM l ORDER BY doc_id, pos""".stripMargin,
 
+    "q115_adaptive_refresh" ->
+      """WITH st AS (
+        |  SELECT 'h' || (doc_id % 20) || '.test' AS host,
+        |    CASE WHEN doc_id % 11 = 0 THEN 'gone'
+        |         WHEN doc_id % 3 = 0 THEN 'modified'
+        |         ELSE 'unchanged' END AS status
+        |  FROM documents),
+        |r AS (SELECT host,
+        |    sum(CASE WHEN status = 'modified' THEN 1 ELSE 0 END) AS m,
+        |    sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS u
+        |  FROM st GROUP BY host),
+        |ttl AS (SELECT host,
+        |    10 - (8 * (CASE WHEN m + u > 0
+        |      THEN (1000000 * m) // (m + u) ELSE 0 END)) // 1000000
+        |      AS ttl_waves
+        |  FROM r),
+        |led AS (SELECT doc_id,
+        |    'h' || (doc_id % 20) || '.test' AS host,
+        |    'http://h' || (doc_id % 20) || '.test/p/' || doc_id AS url,
+        |    12 - (doc_id % 8) AS age
+        |  FROM documents)
+        |SELECT url, CAST(age AS BIGINT) AS age,
+        |  CAST(ttl_waves AS BIGINT) AS ttl_waves
+        |FROM led JOIN ttl USING (host)
+        |WHERE age >= ttl_waves ORDER BY url""".stripMargin,
+
     "q54_pagerank" ->
       """WITH e AS (SELECT doc_id AS src, (doc_id*7 + j*13) % 211 AS dst
         |           FROM documents, unnest([0, 1, 2]) AS t(j)),
@@ -3245,7 +3303,8 @@ object SparkEntry {
         |h2 AS (SELECT n.node,
         |    coalesce((1000000 * r.raw) // (SELECT sum(raw) FROM h2r), 0) AS hub
         |  FROM n LEFT JOIN h2r r USING (node))
-        |SELECT n.node, a2.auth, h2.hub
+        |SELECT n.node, CAST(a2.auth AS BIGINT) AS auth,
+        |  CAST(h2.hub AS BIGINT) AS hub
         |FROM n JOIN a2 USING (node) JOIN h2 USING (node)
         |ORDER BY node""".stripMargin,
 
@@ -3551,10 +3610,10 @@ object SparkEntry {
         |  n_docs, total_dl
         |  FROM qt JOIN dfreq USING (term) CROSS JOIN stats),
         |sc AS (SELECT qid, p.id,
-        |  sum(CAST(floor(idf_fp *
+        |  CAST(sum(CAST(floor(idf_fp *
         |    (tf * (1.2 + 1) / (tf + 1.2 * ((1 - 0.75) + 0.75 *
         |      (d.dl / (CAST(total_dl AS DOUBLE) / n_docs))))) * 1000) AS BIGINT))
-        |    AS score_fp
+        |    AS BIGINT) AS score_fp
         |  FROM post p JOIN qidf USING (term) JOIN dl d ON p.id = d.id
         |  GROUP BY qid, p.id)
         |SELECT CAST(qid AS BIGINT) AS qid, id AS url, score_fp, rank FROM (
@@ -4017,10 +4076,10 @@ object SparkEntry {
         |  n_docs, total_dl
         |  FROM qt JOIN dfreq USING (term) CROSS JOIN stats),
         |sc AS (SELECT qid, p.id,
-        |  sum(CAST(floor(idf_fp *
+        |  CAST(sum(CAST(floor(idf_fp *
         |    (tf * (1.2 + 1) / (tf + 1.2 * ((1 - 0.75) + 0.75 *
         |      (d.dl / (CAST(total_dl AS DOUBLE) / n_docs))))) * 1000) AS BIGINT))
-        |    AS score_fp
+        |    AS BIGINT) AS score_fp
         |  FROM post p JOIN qidf USING (term) JOIN dl d ON p.id = d.id
         |  GROUP BY qid, p.id)
         |SELECT CAST(qid AS BIGINT) AS qid, id, score_fp, rank FROM (

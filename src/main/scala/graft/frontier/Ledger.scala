@@ -548,6 +548,16 @@ final class Ledger(
     ensure()
     Ledger.staleFrontierFrom(committedFrame(currentWave), currentWave, maxAgeWaves)
   }
+
+  /** [[staleFrontier]] under per-host TTLs (see
+    * [[Ledger.staleFrontierAdaptiveFrom]]).
+    */
+  def staleFrontierAdaptive(currentWave: Int, hostTtls: DataFrame,
+      defaultTtlWaves: Long): DataFrame = {
+    ensure()
+    Ledger.staleFrontierAdaptiveFrom(committedFrame(currentWave), currentWave,
+      hostTtls, defaultTtlWaves)
+  }
 }
 
 object Ledger {
@@ -571,6 +581,32 @@ object Ledger {
         Scheduler.priorityOrderKey(col("age"), pmod(col("url_hash"), lit(1L << 40)))
           .as("seed_idx"),
         col("age"))
+
+  /** [[staleFrontierFrom]] under PER-HOST TTLs — the adaptive-refresh
+    * composition: [[Revisit.ttlFromChangeRates]] turns measured per-host
+    * mutation rates into `(host, ttl_waves)`, and a page is stale when
+    * its age reaches ITS host's TTL (hosts absent from the table fall to
+    * `defaultTtlWaves`). The TTL table is #hosts-sized → one broadcast
+    * join on top of the same max-wave groupBy of 16-byte keys.
+    */
+  def staleFrontierAdaptiveFrom(committed: DataFrame, currentWave: Int,
+      hostTtls: DataFrame, defaultTtlWaves: Long): DataFrame = {
+    require(defaultTtlWaves >= 1, s"defaultTtlWaves: $defaultTtlWaves")
+    committed
+      .groupBy(col("url_hash"), col("canonical_url"))
+      .agg(max(col("wave")).as("last_wave"))
+      .withColumn("age", lit(currentWave) - col("last_wave"))
+      .withColumn("__host", graft.functions.host_of(col("canonical_url")))
+      .join(broadcast(hostTtls
+        .select(col("host").as("__host"), col("ttl_waves"))), Seq("__host"), "left")
+      .withColumn("ttl_waves", coalesce(col("ttl_waves"), lit(defaultTtlWaves)))
+      .where(col("age") >= col("ttl_waves"))
+      .select(
+        col("canonical_url").as("url"),
+        Scheduler.priorityOrderKey(col("age"), pmod(col("url_hash"), lit(1L << 40)))
+          .as("seed_idx"),
+        col("age"), col("ttl_waves"))
+  }
 
   /** [[Ledger.unsee]]'s subtraction kernel over any (url_hash, …, wave)
     * frame and (url_hash, t_wave) tombstones — split out so the

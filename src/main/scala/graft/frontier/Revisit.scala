@@ -55,6 +55,26 @@ object Revisit {
           expr("(1000000 * n_modified) DIV (n_modified + n_unchanged)"))
           .otherwise(lit(null).cast("long")))
 
+  /** Change rates → per-host refresh TTLs — the Cho & Garcia-Molina
+    * loop CLOSED: the measured mutation rate SETS the re-crawl cadence
+    * instead of a blind global TTL. Linear map, exact integer
+    * arithmetic: `ttl = maxTtl − (maxTtl − minTtl)·change_ppm DIV 10^6`
+    * — an all-changing host (10^6 ppm) refreshes every `minTtlWaves`,
+    * a frozen one every `maxTtlWaves`; hosts with NO revisit evidence
+    * (null ppm) sit at `maxTtlWaves` — absence of evidence is not
+    * evidence of churn. Feed the result to
+    * [[Ledger.staleFrontierAdaptive]].
+    */
+  def ttlFromChangeRates(rates: DataFrame, minTtlWaves: Long,
+      maxTtlWaves: Long): DataFrame = {
+    require(1L <= minTtlWaves && minTtlWaves <= maxTtlWaves,
+      s"ttl bounds: [$minTtlWaves, $maxTtlWaves]")
+    rates.select(col("host"),
+      (lit(maxTtlWaves) - expr(
+        s"((${maxTtlWaves - minTtlWaves}) * coalesce(change_ppm, 0)) DIV 1000000"))
+        .as("ttl_waves"))
+  }
+
   /** LINE-level change measurement for urls present in BOTH snapshots —
     * what actually changed, not just that something did: per url,
     * `n_added` / `n_removed` / `n_common` over the DISTINCT line sets

@@ -508,6 +508,39 @@ class SniffedDiscoverySpec extends AnyFunSuite {
   }
 }
 
+class AdaptiveRefreshSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import graft.frontier.{Ledger, Revisit}
+
+  test("ttl map: hot hosts to minTtl, frozen to maxTtl, no-evidence to maxTtl") {
+    val rates = Seq(
+      ("hot.test", Some(1000000L)),
+      ("half.test", Some(500000L)),
+      ("cold.test", Some(0L)),
+      ("unknown.test", None)).toDF("host", "change_ppm")
+    val got = Revisit.ttlFromChangeRates(rates, 2L, 10L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("hot.test" -> 2L, "half.test" -> 6L,
+      "cold.test" -> 10L, "unknown.test" -> 10L))
+  }
+
+  test("adaptive staleness: per-host TTL binds; absent hosts use the default") {
+    val committed = Seq(
+      (1L, "http://hot.test/a", 0),   // age 5
+      (2L, "http://cold.test/b", 0),  // age 5 < ttl 8 → fresh
+      (3L, "http://new.test/c", 0))   // no ttl row → default 5 → stale
+      .toDF("url_hash", "canonical_url", "wave")
+    val ttls = Seq(("hot.test", 2L), ("cold.test", 8L)).toDF("host", "ttl_waves")
+    val out = Ledger.staleFrontierAdaptiveFrom(committed, 5, ttls, 5L)
+      .select("url", "age", "ttl_waves")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(out == Set(
+      ("http://hot.test/a", 5, 2L),
+      ("http://new.test/c", 5, 5L)))
+  }
+}
+
 class LineDiffSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._

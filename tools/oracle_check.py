@@ -56,7 +56,11 @@ for name in names:
     ok_vals = False
     if ok_rows and ok_cols:
         try:
-            pd.testing.assert_frame_equal(s, o, check_dtype=False, check_exact=True)
+            # dtype-strict post-canon (dates/timestamps already normalized to
+            # str): the driver's gate hashes values WITH their types, and the
+            # HUGEINT->float64 widening of uncast DuckDB sums is exactly the
+            # mismatch a lax check here would hide until round grading
+            pd.testing.assert_frame_equal(s, o, check_dtype=True, check_exact=True)
             ok_vals = True
         except AssertionError as e:
             ok_vals = False
