@@ -381,7 +381,9 @@ object Bench {
       "line_diff" -> ((s: SparkSession, d: String) =>
         SparkEntry.queries("q113_line_diff")(s, d)),
       "text_urls" -> ((s: SparkSession, d: String) =>
-        SparkEntry.queries("q114_text_urls")(s, d)))
+        SparkEntry.queries("q114_text_urls")(s, d)),
+      "adaptive_refresh" -> ((s: SparkSession, d: String) =>
+        SparkEntry.queries("q115_adaptive_refresh")(s, d)))
     val extras = extraQueries.map { case (name, fn) =>
       val sec = try {
         force(fn(spark, sfDir))
