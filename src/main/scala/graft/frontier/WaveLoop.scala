@@ -124,6 +124,15 @@ object WaveLoop {
    * collapses to one member in the seen filter instead of burning fetch
    * budget. Rules cross waves only via storage, `_SUCCESS`-fenced like
    * the rank scores; no rules yet → plain pass-through.
+   *
+   * Focus channel (`focusQueries` + `focusEvery`): the FOCUSED crawl
+   * (Chakrabarti '99) — every `focusEvery` waves,
+   * [[Anchors.focusPriorities]] re-scores link targets by anchor-text
+   * BM25 relevance to the topic queries over everything fetched so far
+   * (`focus/scores`), and later waves fetch on-topic urls first within
+   * each host. Composes additively with the authority channel when both
+   * are on (the order key clamps the sum); same storage-only/_SUCCESS
+   * discipline as every other learned channel.
    */
   def run(
       spark: SparkSession,
@@ -148,7 +157,10 @@ object WaveLoop {
       dustMinSupport: Long = 2L,
       hostCards: Boolean = false,
       hostCardsP: Int = 11,
-      maxPerDomain: Option[Long] = None): Seq[WaveResult] = {
+      maxPerDomain: Option[Long] = None,
+      focusQueries: Option[DataFrame] = None,
+      focusEvery: Int = 4,
+      focusTopK: Int = 10000): Seq[WaveResult] = {
 
     require(refreshAfter.forall(_ => ledger.nonEmpty),
       "refreshAfter needs a ledger (last-fetch age lives in the ledger's wave column)")
@@ -156,6 +168,8 @@ object WaveLoop {
       "retryErrorsAfter needs n >= 1, a ledger (unsee lives there) and pages metrics (errors live there)")
     require(dustEvery == 0 || pages.nonEmpty,
       "dustEvery needs the pages corpus (DUST rules learn from fetched bodies)")
+    require(focusQueries.isEmpty || pages.nonEmpty,
+      "focusQueries needs the pages corpus (anchor evidence lives in fetched bodies)")
 
     Fs.mkdirs(root)
     val already = committedWaves(root)
@@ -365,16 +379,27 @@ object WaveLoop {
         .filter(_ => Fs.exists(s"$root/rank/scores/_SUCCESS"))
         .map(_ => spark.read.parquet(s"$root/rank/scores")
           .select(col("node").as("url_hash"),
-            floor(col("score") * 100.0d).cast("long").as("_auth")))
-      val (toScheduleAuth, schedOrderCol, schedRange) = authority match {
-        case Some(sc) =>
-          (toSchedule.join(sc, Seq("url_hash"), "left")
+            floor(col("score") * 100.0d).cast("long").as("_prio")))
+      // focus channel (consume side): the latest committed anchor-BM25
+      // relevance scores, scaled into priorityOrderKey's clamp range.
+      // With BOTH channels on, priorities ADD (both are "fetch me
+      // sooner"; the order key clamps the sum).
+      val focusScores = focusQueries
+        .filter(_ => Fs.exists(s"$root/focus/scores/_SUCCESS"))
+        .map(_ => spark.read.parquet(s"$root/focus/scores")
+          .select(col("url_hash"), expr("focus_fp DIV 100000").as("_prio")))
+      val prios = authority.toSeq ++ focusScores.toSeq
+      val (toScheduleAuth, schedOrderCol, schedRange) =
+        if (prios.isEmpty) (toSchedule, "seed_idx", range)
+        else {
+          val combined = prios.reduce(_.unionByName(_))
+            .groupBy("url_hash").agg(sum(col("_prio")).as("_prio"))
+          (toSchedule.join(combined, Seq("url_hash"), "left")
             .withColumn("order_key",
-              Scheduler.priorityOrderKey(coalesce(col("_auth"), lit(0L)), col("seed_idx")))
-            .drop("_auth"),
+              Scheduler.priorityOrderKey(coalesce(col("_prio"), lit(0L)), col("seed_idx")))
+            .drop("_prio"),
             "order_key", None)
-        case None => (toSchedule, "seed_idx", range)
-      }
+        }
       val scheduled = Scheduler.schedule(
         toScheduleAuth, gapSeconds, salted = true, orderKeyRange = schedRange,
         gapCol = gapCol, orderCol = schedOrderCol)
@@ -442,6 +467,27 @@ object WaveLoop {
         Dust.paramStripRules(corpus, minSupport = dustMinSupport)
           .write.mode(SaveMode.Overwrite).parquet(s"$root/dust/rules")
       }
+
+      // focus channel (learn side): every focusEvery waves, re-score link
+      // TARGETS by anchor-text BM25 relevance to the topic queries over
+      // everything fetched so far — the focused-crawl loop (Chakrabarti
+      // '99): relevance evidence accumulates as coverage grows, and later
+      // waves fetch on-topic urls first. Overwrite → idempotent;
+      // _SUCCESS-fenced like the other learned channels.
+      if (focusQueries.nonEmpty && (wave + 1) % math.max(1, focusEvery) == 0)
+        for (fq <- focusQueries; pg <- pages) {
+          val dirs = (0 to wave).map(w => s"$root/schedule/wave=$w").filter(Fs.exists)
+          val fetched = dirs
+            .map(spark.read.parquet(_).select(col("canonical_url").as("url")))
+            .reduce(_.unionByName(_))
+            .distinct()
+          val corpus = fetched.join(pg.select(col("url"), col("html")), "url")
+          Anchors.focusPriorities(corpus, fq, k = focusTopK)
+            .groupBy("url").agg(sum(col("score_fp")).as("focus_fp"))
+            .select(xxhash64(graft.functions.canonicalize_url(col("url")))
+              .as("url_hash"), col("focus_fp"))
+            .write.mode(SaveMode.Overwrite).parquet(s"$root/focus/scores")
+        }
 
       // ledger + bloom state BEFORE the manifest (the commit point): a crash
       // here re-appends on resume — harmless, the wave column fences it

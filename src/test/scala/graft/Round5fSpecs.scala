@@ -508,6 +508,40 @@ class SniffedDiscoverySpec extends AnyFunSuite {
   }
 }
 
+class FocusLoopSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import graft.frontier.{Discover, WaveLoop}
+
+  test("focus channel: on-topic targets fetch first once anchor evidence lands") {
+    val root = java.nio.file.Files.createTempDirectory("focusloop").toString
+    // one host, a root page linking a topical and an off-topic child with
+    // telling anchor text; wave 0 fetches the root, the end-of-wave focus
+    // pass scores /topic, and wave 1 must schedule /topic BEFORE /cats
+    // within the host even though /cats was discovered first (href order)
+    val pages = Seq(
+      ("http://f.test/root",
+        "<html><body>" +
+          "<a href=\"/cats\">cat pictures daily</a>" +
+          "<a href=\"/topic\">rust compiler internals guide</a>" +
+          "</body></html>"),
+      ("http://f.test/cats", "<html><body><p>cats</p></body></html>"),
+      ("http://f.test/topic", "<html><body><p>rust</p></body></html>"))
+      .toDF("url", "html")
+    val seeds = Seq(("http://f.test/root", 0L)).toDF("url", "seed_idx")
+    val topics = Seq((0L, "rust compiler")).toDF("qid", "qtext")
+    WaveLoop.run(spark, root, seeds, Discover.fromPages(pages),
+      maxWaves = 2, pages = Some(pages), metricsParseStats = false,
+      focusQueries = Some(topics), focusEvery = 1)
+    val w1 = spark.read.parquet(s"$root/schedule/wave=1")
+      .select("canonical_url", "host_pos")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(w1.keySet == Set("http://f.test/topic", "http://f.test/cats"))
+    assert(w1("http://f.test/topic") < w1("http://f.test/cats"),
+      s"topical url must fetch first: $w1")
+  }
+}
+
 class AdaptiveRefreshSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
