@@ -15,6 +15,7 @@ import graft.pipeline.TextPipeline
   *   runMain graft.Crawl --pages <pageTableRoot> --out <dir>
   *     [--waves N] [--gap SECONDS] [--refresh-after K] [--rank-every K]
   *     [--retry-after K] [--dust-every K] [--max-per-domain N]
+  *     [--focus "topic query"]... [--focus-every K]
   *     [--block-hosts h1,h2,…] [--block-path-words w1,w2,…] url1 url2 ...
   *
   * `--refresh-after K` turns on the batch refresh channel: committed urls
@@ -42,6 +43,11 @@ import graft.pipeline.TextPipeline
   * fetches at most N urls per registrable domain, deferring the rest
   * ([[graft.frontier.WaveLoop.run]]'s `maxPerDomain`).
   *
+  * `--focus "query"` (repeatable) turns on the focused-crawl channel:
+  * link targets re-score every `--focus-every` waves by anchor-text BM25
+  * relevance to the queries, and relevant urls fetch first
+  * ([[graft.frontier.WaveLoop.run]]'s `focusQueries`).
+  *
   * `--block-hosts` / `--block-path-words` turn on the URL quality gate
   * ([[graft.url.UrlGate]]): blocklisted domains (parent-domain matching)
   * and keyword-bearing paths are never fetched, audited as status-452
@@ -62,7 +68,8 @@ object Crawl {
       urls: Seq[String], refreshAfter: Option[Int] = None,
       rankEvery: Option[Int] = None, retryAfter: Option[Int] = None,
       blockHosts: Seq[String] = Nil, blockPathWords: Seq[String] = Nil,
-      dustEvery: Option[Int] = None, maxPerDomain: Option[Long] = None)
+      dustEvery: Option[Int] = None, maxPerDomain: Option[Long] = None,
+      focus: Seq[String] = Nil, focusEvery: Option[Int] = None)
 
   def parseArgs(argv: Array[String]): Args = {
     var pages = ""; var out = ""; var waves = 3; var gap = 3L
@@ -73,6 +80,8 @@ object Crawl {
     var blockWords: Seq[String] = Nil
     var dustEvery: Option[Int] = None
     var maxPerDomain: Option[Long] = None
+    var focus: Seq[String] = Nil
+    var focusEvery: Option[Int] = None
     val urls = Seq.newBuilder[String]
     var i = 0
     def value(flag: String): String = {
@@ -92,6 +101,8 @@ object Crawl {
         case "--dust-every" => dustEvery = Some(value("--dust-every").toInt)
         case "--max-per-domain" =>
           maxPerDomain = Some(value("--max-per-domain").toLong)
+        case "--focus" => focus = focus :+ value("--focus")
+        case "--focus-every" => focusEvery = Some(value("--focus-every").toInt)
         case "--block-hosts" =>
           blockHosts = value("--block-hosts").split(",").map(_.trim).filter(_.nonEmpty).toSeq
         case "--block-path-words" =>
@@ -102,7 +113,8 @@ object Crawl {
       }
     }
     val a = Args(pages, out, waves, gap, urls.result(), refresh, rankEvery,
-      retryAfter, blockHosts, blockWords, dustEvery, maxPerDomain)
+      retryAfter, blockHosts, blockWords, dustEvery, maxPerDomain,
+      focus, focusEvery)
     require(a.pages.nonEmpty, "--pages <pageTableRoot> is required")
     require(a.out.nonEmpty, "--out <dir> is required")
     require(a.urls.nonEmpty, "error: no URLs provided") // reference :227-228
@@ -111,6 +123,9 @@ object Crawl {
     require(a.retryAfter.forall(_ >= 1), "--retry-after must be >= 1")
     require(a.dustEvery.forall(_ >= 1), "--dust-every must be >= 1")
     require(a.maxPerDomain.forall(_ >= 1), "--max-per-domain must be >= 1")
+    require(a.focusEvery.forall(_ >= 1), "--focus-every must be >= 1")
+    require(a.focusEvery.isEmpty || a.focus.nonEmpty,
+      "--focus-every needs at least one --focus query")
     a
   }
 
@@ -133,7 +148,11 @@ object Crawl {
       urlGate = if (a.blockHosts.isEmpty && a.blockPathWords.isEmpty) None
         else Some((a.blockHosts.toDF("host"), a.blockPathWords)),
       dustEvery = a.dustEvery.getOrElse(0),
-      maxPerDomain = a.maxPerDomain)
+      maxPerDomain = a.maxPerDomain,
+      focusQueries = if (a.focus.isEmpty) None
+        else Some(a.focus.zipWithIndex
+          .map { case (q, i) => (i.toLong, q) }.toDF("qid", "qtext")),
+      focusEvery = a.focusEvery.getOrElse(4))
     // crawl order drives the result set; fetch = replay join; text pipeline
     // is one codegen'd map per row
     val order0 = WaveLoop.crawlOrder(spark, s"${a.out}/frontier")

@@ -95,6 +95,16 @@ class CrawlSpec extends AnyFunSuite {
       Crawl.parseArgs(Array("--pages", "/p", "--out", "/o",
         "--max-per-domain", "0", "http://a.test/"))
     }
+    // focus channel flags (repeatable --focus)
+    val f = Crawl.parseArgs(Array("--pages", "/p", "--out", "/o",
+      "--focus", "rust compiler", "--focus", "borrow checker",
+      "--focus-every", "2", "http://a.test/"))
+    assert(f.focus == Seq("rust compiler", "borrow checker") &&
+      f.focusEvery.contains(2))
+    intercept[IllegalArgumentException] {
+      Crawl.parseArgs(Array("--pages", "/p", "--out", "/o",
+        "--focus-every", "2", "http://a.test/")) // --focus-every without --focus
+    }
     intercept[IllegalArgumentException] {
       Crawl.parseArgs(Array("--pages", "/p", "--out", "/o",
         "--dust-every", "0", "http://a.test/"))
