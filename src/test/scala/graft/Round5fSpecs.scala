@@ -380,6 +380,33 @@ class PqSpec extends AnyFunSuite {
     assert(pruned.nonEmpty && pruned.forall(_ % 5 == 2))
   }
 
+  test("persisted IVFPQ probes byte-identically to the in-memory path") {
+    val corpus = (0 until 40).map { i =>
+      val c = i % 4
+      val v = Array.tabulate(8)(d =>
+        (if (d / 2 == c) 10f else 0f) + ((i * 31 + d * 7) % 5) * 0.1f)
+      (i.toLong, v.toSeq)
+    }.toDF("id", "vec")
+    val queries = (0 until 4).map { c =>
+      (c.toLong, Array.tabulate(8)(d => if (d / 2 == c) 10f else 0f).toSeq)
+    }.toDF("id", "vec")
+    val root = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    Pq.ivfPqWriteIndex(corpus, "id", "vec", root, nlist = 4, m = 4, ksub = 4)
+    val indexed = Pq.ivfPqTopKIndexed(queries, root, "id", "vec",
+        k = 10, nProbe = 2)
+      .select("q_id", "rank", "nn_id", "score")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val mem = Pq.ivfTopK(corpus, queries, "id", "id", "vec", k = 10,
+        nlist = 4, nProbe = 2, m = 4, ksub = 4)
+      .select("q_id", "rank", "nn_id", "score")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(indexed == mem) // same deterministic training → same everything
+    // storage shape: m code bytes per row, vectors absent
+    val cells = spark.read.parquet(s"$root/cells")
+    assert(cells.columns.toSet == Set("id", "code_bin", "ivf_cell"))
+    assert(cells.select(length(col("code_bin"))).as[Int].collect().forall(_ == 4))
+  }
+
   test("trained IVFPQ recalls the cluster at nProbe=1 on separable data") {
     val corpus = (0 until 40).map { i =>
       val c = i % 4
