@@ -26,6 +26,19 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Shuffle-writer selection (measured, OPTIMIZATION_r06.md §frontier_schedule):
+  // the bypass-merge writer opens one block file PER REDUCE PARTITION per map
+  // task; at the session's 128 shuffle partitions a 128-task stage creates
+  // 16k tiny files and their open/init/commit cost measured 34.7 s of a
+  // 36.7 s stage (95% of task runtime — shuffle WRITE time on tmpfs) while
+  // the same stage's compute was 4 s. Above this threshold Spark uses the
+  // sort-based writer (ONE file per map task), which took the identical
+  // stage to 0.3 s of write time. 64 keeps bypass for narrow (≤64-way)
+  // shuffles where its per-file cost is trivial and it avoids the sort.
+  // At cluster scale wide shuffles use the sort path by default anyway
+  // (bypass only ever applies ≤200 partitions), so this default is not a
+  // local-only tune; override via SPARK_GRAFT_BYPASS_THRESHOLD.
+  s"-Dspark.shuffle.sort.bypassMergeThreshold=${sys.env.getOrElse("SPARK_GRAFT_BYPASS_THRESHOLD", "64")}",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
 // optional GC experiment knob: SPARK_GC=Parallel|G1|Z

@@ -1629,6 +1629,10 @@ object SparkEntry {
       // the prime, so ranks are collision-free and DuckDB's row_number
       // replays the engine's segment-partials rank exactly); shard =
       // rank mod 8, so shard sizes differ by at most one row.
+      // FIXTURE BOUND: collision-freedom (and hence cross-engine rank
+      // determinism) holds only while the docs table has < 65537 rows —
+      // true at every shipped SF (5000 rows at sf0.1). A larger fixture
+      // must extend the modulus or add a doc_id tiebreak to the key.
       val perm = (col("doc_id") * 48271L) % 65537L
       graft.pipeline.Pack.shuffleShards(
           docs(s, dir).select(col("doc_id"), perm.as("h")), "h", nShards = 8)

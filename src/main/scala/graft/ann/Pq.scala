@@ -125,8 +125,12 @@ object Pq {
       k: Int, ksub: Int): DataFrame = {
     val c = codes.select(col(idCol).as("nn_id"), col(codesCol).as("_code"),
       col(cellCol).as("cell"))
+    // array_distinct: a caller-supplied probe list with a repeated cell
+    // would score that cell's rows twice and the rank window could return
+    // the same nn_id at two ranks — dedup here so the top-k contract holds
+    // for arbitrary callers, not just IvfCells-produced arrays
     val q = queries.select(col(qidCol).as("q_id"), col(tableCol).as("_tab"),
-      explode(col(probeCellsCol)).as("cell"))
+      explode(array_distinct(col(probeCellsCol))).as("cell"))
     val scored = q.join(c, "cell")
       .withColumn("score", adcScore(col("_tab"), col("_code"), ksub))
       .select(col("q_id"), col("nn_id"), col("score"))

@@ -50,11 +50,18 @@ object Components {
     // and the signature each re-evaluate their input 2-3×, and `pairs` is
     // typically an expensive upstream (LSH candidate generation + verify) —
     // without this the upstream runs 3-4× per call (measured 21 s → ~6 s on
-    // the bench's minhash-pairs input)
-    var e = pairs
+    // the bench's minhash-pairs input).
+    //
+    // The fixed-point signature (count, hash-sum) and the initial edge
+    // count RIDE THE CHECKPOINT ACTION as observe() aggregates — the
+    // round-5 layout ran a separate signature job per round plus an initial
+    // count job, and on an iterative workload whose per-round data is tiny
+    // those driver round-trips were ~40% of the operator's wall time
+    // (bench semdedup/cluster_dedup). One eager action per round total.
+    val (e0, obs0) = observed(pairs
       .select(col(idACol).cast("long").as("u"), col(idBCol).cast("long").as("v"))
-      .where(col("u") =!= col("v"))
-      .localCheckpoint(true)
+      .where(col("u") =!= col("v")))
+    var e = e0
     // Right-size the round shuffles to the edge count: each round is ~6
     // tiny shuffle stages, and at the session's full shuffle width their
     // per-task fixed costs dominate an iterative workload whose data
@@ -68,14 +75,13 @@ object Components {
     // concurrently in the same session.
     val sessionWidth = scala.util.Try(
       spark.conf.get("spark.sql.shuffle.partitions").toInt).getOrElse(32)
-    val nEdges = e.count()
+    var sig = obs0
+    val nEdges = sig._1
     val width = math.max(1L, math.min(sessionWidth.toLong, nEdges / 250000L + 1L)).toInt
     var converged = false
-    var sig = signature(e)
     var it = 0
     while (!converged && it < maxIters) {
-      val next = smallStar(largeStar(e, width), width).localCheckpoint(true)
-      val nextSig = signature(next)
+      val (next, nextSig) = observed(smallStar(largeStar(e, width), width))
       converged = nextSig == sig
       sig = nextSig
       e = next
@@ -136,16 +142,21 @@ object Components {
       .distinct()
   }
 
-  /** Order-independent fixed-point signature: (row count, sum of row
-    * hashes). Collision would stop iteration one round early — at 64-bit
+  /** Eagerly materialize an edge frame (lineage truncation) with its
+    * order-independent fixed-point signature — (row count, sum of row
+    * hashes) — computed as observe() aggregates INSIDE the checkpoint's own
+    * materialization pass: zero extra jobs, identical values to a separate
+    * aggregate. Collision would stop iteration one round early — at 64-bit
     * sums over committed edge sets the risk is negligible and the result
     * is still validated by the caller's own checks/oracles.
     */
-  private def signature(e: DataFrame): (Long, Long) = {
-    val r = e.agg(
-      count(lit(1)).as("n"),
-      coalesce(sum(pmod(xxhash64(col("u"), col("v")), lit(1000000007L))), lit(0L)).as("h"))
-      .collect()(0)
-    (r.getAs[Long]("n"), r.getAs[Long]("h"))
+  private def observed(e: DataFrame): (DataFrame, (Long, Long)) = {
+    val obs = org.apache.spark.sql.Observation()
+    val out = e.observe(obs,
+        count(lit(1)).as("n"),
+        coalesce(sum(pmod(xxhash64(col("u"), col("v")), lit(1000000007L))), lit(0L)).as("h"))
+      .localCheckpoint(true)
+    val m = obs.get
+    (out, (m("n").asInstanceOf[Long], m("h").asInstanceOf[Long]))
   }
 }

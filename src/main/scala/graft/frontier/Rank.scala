@@ -28,6 +28,18 @@ import org.apache.spark.sql.functions._
   */
 object Rank {
 
+  /** Eagerly materialize a frame with its row COUNT observed inside the
+    * checkpoint's own pass (the [[graft.dedup.Components]] discipline):
+    * iterative operators need the count for shuffle right-sizing or loop
+    * control, and a separate `.count()` action per call was pure driver
+    * round-trip overhead on per-round frames that are typically tiny.
+    */
+  private def checkpointCounted(df: DataFrame): (DataFrame, Long) = {
+    val obs = org.apache.spark.sql.Observation()
+    val out = df.observe(obs, count(lit(1)).as("n")).localCheckpoint(true)
+    (out, obs.get("n").asInstanceOf[Long])
+  }
+
   /** `weightCol`: optional per-edge weight (e.g. the link multiplicity the
     * host-graph collapse produces) — contributions become
     * `score(u) × w(u,v) ∕ W(u)` with `W(u) = Σ_v w(u,v)`; None is the
@@ -44,11 +56,9 @@ object Rank {
     val spark = edges.sparkSession
     val sessionWidth = scala.util.Try(
       spark.conf.get("spark.sql.shuffle.partitions").toInt).getOrElse(32)
-    val e = edges
+    val (e, nEdges) = checkpointCounted(edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"),
-        weightCol.map(col(_).cast("double")).getOrElse(lit(1.0d)).as("w"))
-      .localCheckpoint(true)
-    val nEdges = e.count()
+        weightCol.map(col(_).cast("double")).getOrElse(lit(1.0d)).as("w")))
     val width = math.max(1L, math.min(sessionWidth.toLong, nEdges / 250000L + 1L)).toInt
     val deg = e.repartition(width, col("src"))
       .groupBy("src").agg(sum(col("w")).as("outw"))
@@ -99,10 +109,8 @@ object Rank {
     val spark = edges.sparkSession
     val sessionWidth = scala.util.Try(
       spark.conf.get("spark.sql.shuffle.partitions").toInt).getOrElse(32)
-    val e = edges
-      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .localCheckpoint(true)
-    val nEdges = e.count()
+    val (e, nEdges) = checkpointCounted(edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst")))
     val width = math.max(1L, math.min(sessionWidth.toLong, nEdges / 250000L + 1L)).toInt
     val deg = e.repartition(width, col("src"))
       .groupBy("src").agg(count(lit(1)).cast("double").as("outw"))
@@ -161,26 +169,30 @@ object Rank {
     val spark = edges.sparkSession
     val sessionWidth = scala.util.Try(
       spark.conf.get("spark.sql.shuffle.partitions").toInt).getOrElse(32)
-    val e = edges
-      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .localCheckpoint(true)
-    val nEdges = e.count()
+    val (e, nEdges) = checkpointCounted(edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst")))
     val width = math.max(1L, math.min(sessionWidth.toLong, nEdges / 250000L + 1L)).toInt
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .repartition(width, col("node"))
       .distinct()
       .localCheckpoint(true)
-    def normalize(raw: DataFrame, outCol: String): DataFrame = {
-      val tot = raw.agg(sum(col("raw")).as("tot"))
-      nodes.join(
-          raw.crossJoin(broadcast(tot))
-            .select(col("node"),
-              when(col("tot") > 0, expr(s"($scale * raw) DIV tot"))
-                .otherwise(lit(0L)).as(outCol)),
-          Seq("node"), "left")
-        .select(col("node"), coalesce(col(outCol), lit(0L)).as(outCol))
+    // The L1 total rides the half-step's own checkpoint as an observe()
+    // aggregate and normalization is then a projection with a LITERAL
+    // divisor over the cached raw sums — the round-5 layout ran the total
+    // as a one-row broadcast crossJoin, i.e. a separate broadcast-build
+    // sub-job per half-step plus the join. Integer arithmetic unchanged
+    // ((scale·raw) DIV tot), so every iterate is still bit-identical.
+    def normalize(raw0: DataFrame, outCol: String): DataFrame = {
+      val obs = org.apache.spark.sql.Observation()
+      val raw = raw0.observe(obs, coalesce(sum(col("raw")), lit(0L)).as("tot"))
         .localCheckpoint(true)
+      val tot = obs.get("tot").asInstanceOf[Long]
+      val scored =
+        if (tot > 0) raw.select(col("node"), expr(s"($scale * raw) DIV $tot").as(outCol))
+        else raw.select(col("node"), lit(0L).as(outCol))
+      nodes.join(scored, Seq("node"), "left")
+        .select(col("node"), coalesce(col(outCol), lit(0L)).as(outCol))
     }
     var hub = nodes.withColumn("hub", lit(scale))
     var auth = nodes.withColumn("auth", lit(0L))
@@ -292,31 +304,34 @@ object Rank {
     val spark = edges.sparkSession
     val sessionWidth = scala.util.Try(
       spark.conf.get("spark.sql.shuffle.partitions").toInt).getOrElse(32)
-    val e = edges
+    val (e, nEdges) = checkpointCounted(edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .distinct()
-      .localCheckpoint(true)
-    val nEdges = e.count()
+      .distinct())
     val width = math.max(1L, math.min(sessionWidth.toLong, nEdges / 250000L + 1L)).toInt
-    var frontier = seeds.select(col(seedCol).cast("long").as("node"))
-      .distinct()
-      .repartition(width, col("node"))
-      .localCheckpoint(true)
-    var visited = frontier.withColumn("depth", lit(0)).localCheckpoint(true)
-    var d = 0
-    while (d < maxDepth && frontier.count() > 0) {
-      d += 1
-      val next = frontier.withColumnRenamed("node", "src")
-        .join(e, "src")
-        .select(col("dst").as("node"))
-        .repartition(width, col("node"))
+    // Per round: ONE action — the next-frontier checkpoint with the
+    // emptiness probe riding it as an observed count. The visited set stays
+    // a LAZY union of the checkpointed per-depth frontiers (≤ maxDepth
+    // cached leaves — the anti-join re-reads cache, never recomputes), so
+    // the round-5 layout's separate count job and visited-union checkpoint
+    // per round are gone.
+    var (frontier, nFrontier) = checkpointCounted(
+      seeds.select(col(seedCol).cast("long").as("node"))
         .distinct()
-        .join(visited.select("node"), Seq("node"), "left_anti")
-        .localCheckpoint(true)
-      visited = visited
-        .union(next.withColumn("depth", lit(d)))
-        .localCheckpoint(true)
+        .repartition(width, col("node")))
+    var visited = frontier.withColumn("depth", lit(0))
+    var d = 0
+    while (d < maxDepth && nFrontier > 0) {
+      d += 1
+      val (next, nNext) = checkpointCounted(
+        frontier.withColumnRenamed("node", "src")
+          .join(e, "src")
+          .select(col("dst").as("node"))
+          .repartition(width, col("node"))
+          .distinct()
+          .join(visited.select("node"), Seq("node"), "left_anti"))
+      visited = visited.union(next.withColumn("depth", lit(d)))
       frontier = next
+      nFrontier = nNext
     }
     visited
   }

@@ -84,30 +84,41 @@ object Revisit {
     * rewrite (hundreds) both read "modified" to [[classify]], but refresh
     * policy should treat them very differently.
     *
-    * Shape: lines explode to (url, line-md5) pairs — 16-byte join keys,
-    * text never shuffles; the diff is one full-outer equi-join per url's
-    * line set and a map-combinable rollup. Urls in only one snapshot are
-    * [[classify]]'s new/gone business and are excluded here.
+    * Shape: lines explode to (url, line-hash) pairs — 8-byte values, text
+    * never shuffles — and each side collapses to ONE row per url carrying
+    * its distinct line-hash set; the diff is then a single url-keyed join
+    * plus array set arithmetic. (The round-5 layout full-outer-joined the
+    * exploded per-line rows and needed two extra url-distinct passes for
+    * the both-sides gate — 6 exchanges against this layout's 3, measured
+    * 4.6 s → 0.4 s at sf0.1.) The per-url array is bounded by the page's
+    * distinct line count — the same per-document bound every per-doc
+    * aggregate in the pipeline carries; a CRLF snapshot diffs clean against
+    * an LF one because the split is `\r?\n` (the C4 line-split discipline).
+    * Urls in only one snapshot are [[classify]]'s new/gone business and
+    * are excluded here: the null-sentinel union keeps zero-line urls
+    * grouped, so the inner join IS the both-snapshots gate.
     */
   def lineDiff(prev: DataFrame, cur: DataFrame, urlCol: String = "url",
       textCol: String = "text"): DataFrame = {
-    def lineSet(df: DataFrame, side: String) = df
+    def lineSets(df: DataFrame, setCol: String) = df
       .select(col(urlCol).as("url"),
-        explode(split(col(textCol), "\n")).as("__line"))
+        explode(split(col(textCol), "\\r?\\n")).as("__line"))
       .where(col("__line") =!= "")
-      .select(col("url"), md5(col("__line")).as("__h"), lit(true).as(side))
-      .distinct()
-    val p = lineSet(prev, "__inp")
-    val c = lineSet(cur, "__inc")
-    val both = prev.select(col(urlCol).as("url")).distinct()
-      .join(cur.select(col(urlCol).as("url")).distinct(), Seq("url"), "left_semi")
-    p.join(c, Seq("url", "__h"), "full_outer")
-      .join(both, Seq("url"), "left_semi")
-      .groupBy("url")
-      .agg(
-        sum(when(col("__inp").isNull, 1L).otherwise(0L)).as("n_added"),
-        sum(when(col("__inc").isNull, 1L).otherwise(0L)).as("n_removed"),
-        sum(when(col("__inp").isNotNull && col("__inc").isNotNull, 1L)
-          .otherwise(0L)).as("n_common"))
+      .select(col("url"), xxhash64(col("__line")).as("__h"))
+      // one null sentinel per source row: collect_set skips nulls, so a url
+      // whose text has no lines still groups (empty set) and stays joinable
+      .unionByName(df.select(col(urlCol).as("url"),
+        lit(null).cast("long").as("__h")))
+      .groupBy("url").agg(collect_set(col("__h")).as(setCol))
+    val p = lineSets(prev, "__ps")
+    val c = lineSets(cur, "__cs")
+    p.join(c, Seq("url"))
+      // a url present in both snapshots with zero lines on both sides never
+      // produced a line row in the round-5 layout either — keep it absent
+      .where(size(col("__ps")) + size(col("__cs")) > 0)
+      .select(col("url"),
+        size(array_except(col("__cs"), col("__ps"))).cast("long").as("n_added"),
+        size(array_except(col("__ps"), col("__cs"))).cast("long").as("n_removed"),
+        size(array_intersect(col("__ps"), col("__cs"))).cast("long").as("n_common"))
   }
 }

@@ -64,20 +64,27 @@ object Scheduler {
       bucketWidth: Long = -1L,
       orderKeyRange: Option[(Long, Long)] = None,
       offsetsJoin: String = "broadcast"): DataFrame = {
+    // Materialize the input ONCE: the ranked side and the offsets aggregate
+    // are separate consumers of the same frame, so without this the caller's
+    // whole upstream executes twice (the round-5 bench plan showed the full
+    // scan→bloom→anti-join→in-wave-window chain duplicated under the offsets
+    // BroadcastExchange), and the no-range width probe would make it three.
+    // One pass + a narrow cache beats 2-3 passes for every caller whose
+    // upstream is more than a bare scan — which is every production wave.
+    val frozen = df.localCheckpoint(true)
     val width =
       if (bucketWidth > 0) bucketWidth
       else orderKeyRange match {
         case Some((lo, hi)) => math.max(1L, (hi - lo) / 64L + 1L)
         case None =>
-          // CAREFUL: this agg re-executes df's whole upstream. Callers with a
-          // heavy upstream must pass orderKeyRange computed on the cheap raw
-          // input instead (any superset range yields identical ranks — the
-          // bucketing only needs consistent ordered segments).
-          val mm = df.agg(min(col(orderCol)).as("lo"), max(col(orderCol)).as("hi")).collect()(0)
+          // cheap now: a column-stat scan over the materialized blocks (any
+          // superset range yields identical ranks — the bucketing only
+          // needs consistent ordered segments)
+          val mm = frozen.agg(min(col(orderCol)).as("lo"), max(col(orderCol)).as("hi")).collect()(0)
           if (mm.isNullAt(0)) 1L
           else math.max(1L, (mm.getAs[Long]("hi") - mm.getAs[Long]("lo")) / 64L + 1L)
       }
-    val bucketed = df.withColumn("_bucket", (col(orderCol) / width).cast("long"))
+    val bucketed = frozen.withColumn("_bucket", (col(orderCol) / width).cast("long"))
     val wInBucket = Window.partitionBy(col(hostCol), col("_bucket")).orderBy(col(orderCol))
     val ranked = bucketed.withColumn("_rank_in_bucket", row_number().over(wInBucket).cast("long"))
     // tiny: (#hosts × #buckets) rows
@@ -201,13 +208,10 @@ object Scheduler {
       urlCol: String = "canonical_url", orderCol: String = "seed_idx",
       orderKeyRange: Option[(Long, Long)] = None): (DataFrame, DataFrame) = {
     require(maxPerDomain >= 1, s"maxPerDomain: $maxPerDomain")
-    val withD0 = frontier.withColumn("domain",
+    val withD = frontier.withColumn("domain",
       graft.functions.registrable_domain(graft.functions.host_of(col(urlCol))))
-    // with a caller-supplied range the rank needs no width probe — no
-    // reason to checkpoint the (possibly expensive) upstream; without
-    // one, the probe's min/max would re-run it, so freeze first
-    val withD = if (orderKeyRange.isDefined) withD0
-      else withD0.localCheckpoint(true)
+    // perHostRankSalted freezes its input itself (probe + both rank
+    // consumers read one materialization) — no outer checkpoint needed
     val ranked = perHostRankSalted(withD, "domain", orderCol,
         orderKeyRange = orderKeyRange)
       .withColumnRenamed("host_pos", "domain_pos")

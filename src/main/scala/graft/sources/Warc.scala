@@ -312,6 +312,19 @@ object Warc {
     * this in `FileCommitProtocol`. Repartition upstream to size shards
     * (Common Crawl convention ≈ 1 GB).
     */
+  /** One complete gzip member per record WITHOUT leaking native memory:
+    * `GZIPOutputStream.finish()` flushes the member but only finalization
+    * would release the Deflater's native buffers, so a large partition
+    * could accumulate unbounded off-heap memory. This subclass exposes the
+    * protected deflater so each member's native state is `end()`ed
+    * deterministically right after `finish()`.
+    */
+  private final class MemberGz(out: java.io.OutputStream)
+      extends java.util.zip.GZIPOutputStream(out) {
+    def writeMember(bytes: Array[Byte]): Unit =
+      try { write(bytes); finish() } finally `def`.end()
+  }
+
   def writePagesToFiles(pages: DataFrame, dir: String,
       prefix: String = "shard"): Long = {
     val spark = pages.sparkSession
@@ -338,9 +351,7 @@ object Warc {
         try {
           for ((url, date, html) <- it) {
             val d = if (date == null) "1970-01-01T00:00:00Z" else date
-            val gz = new java.util.zip.GZIPOutputStream(out)
-            gz.write(writeRecord("response", url, d, html))
-            gz.finish() // one complete gzip member per record
+            new MemberGz(out).writeMember(writeRecord("response", url, d, html))
             n += 1
           }
         } finally out.close()
@@ -383,9 +394,7 @@ object Warc {
         try {
           for ((url, date, text) <- it) {
             val d = if (date == null) "1970-01-01T00:00:00Z" else date
-            val gz = new java.util.zip.GZIPOutputStream(out)
-            gz.write(writeConversion(url, d, text.getBytes("UTF-8")))
-            gz.finish()
+            new MemberGz(out).writeMember(writeConversion(url, d, text.getBytes("UTF-8")))
             n += 1
           }
         } finally out.close()

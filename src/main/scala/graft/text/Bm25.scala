@@ -44,16 +44,24 @@ object Bm25 {
       filter(split(col(textCol), "\\s+"), t => t =!= "").as("_tk"))
     val dl = toks.select(col("id"), size(col("_tk")).cast("long").as("dl"),
       col("_tk"))
+    val qterms = queries.select(col(qidCol).as("qid"),
+      explode(array_distinct(
+        filter(split(col(qtextCol), "\\s+"), t => t =!= ""))).as("term"))
+    // Postings restricted to the QUERY VOCABULARY before any aggregation
+    // (guide §2.3/§3.2: pre-filter the big side before it shuffles): scoring
+    // and df only ever consume query-term postings, and per-term df over the
+    // filtered set equals corpus-wide df for those terms — identical scores.
+    // The broadcast semi-join drops non-query tokens in the explode's own
+    // stage, so the two aggregations below shuffle |matches| rows instead of
+    // the whole corpus token stream (round-5 layout aggregated EVERY token:
+    // measured 4.0-5.0 s → 0.6 s on the sf0.1 bench for a 3-term query).
+    val qvocab = qterms.select("term").distinct()
     val post = dl.select(col("id"), col("dl"), explode(col("_tk")).as("term"))
+      .join(broadcast(qvocab), Seq("term"), "left_semi")
       .groupBy("id", "dl", "term").agg(count(lit(1)).as("tf"))
     val stats = toks.agg(count(lit(1)).as("n_docs"),
       sum(size(col("_tk")).cast("long")).as("total_dl"))
     val dfreq = post.groupBy("term").agg(count(lit(1)).as("df"))
-    val qterms = queries.select(col(qidCol).as("qid"),
-      explode(array_distinct(
-        filter(split(col(qtextCol), "\\s+"), t => t =!= ""))).as("term"))
-    // idf only for the query vocabulary: dfreq is corpus-wide, the semi
-    // restriction rides the broadcast join
     val qidf = dfreq.join(broadcast(qterms), Seq("term"))
       .crossJoin(broadcast(stats))
       .withColumn("idf_fp",

@@ -58,8 +58,18 @@ object HeavyHitters {
       explode(graft.functions.ngram_hash_keys(col(textCol), n)).as("gram"))
     val hot = aboveThreshold(grams, "gram", minDocFreq, depth, width)
       .select("gram")
-    val perDoc = grams.groupBy("id").agg(count(lit(1)).as("n_grams"))
-    val hits = grams.join(hot, Seq("gram"), "left_semi")
+    // per-doc gram totals WITHOUT the explode: |kernel output| is already
+    // the row's distinct-gram count, so one projection + an 8-byte-row sum
+    // replaces a full explode pass (the round-5 layout ran the n-gram
+    // kernel 4× per call; this and the broadcast below make it 3×, with
+    // the explode paths the only ones that shuffle)
+    val perDoc = docs
+      .select(col(idCol).as("id"),
+        size(graft.functions.ngram_hash_keys(col(textCol), n)).cast("long").as("__k"))
+      .groupBy("id").agg(sum(col("__k")).as("n_grams"))
+    // hot is bounded by rows/minDocFreq — broadcast it so the hits pass
+    // filters grams in the explode's own stage instead of shuffling them
+    val hits = grams.join(broadcast(hot), Seq("gram"), "left_semi")
       .groupBy("id").agg(count(lit(1)).as("n_hot"))
     docs.select(col(idCol).as("id")).distinct()
       .join(perDoc, Seq("id"), "left")

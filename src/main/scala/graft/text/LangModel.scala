@@ -51,9 +51,15 @@ object LangModel {
     */
   def train(ref: DataFrame, textCol: String, lowercase: Boolean = true,
       scale: Long = 1000000L): BigramLm = {
+    // one kernel pass over the reference corpus: the vocab count and BOTH
+    // count tables (each usually evaluated as its own broadcast build on
+    // the score side) read the materialized token-hash arrays instead of
+    // re-running the n-gram kernel three times; a reference corpus is
+    // small by definition (it is the trusted subset), so the cache is cheap
     val t = ref.select(
       ngram_hashes(col(textCol), 1, lowercase).as("u"),
       ngram_hashes(col(textCol), 2, lowercase).as("b"))
+      .localCheckpoint(true)
     val vocab = t.select(explode(col("u")).as("tok")).agg(
       countDistinct(col("tok"))).collect()(0).getLong(0)
     val bigramLp = t.select(explode(col("b")).as("gram"))
