@@ -39,6 +39,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // (bypass only ever applies ≤200 partitions), so this default is not a
   // local-only tune; override via SPARK_GRAFT_BYPASS_THRESHOLD.
   s"-Dspark.shuffle.sort.bypassMergeThreshold=${sys.env.getOrElse("SPARK_GRAFT_BYPASS_THRESHOLD", "64")}",
+  // Round-robin repartition pre-sorts its input so retried tasks reproduce
+  // the same row→partition assignment (SPARK-23207) — in LOCAL mode there
+  // are no shuffle-fetch retries, and the sort serializes a single-row-group
+  // scan's only task for ~0.5 s per 600k-row repartition (the bench's
+  // lineitem staging). Off locally; MUST stay true on a multi-node cluster
+  // (set SPARK_GRAFT_SORT_BEFORE_REPARTITION=true). Results are unaffected
+  // either way: every declared query is partition-order independent
+  // (oracle-verified after this change).
+  s"-Dspark.sql.execution.sortBeforeRepartition=${sys.env.getOrElse("SPARK_GRAFT_SORT_BEFORE_REPARTITION", "false")}",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
 // optional GC experiment knob: SPARK_GC=Parallel|G1|Z

@@ -26,6 +26,18 @@ object SparkEntry {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
+  /** [[docs]] re-spread across the session's cores — for KERNEL-HEAVY
+    * queries only. The sf parquet files are written as a single row group,
+    * so a plain scan is ONE task no matter how many cores exist and a
+    * CPU-bound text kernel (tokenize, n-gram hash, window hash, HTML scan)
+    * serializes behind it — measured as multi-hundred-ms single-task
+    * stages in the q68/q105 traces (the same rationale as the headline
+    * bench's `docsTimes` repartition; at real scale the input is thousands
+    * of files and this repartition disappears). Scan-bound queries keep
+    * the plain `docs`: for them the payload shuffle would be pure cost.
+    */
+  private def docsWide(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).repartition(s.sparkContext.defaultParallelism)
   private def embeddings(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
   private def events(s: SparkSession, dir: String): DataFrame =
@@ -67,10 +79,13 @@ object SparkEntry {
     d.unionByName(tails)
   }
 
-  /** Exact-duplicate corpus: every 5th document duplicated verbatim. */
+  /** Exact-duplicate corpus: every 5th document duplicated verbatim.
+    * Built wide: its consumers (digest dedup, stride-1 window hashing in
+    * q59/q60) are kernel-heavy.
+    */
   private def dupCorpus(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir).select(col("doc_id").as("id"), col("text"))
-    val dups = docs(s, dir).where(col("doc_id") % 5 === 0)
+    val d = docsWide(s, dir).select(col("doc_id").as("id"), col("text"))
+    val dups = docsWide(s, dir).where(col("doc_id") % 5 === 0)
       .select((col("doc_id") + 100000L).as("id"), col("text"))
     d.unionByName(dups)
   }
@@ -841,7 +856,7 @@ object SparkEntry {
       // ≥ the cap → dropped), a pair line shared by exactly 2 docs (df = 2
       // < cap → KEPT: duplicated is not boilerplate until it crosses the
       // doc-frequency bar), its own text line, and a unique tail.
-      val corpus = docs(s, dir).select(col("doc_id"),
+      val corpus = docsWide(s, dir).select(col("doc_id"),
         concat(lit("shared header boilerplate line\n"), col("text"),
           lit("\nfooter for "), col("source"),
           lit("\npair line "), (col("doc_id") / 2).cast("long").cast("string"),
@@ -967,8 +982,8 @@ object SparkEntry {
       // excerpt side scores 1000000 ppm while the parent side stays low;
       // exact-duplicate texts in the raw table score 1000000 both ways.
       // Counts + integer ppm only: exact in any engine.
-      val corpus = docs(s, dir).select(col("doc_id").as("id"), col("text"))
-        .unionByName(docs(s, dir).where(col("doc_id") % 7 === 0)
+      val corpus = docsWide(s, dir).select(col("doc_id").as("id"), col("text"))
+        .unionByName(docsWide(s, dir).where(col("doc_id") % 7 === 0)
           .select((col("doc_id") + 300000L).as("id"),
             concat_ws(" ", slice(
               filter(split(col("text"), "\\s+"), t => t =!= ""), 1, 25)).as("text")))
@@ -1350,7 +1365,7 @@ object SparkEntry {
         lit("<html><body><a href=\"http://tgt.test/t/"),
         (id % 40).cast("string"), lit("\">"), anchor,
         lit("</a></body></html>"))
-      val pages = docs(s, dir).select(
+      val pages = docsWide(s, dir).select(
         concat(lit("http://h"), (id % 9).cast("string"), lit(".test/p/"),
           id.cast("string")).as("url"),
         html.as("html"))
@@ -1432,7 +1447,10 @@ object SparkEntry {
       // cluster (planted score (id·53)%1000 so argmax ≠ min-id); every
       // vector comes back with its cluster and keep verdict — the
       // row-level semantic delete set.
-      val emb = embeddings(s, dir)
+      // single-row-group embeddings file: the SRP bucket + norm kernels
+      // would serialize on one scan task (measured 1.17 s of the trace) —
+      // same repartition rationale as docsWide / the bench's annTopk
+      val emb = embeddings(s, dir).repartition(s.sparkContext.defaultParallelism)
       val pairs = graft.dedup.Dedup.cosineNearDupsBucketed(
           emb, "vec_id", "embedding", 0.4, q17Buckets)
         .select("id_a", "id_b")
@@ -1912,7 +1930,7 @@ object SparkEntry {
       // ~100 docs per source), even docs also a 7-word banner (hot), and
       // the text-to-footer boundary grams stay unique (cold). Distinct
       // grams per doc ⇒ counts are doc frequencies; integers+ppm only.
-      val corpus = docs(s, dir).select(col("doc_id"),
+      val corpus = docsWide(s, dir).select(col("doc_id"),
         concat(col("text"),
           when(col("doc_id") % 2 === 0,
             lit(" subscribe to our newsletter for updates today"))
@@ -1970,11 +1988,11 @@ object SparkEntry {
       // count is rounded once at train time (half-up, scale 1e6 — the BM25
       // discipline), so scores are pure BIGINT sums both engines replay
       // exactly; the oracle rebuilds the same counts from string grams.
-      val ref = docs(s, dir).where(col("doc_id") % 3 === 0)
+      val ref = docsWide(s, dir).where(col("doc_id") % 3 === 0)
         .select(col("text"))
       val lm = graft.text.LangModel.train(ref, "text")
       graft.text.LangModel.scoreDocs(
-          docs(s, dir).select(col("doc_id"), col("text")),
+          docsWide(s, dir).select(col("doc_id"), col("text")),
           "doc_id", "text", lm)
         .select(col("id").as("doc_id"), col("n_bigrams"), col("ll_fp"),
           col("nll_tok_fp"))
@@ -2008,7 +2026,7 @@ object SparkEntry {
         (3L, "stream batch data"),
         (4L, "the slow customer the")).toDF("qid", "qtext")
       graft.text.Bm25.topK(
-          docs(s, dir).select(col("doc_id").as("id"), col("text")),
+          docsWide(s, dir).select(col("doc_id").as("id"), col("text")),
           "id", "text", qs, "qid", "qtext", k = 10)
         .orderBy("qid", "rank")
     }),

@@ -295,6 +295,10 @@ object Dedup {
     // replicated ×tables through the explode or the shuffle moves dim×tables
     // doubles per row instead of 12 bytes. maxBucket caps per-bucket
     // occupancy before the m²-emitting self-join (see minHashCandidates).
+    // (An emit-at-first-colliding-table filter to pre-collapse the ×tables
+    // pair multiplicity was tried and REVERTED: the per-join-row prefix
+    // compare runs as interpreted higher-order array functions and measured
+    // strictly slower than letting the distinct absorb the duplicates.)
     val bk = capHotBuckets(
       vecs.select(col(idCol).as("id"), posexplode(array(buckets: _*)).as(Seq("t", "b"))),
       Seq("t", "b"), maxBucket)
