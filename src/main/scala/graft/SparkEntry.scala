@@ -1614,7 +1614,7 @@ object SparkEntry {
         lit("<link rel=\"alternate\" hreflang=\"x-default\" " +
           "href=\"mailto:no@no\">"),
         lit("</head><body>x</body></html>"))
-      val pages = docs(s, dir).select(
+      val pages = docsWide(s, dir).select(
         concat(lit("http://"), lang, lit(".t.test/p/"), g).as("url"),
         html.as("html"))
       graft.frontier.Alternates.clusters(pages).orderBy("url")

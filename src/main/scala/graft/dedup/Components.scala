@@ -81,6 +81,12 @@ object Components {
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
+      // exactly ONE large+small star pair per materialization. (Chaining
+      // two pairs per checkpoint to halve the driver barriers was tried
+      // and REVERTED: each star references its input twice (groupBy side +
+      // join side), so without the intermediate checkpoint the inner
+      // round's subtree replicates through the outer round's plan and the
+      // un-cached work re-executes — measured ~2× slower, not faster.)
       val (next, nextSig) = observed(smallStar(largeStar(e, width), width))
       converged = nextSig == sig
       sig = nextSig
