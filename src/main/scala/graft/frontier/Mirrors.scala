@@ -44,8 +44,10 @@ object Mirrors {
       htmlCol: String = "html", maxHostsPerDigest: Int = 64,
       minShared: Long = 2L, minPpm: Long = 500000L): DataFrame = {
     val hd = pages
+      // binary cast: bytes go straight to md5 — no UTF-8 round-trip for
+      // BINARY html, identical digests for STRING html (see Revisit)
       .select(graft.functions.host_of(col(urlCol)).as("host"),
-        md5(col(htmlCol).cast("string")).as("digest"))
+        md5(col(htmlCol).cast("binary")).as("digest"))
       .distinct()
     val hot = hd.groupBy("digest").agg(count(lit(1)).as("__nh"))
       .where(col("__nh") > maxHostsPerDigest)

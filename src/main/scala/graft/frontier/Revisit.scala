@@ -25,10 +25,14 @@ object Revisit {
     */
   def classify(prev: DataFrame, cur: DataFrame, urlCol: String = "url",
       htmlCol: String = "html"): DataFrame = {
+    // cast to BINARY, not string: md5 consumes bytes, and BINARY html
+    // columns would otherwise pay a UTF-8 decode+re-encode per page body
+    // (and mangle invalid-UTF-8 bytes); for STRING columns the cast is the
+    // same UTF-8 encode md5's implicit cast performs — digests unchanged
     val p = prev.select(col(urlCol).as("url"),
-      md5(col(htmlCol).cast("string")).as("__pd"))
+      md5(col(htmlCol).cast("binary")).as("__pd"))
     val c = cur.select(col(urlCol).as("url"),
-      md5(col(htmlCol).cast("string")).as("__cd"))
+      md5(col(htmlCol).cast("binary")).as("__cd"))
     p.join(c, Seq("url"), "full_outer")
       .select(col("url"),
         when(col("__pd").isNull, lit("new"))
