@@ -115,7 +115,8 @@ object ProbeFrontier {
     }
     spark.sparkContext.addSparkListener(tracer)
     spark.sparkContext.setJobDescription("traced full run")
-    Bench.force(BenchQueries.frontierSchedule(spark, sfDir))
+    val traceReps = sys.env.getOrElse("SPARK_GRAFT_PROBE_REPS", "1").toInt
+    Bench.force(BenchQueries.frontierSchedule(spark, sfDir, traceReps))
     org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
     stages.forEach(s => System.out.println(s))
     println(results.map { case (n, t) => f""""$n":$t%.3f""" }
