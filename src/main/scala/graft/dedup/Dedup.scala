@@ -529,13 +529,20 @@ object Dedup {
   def keepBestInClusters(labels: DataFrame, quality: DataFrame,
       idCol: String = "id", clusterCol: String = "cluster_id",
       scoreCol: String = "score"): DataFrame = {
+    // materialize the scored labels once: the max-score aggregate and the
+    // argmax filter are separate consumers, and `labels` is typically a
+    // lazy connected-components output whose label aggregation would
+    // otherwise re-run per consumer (3× counting the final re-attach)
     val q = labels.join(quality.select(col(idCol), col(scoreCol)), Seq(idCol))
+      .localCheckpoint(true)
     val best = q.groupBy(col(clusterCol))
       .agg(max(col(scoreCol)).as("__best"))
     val keep = q.join(best, Seq(clusterCol))
       .where(col(scoreCol) === col("__best"))
       .groupBy(col(clusterCol))
       .agg(min(col(idCol)).as("keep_id"))
+    // re-attach over LABELS, not q: an unscored id whose cluster-mates are
+    // scored must still come back labeled (partial-quality contract)
     labels.join(keep, Seq(clusterCol))
       .select(col(idCol), col(clusterCol), col("keep_id"))
   }

@@ -55,8 +55,12 @@ object Alternates {
     val pairs = e.select(xxhash64(col("a")).as("id_a"),
       xxhash64(col("b")).as("id_b"))
     val labels = graft.dedup.Components.connectedComponents(pairs)
+    // materialize once: the rep rollup and the final join both consume this
+    // frame, and its lazy form re-runs the components label aggregation per
+    // consumer
     val withLab = nodes.join(labels, Seq("id"), "left")
       .select(col("url"), coalesce(col("cluster_id"), col("id")).as("_cid"))
+      .localCheckpoint(true)
     val rep = withLab.groupBy("_cid")
       .agg(min(col("url")).as("cluster_rep"), count(lit(1)).as("cluster_size"))
     withLab.join(rep, "_cid")

@@ -49,9 +49,12 @@ object Redirects {
       urlCol: String = "url", srcCol: String = "src",
       dstCol: String = "dst"): DataFrame = {
     require(maxHops >= 1 && maxHops <= 1024, s"maxHops out of range: $maxHops")
-    // round 0: the raw hop map. h tracks exact hops covered so far.
+    // round 0: the raw hop map, materialized — round 1 composes it with
+    // itself (left + right of the self-join), so a lazy form would run the
+    // caller's edge-derivation upstream twice. h tracks exact hops covered.
     var e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
       lit(1L).as("h"))
+      .localCheckpoint(true)
     var covered = 1L
     while (covered < maxHops) {
       val m = e.select(col("src").as("m_src"), col("dst").as("m_dst"),
