@@ -126,8 +126,66 @@ object UrlKit {
     Parts(scheme, host.toLowerCase(java.util.Locale.ROOT), port, rawPath, query)
   }
 
+  /** True iff `raw` is PROVABLY already canonical — one conservative scan,
+    * no allocation. Exclusions err toward the slow path (a hidden-file
+    * segment like `/.well-known/` or an explicit non-default port merely
+    * skips the shortcut); whenever this returns true the full rebuild
+    * would return a byte-identical string, so [[canonicalize]] can return
+    * `raw` itself. This is the hot path of a steady-state crawl: links a
+    * polite crawler re-discovers are overwhelmingly already canonical, and
+    * the rebuild's substring/StringBuilder work per URL is pure waste for
+    * them (the bench's staging kernel and every wave's discovery both run
+    * one canonicalize per URL).
+    */
+  private def isCanonicalFast(s: String): Boolean = {
+    val n = s.length
+    if (n < 8) return false // shortest canonical form is "http://x/"
+    // trim identity: String.trim strips chars <= 0x20 from both ends
+    if (s.charAt(0) <= ' ' || s.charAt(n - 1) <= ' ') return false
+    var i = 0
+    if (s.startsWith("http://")) i = 7
+    else if (s.startsWith("https://")) i = 8
+    else return false
+    // authority: up to the first '/'; must be nonempty, already lowercase,
+    // and free of userinfo/port/query/fragment starts
+    val authStart = i
+    while (i < n && s.charAt(i) != '/') {
+      val c = s.charAt(i)
+      if (c == ':' || c == '@' || c == '?' || c == '#' ||
+        (c >= 'A' && c <= 'Z')) return false
+      i += 1
+    }
+    // empty authority, or no '/' after it (empty path would rebuild as "/",
+    // and a '?' before any '/' re-anchors the path)
+    if (i == authStart || i == n) return false
+    // path + query: no fragment (dropped), no '%' (normPercent may rewrite),
+    // no "/." in the PATH (dot-segment machinery may rewrite), and a '?'
+    // must not be the last char (an empty query is dropped on rebuild)
+    var inQuery = false
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '#' || c == '%') return false
+      if (!inQuery) {
+        if (c == '.' && s.charAt(i - 1) == '/') return false
+        if (c == '?') { if (i == n - 1) return false; inQuery = true }
+      }
+      i += 1
+    }
+    true
+  }
+
   /** Canonical form; total (malformed → lowercased trim). Idempotent. */
   def canonicalize(raw: String): String = {
+    if (raw == null) return null
+    if (isCanonicalFast(raw)) return raw
+    canonicalizeSlow(raw)
+  }
+
+  /** The full parse-and-rebuild path; [[canonicalize]] without the
+    * already-canonical shortcut. Package-visible so the property suite can
+    * assert fast-path == rebuild on adversarial inputs.
+    */
+  private[graft] def canonicalizeSlow(raw: String): String = {
     if (raw == null) return null
     val p = parse(raw)
     if (p == null) return raw.trim.toLowerCase(java.util.Locale.ROOT)

