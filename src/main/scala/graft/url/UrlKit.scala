@@ -208,8 +208,42 @@ object UrlKit {
     if (p == null || p.path.isEmpty) "/" else p.path
   }
 
+  /** Fast host extraction for the canonical-shaped common case: exact
+    * lowercase scheme, then the authority up to '/', '?' or end, provided
+    * it is nonempty, lowercase, and free of userinfo/port/fragment/space
+    * (each of which changes what [[parse]] would return — conservative
+    * exclusions fall back to the parser). Returns null when not provable.
+    */
+  private def hostFastPath(s: String): String = {
+    val n = s.length
+    var i = 0
+    if (s.startsWith("http://")) i = 7
+    else if (s.startsWith("https://")) i = 8
+    else return null
+    val start = i
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '/' || c == '?') {
+        return if (i == start) null else s.substring(start, i)
+      }
+      if (c == ':' || c == '@' || c == '#' || c <= ' ' ||
+        (c >= 'A' && c <= 'Z')) return null
+      i += 1
+    }
+    if (i == start) null else s.substring(start)
+  }
+
   /** Host of a canonical-or-raw URL ("" if unparseable). */
   def host(url: String): String = {
+    if (url == null) return null
+    val fast = hostFastPath(url)
+    if (fast != null) return fast
+    val p = parse(url)
+    if (p == null) "" else p.host
+  }
+
+  /** [[host]] without the fast path — for the property suite. */
+  private[graft] def hostSlow(url: String): String = {
     if (url == null) return null
     val p = parse(url)
     if (p == null) "" else p.host

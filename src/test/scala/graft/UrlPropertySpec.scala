@@ -68,6 +68,11 @@ object UrlPropertySpec extends Properties("UrlKit") {
       UrlKit.canonicalize(s) == UrlKit.canonicalizeSlow(s)
     }
 
+  property("host fast path == parse on any input") =
+    forAll(Gen.oneOf(garbage, url, trickyCanonical)) { s =>
+      UrlKit.host(s) == UrlKit.hostSlow(s)
+    }
+
   // EXHAUSTIVE over the characters the scanner branches on: every suffix of
   // length ≤ 4 from a 12-char adversarial alphabet, appended to the
   // prefixes that reach each scanner state — ~350k inputs, far stronger
@@ -81,7 +86,8 @@ object UrlPropertySpec extends Properties("UrlKit") {
       val s = sb.toString
       for (p <- prefixes) {
         val u = p + s
-        if (UrlKit.canonicalize(u) != UrlKit.canonicalizeSlow(u)) {
+        if (UrlKit.canonicalize(u) != UrlKit.canonicalizeSlow(u) ||
+          UrlKit.host(u) != UrlKit.hostSlow(u)) {
           if (ok) System.err.println(s"fast-path mismatch on: '$u'")
           ok = false
         }
