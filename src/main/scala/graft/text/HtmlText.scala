@@ -31,6 +31,10 @@ import graft.core.Py
   */
 object HtmlText {
 
+  // precompiled (String.replaceAll would compile per call; this runs per
+  // extracted anchor)
+  private val AnyWhitespace = java.util.regex.Pattern.compile("\\s+")
+
   private val StripTags: Set[String] =
     Set("script", "style", "noscript", "header", "footer", "nav", "aside")
 
@@ -383,8 +387,8 @@ object HtmlText {
                 }
               }
             }
-            val text = decodeEntities(sb.toString)
-              .replaceAll("\\s+", " ").trim
+            val text = AnyWhitespace.matcher(decodeEntities(sb.toString))
+              .replaceAll(" ").trim
             out += ((decodeEntities(href), text))
             i = j
           }
@@ -595,10 +599,16 @@ object HtmlText {
     * then Python-strip. Pure-Scala twin of the column pipeline in
     * [[graft.functions]] (which uses codegen'd regexp_replace built-ins).
     */
+  // precompiled: String.replaceAll compiles its Pattern on EVERY call, and
+  // preprocess runs once per page in the extraction hot path — identical
+  // regex semantics, one compile per JVM instead of two per page
+  private val SpacesTabs = java.util.regex.Pattern.compile("[ \t]+")
+  private val MultiNewline = java.util.regex.Pattern.compile("\n{2,}")
+
   def preprocess(text: String): String = {
     if (text == null) return null
-    val a = text.replaceAll("[ \t]+", " ")
-    val b = a.replaceAll("\n{2,}", "\n")
+    val a = SpacesTabs.matcher(text).replaceAll(" ")
+    val b = MultiNewline.matcher(a).replaceAll("\n")
     Py.strip(b)
   }
 

@@ -296,8 +296,12 @@ object UrlKit {
     // trailing-dot FQDN form ("example.com.") folds like its bare twin —
     // and stripping FIRST keeps the scala and column implementations in
     // lockstep (Java's split drops trailing empty labels, Spark's keeps
-    // them; without the strip the two would diverge exactly here)
-    val h = host.replaceAll("\\.+$", "")
+    // them; without the strip the two would diverge exactly here).
+    // Plain loop, not replaceAll: String.replaceAll compiles its Pattern
+    // per call and this runs once per host in the domain-cap paths.
+    var end = host.length
+    while (end > 0 && host.charAt(end - 1) == '.') end -= 1
+    val h = if (end == host.length) host else host.substring(0, end)
     val labels = h.split('.')
     if (labels.length <= 1) h
     else {
